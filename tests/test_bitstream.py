@@ -1,0 +1,96 @@
+import random
+
+import pytest
+
+from openhevc_tpu.bitstream import (BitReader, BitWriter, split_annexb,
+                                    extract_rbsp, escape_rbsp)
+from openhevc_tpu.bitstream.nal import write_nal, parse_nal_header
+
+
+def test_bitrw_roundtrip_fixed():
+    w = BitWriter()
+    w.u(0b101, 3)
+    w.u(0xDEAD, 16)
+    w.u1(1)
+    w.u(0, 4)
+    w.rbsp_trailing_bits()
+    data = w.get_bytes()
+    r = BitReader(data)
+    assert r.u(3) == 0b101
+    assert r.u(16) == 0xDEAD
+    assert r.u1() == 1
+    assert r.u(4) == 0
+
+
+def test_bitrw_roundtrip_random():
+    rng = random.Random(0)
+    fields = [(rng.randrange(1, 25),) for _ in range(500)]
+    vals = [rng.randrange(0, 1 << n) for (n,) in fields]
+    w = BitWriter()
+    for (n,), v in zip(fields, vals):
+        w.u(v, n)
+    w.rbsp_trailing_bits()
+    r = BitReader(w.get_bytes())
+    for (n,), v in zip(fields, vals):
+        assert r.u(n) == v
+
+
+def test_golomb_roundtrip():
+    rng = random.Random(1)
+    ue_vals = [0, 1, 2, 3, 7, 8, 255, 65534] + [rng.randrange(0, 100000) for _ in range(200)]
+    se_vals = [0, 1, -1, 2, -2, 32767, -32768] + [rng.randrange(-100000, 100000) for _ in range(200)]
+    w = BitWriter()
+    for v in ue_vals:
+        w.ue(v)
+    for v in se_vals:
+        w.se(v)
+    w.rbsp_trailing_bits()
+    r = BitReader(w.get_bytes())
+    for v in ue_vals:
+        assert r.ue() == v
+    for v in se_vals:
+        assert r.se() == v
+
+
+def test_golomb_known_codes():
+    # H.265 9.2: ue(v) codeword table
+    w = BitWriter()
+    w.ue(0)  # '1'
+    w.ue(1)  # '010'
+    w.ue(2)  # '011'
+    w.ue(3)  # '00100'
+    w.u(0, 4)  # pad to 16 bits
+    data = w.get_bytes()
+    assert data[0] == 0b10100110
+    assert data[1] == 0b01000000
+
+
+def test_epb_escape_roundtrip():
+    rng = random.Random(2)
+    for _ in range(50):
+        raw = bytes(rng.choice([0, 0, 0, 1, 2, 3, 255]) for _ in range(rng.randrange(0, 64)))
+        esc = escape_rbsp(raw)
+        # escaped stream must not contain 00 00 0x with x<=3 untreated
+        assert b"\x00\x00\x00" not in esc
+        assert b"\x00\x00\x01" not in esc
+        assert b"\x00\x00\x02" not in esc
+        un, _ = extract_rbsp(esc)
+        assert un == raw
+
+
+def test_nal_roundtrip():
+    rbsp = bytes([0, 0, 1, 0, 0, 2, 0, 0, 0, 0, 3, 65])
+    nal = write_nal(33, rbsp, layer_id=0, temporal_id=0)
+    nals = split_annexb(nal + write_nal(34, b"\x55"))
+    assert len(nals) == 2
+    assert nals[0].type == 33
+    assert nals[0].rbsp == rbsp
+    assert nals[1].type == 34
+    assert nals[1].rbsp == b"\x55"
+
+
+def test_nal_header():
+    t, lid, tid = parse_nal_header(bytes([33 << 1, 1]))
+    assert (t, lid, tid) == (33, 0, 0)
+    t, lid, tid = parse_nal_header(bytes([(19 << 1) | 0, (5 << 3) | 3]))
+    assert (t, lid, tid) == (19, 5, 2)
