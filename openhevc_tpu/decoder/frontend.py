@@ -1,0 +1,149 @@
+"""Host front-end: annex-B bytes -> parameter sets -> per-frame FramePlan.
+
+This is the sequential CPU stage of the two-phase decoder (SURVEY.md §7):
+NAL demux, PS/slice-header parsing and full CABAC entropy decode happen here;
+the returned FramePlan contains only batched tensor work for the back-end.
+Mirrors the reference's decode_nal_units / hls_slice_data flow
+(libavcodec/hevc.c:3831/3017).
+"""
+
+import numpy as np
+
+from ..bitstream import nal as nalmod
+from ..bitstream.bits import BitReader
+from ..bitstream.nal import split_annexb
+from ..cabac import CabacDecoder, ContextSet
+from ..ps.params import parse_vps, parse_sps, parse_pps
+from .slice import parse_slice_header, I_SLICE, P_SLICE, B_SLICE
+from .plan import FramePlan
+from ..syntax.ctu import FrameState, code_ctu, expand_qp_map
+from ..syntax.io import CabacIO
+
+
+class Frontend:
+    """Stateful bitstream front-end; call decode_au() per access unit."""
+
+    def __init__(self):
+        self.vps_list = {}
+        self.sps_list = {}
+        self.pps_list = {}
+        self.sps = None
+        self.pps = None
+        self.poc = 0
+        self.pocs_seen = []
+
+    def decode_bytes(self, data: bytes):
+        """Decode a whole annex-B stream -> list of FramePlan."""
+        plans = []
+        for nal in split_annexb(data):
+            plan = self.decode_nal(nal)
+            if plan is not None:
+                plans.append(plan)
+        return plans
+
+    def decode_nal(self, nal):
+        t = nal.type
+        if t == nalmod.NAL_VPS:
+            v = parse_vps(nal.rbsp)
+            self.vps_list[v.vps_id] = v
+        elif t == nalmod.NAL_SPS:
+            s = parse_sps(nal.rbsp)
+            self.sps_list[s.sps_id] = s
+        elif t == nalmod.NAL_PPS:
+            p = parse_pps(nal.rbsp)
+            self.pps_list[p.pps_id] = p
+        elif t in (nalmod.NAL_SEI_PREFIX, nalmod.NAL_SEI_SUFFIX,
+                   nalmod.NAL_AUD, nalmod.NAL_EOS_NUT, nalmod.NAL_EOB_NUT,
+                   nalmod.NAL_FD_NUT):
+            pass
+        elif nalmod.is_vcl(t):
+            return self._decode_slice(nal)
+        return None
+
+    def _decode_slice(self, nal):
+        r = BitReader(nal.rbsp)
+        # peek pps id to resolve sps before the full parse
+        save = r.pos
+        r.u1()
+        if nalmod.is_irap(nal.type):
+            r.u1()
+        pps_id = r.ue()
+        r.pos = save
+        pps = self.pps_list[pps_id]
+        sps = self.sps_list[pps.sps_id]
+        if pps.ctb_addr_rs_to_ts is None or self.sps is not sps:
+            pps.finalize(sps)
+        self.sps, self.pps = sps, pps
+
+        sh = parse_slice_header(r, nal.type, sps, pps)
+        if not sh.first_slice_in_pic:
+            raise NotImplementedError("multi-slice frames")
+        poc = self._compute_poc(nal.type, sh, sps)
+
+        plan = FramePlan(poc=poc, width=sps.width, height=sps.height,
+                         bit_depth=sps.bit_depth,
+                         chroma_format_idc=sps.chroma_format_idc,
+                         strong_intra_smoothing=bool(sps.strong_intra_smoothing_enabled),
+                         sao_luma=bool(sh.sao_luma), sao_chroma=bool(sh.sao_chroma),
+                         deblock_disable=bool(sh.deblocking_filter_disabled),
+                         beta_offset=sh.beta_offset, tc_offset=sh.tc_offset,
+                         cb_qp_offset=pps.cb_qp_offset + sh.slice_cb_qp_offset,
+                         cr_qp_offset=pps.cr_qp_offset + sh.slice_cr_qp_offset)
+        init_type = 0
+        if sh.slice_type == P_SLICE:
+            init_type = 2 if sh.cabac_init_flag else 1
+        elif sh.slice_type == B_SLICE:
+            init_type = 1 if sh.cabac_init_flag else 2
+
+        st = FrameState(sps, pps, sh, plan, init_type=init_type)
+        st.level_provider = None
+        st.sh = sh
+        st.frontend = self
+
+        # CABAC payload starts at the next byte after the slice header
+        assert r.byte_aligned()
+        payload = nal.rbsp[r.pos >> 3:]
+        ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
+        dec = CabacDecoder(payload, ctx)
+        io = CabacIO(dec=dec)
+
+        nctbs = sps.pic_size_in_ctbs
+        for ts in range(nctbs):
+            rs = int(pps.ctb_addr_ts_to_rs[ts])
+            x_ctb = (rs % sps.ctb_width) << sps.log2_ctb_size
+            y_ctb = (rs // sps.ctb_width) << sps.log2_ctb_size
+            code_ctu(io, st, x_ctb, y_ctb, ts)
+            eos = io.terminate()
+            if eos and ts != nctbs - 1:
+                raise ValueError(f"premature end_of_slice at ctb {ts}")
+
+        plan.qp_map = expand_qp_map(st, sps)
+        plan.vertical_bs = st.vertical_bs
+        plan.horizontal_bs = st.horizontal_bs
+        plan.sao = st.sao_ctbs if (sh.sao_luma or sh.sao_chroma) else None
+        plan.no_filter_map = st.is_pcm_or_bypass
+        plan.slice_type = sh.slice_type
+        return plan
+
+    def _compute_poc(self, nal_type, sh, sps):
+        """POC derivation (spec 8.3.1; reference hevc_refs.c:763)."""
+        if nalmod.is_idr(nal_type):
+            self.prev_poc = 0
+            return 0
+        max_lsb = 1 << sps.log2_max_poc_lsb
+        prev = getattr(self, "prev_poc", 0)
+        prev_lsb = prev & (max_lsb - 1)
+        prev_msb = prev - prev_lsb
+        lsb = sh.pic_order_cnt_lsb
+        if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+            msb = prev_msb + max_lsb
+        elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+            msb = prev_msb - max_lsb
+        else:
+            msb = prev_msb
+        poc = msb + lsb
+        if not (nal_type in (nalmod.NAL_TRAIL_N, nalmod.NAL_TSA_N,
+                             nalmod.NAL_STSA_N, nalmod.NAL_RADL_N,
+                             nalmod.NAL_RASL_N)):
+            self.prev_poc = poc
+        return poc

@@ -1,0 +1,107 @@
+"""Frame plan: the host-front-end -> TPU-back-end contract.
+
+The CABAC front-end parses a frame into a *plan*: an ordered list of
+reconstruction ops plus per-frame filter parameter tensors.  The back-end
+(NumPy scalar model, or the batched TPU path) executes the plan.  Op order
+encodes intra dependencies (a TU's prediction may read pixels written by any
+earlier op).
+"""
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclass
+class IntraOp:
+    """Intra-predict block (x,y,size) of plane c_idx, then add residual."""
+    c_idx: int
+    x: int
+    y: int
+    size: int
+    mode: int
+    # availability flags resolved by the front-end (decode order + CIP)
+    cand_bottom_left: bool
+    cand_left: bool
+    cand_up_left: bool
+    cand_up: bool
+    cand_up_right: bool
+    bottom_left_size: int
+    top_right_size: int
+
+
+@dataclass
+class InterOp:
+    """Motion-compensate PU (x,y,w,h) of plane c_idx from the DPB."""
+    c_idx: int
+    x: int
+    y: int
+    w: int
+    h: int
+    # per direction: (dpb_slot, mv_x, mv_y) or None
+    l0: Optional[tuple]
+    l1: Optional[tuple]
+    # weighted prediction: (denom, w0, o0, w1, o1) or None
+    weights: Optional[tuple] = None
+
+
+@dataclass
+class ResidualOp:
+    """Dequant + inverse transform + add at (x,y) of plane c_idx."""
+    c_idx: int
+    x: int
+    y: int
+    log2_size: int
+    levels: np.ndarray          # (n, n) int32 coefficient levels
+    qp: int                     # final per-component qp (incl. offsets)
+    transform_skip: bool = False
+    use_dst: bool = False       # 4x4 intra luma DST-VII
+    transquant_bypass: bool = False
+    rdpcm_dir: int = -1         # -1 none, 0 horizontal, 1 vertical
+
+
+@dataclass
+class PcmOp:
+    c_idx: int
+    x: int
+    y: int
+    size: int
+    samples: np.ndarray
+
+
+@dataclass
+class CtbFilterParams:
+    """Per-CTB SAO parameters (reference SAOParams, hevc.h:514)."""
+    sao_type: np.ndarray        # (3,) 0=off 1=band 2=edge
+    sao_band_position: np.ndarray
+    sao_offsets: np.ndarray     # (3, 5) SaoOffsetVal (index 0 = 0)
+    sao_eo_class: np.ndarray
+
+
+@dataclass
+class FramePlan:
+    poc: int
+    width: int
+    height: int
+    bit_depth: int
+    chroma_format_idc: int
+    ops: List[object] = field(default_factory=list)
+    # deblock inputs, filled during parse:
+    #   bs tensors at 4-sample granularity on the 8-pixel edge grid
+    vertical_bs: Optional[np.ndarray] = None      # (h/4, w/8)
+    horizontal_bs: Optional[np.ndarray] = None    # (h/8, w/4)
+    qp_map: Optional[np.ndarray] = None           # (h/8, w/8) qp_y per 8x8
+    # per-CTB SAO
+    sao: Optional[dict] = None   # {(rx, ry): CtbFilterParams}
+    deblock_disable: bool = False
+    strong_intra_smoothing: bool = False
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    sao_luma: bool = False
+    sao_chroma: bool = False
+    beta_offset: int = 0
+    tc_offset: int = 0
+    # transquant-bypass / pcm pixels excluded from SAO when pcm_loop_filter_disabled
+    no_filter_map: Optional[np.ndarray] = None    # (h/4, w/4) bool
+    cu_transquant_bypass_map: Optional[np.ndarray] = None

@@ -1,0 +1,264 @@
+"""NumPy plan executor: the exact-integer reference back-end.
+
+Executes a FramePlan against frame planes, then runs the in-loop filters.
+This is the semantic contract the TPU back-end must reproduce bit-exactly;
+it is also the encoder's reconstruction path.
+"""
+
+import numpy as np
+
+from ..model import transforms as tr
+from ..model import intra as ipred
+from ..model import filters as flt
+from .plan import FramePlan, IntraOp, ResidualOp, PcmOp
+
+
+def alloc_frame(plan: FramePlan):
+    w, h = plan.width, plan.height
+    cf = plan.chroma_format_idc
+    cw = w >> (1 if cf in (1, 2) else 0)
+    ch = h >> (1 if cf == 1 else 0)
+    return [np.zeros((h, w), np.int32),
+            np.zeros((ch, cw), np.int32),
+            np.zeros((ch, cw), np.int32)]
+
+
+def execute_plan(plan: FramePlan, planes=None, dpb=None):
+    """Run prediction + residual ops in order. Returns pre-filter planes."""
+    if planes is None:
+        planes = alloc_frame(plan)
+    bd = plan.bit_depth
+    for op in plan.ops:
+        if isinstance(op, IntraOp):
+            pl = planes[op.c_idx]
+            top, left = ipred.build_reference_samples(
+                pl, op.x, op.y, op.size, op.cand_bottom_left, op.cand_left,
+                op.cand_up_left, op.cand_up, op.cand_up_right,
+                op.bottom_left_size, op.top_right_size, bd)
+            top, left = ipred.filter_reference_samples(
+                top, left, op.mode, op.size, op.c_idx, bd,
+                strong_intra_smoothing=plan.strong_intra_smoothing,
+                chroma_444=(plan.chroma_format_idc == 3))
+            pl[op.y:op.y + op.size, op.x:op.x + op.size] = \
+                ipred.predict(op.mode, top, left, op.size, op.c_idx, bd)
+        elif isinstance(op, ResidualOp):
+            n = 1 << op.log2_size
+            pl = planes[op.c_idx]
+            if op.transquant_bypass:
+                res = op.levels
+            else:
+                deq = tr.dequant(op.levels, op.qp, op.log2_size, bd)
+                if op.transform_skip:
+                    res = tr.transform_skip(deq, op.log2_size, bd)
+                elif op.use_dst:
+                    res = tr.idst4x4(deq, bd)
+                else:
+                    nz = np.nonzero(op.levels)
+                    if len(nz[0]) == 1 and nz[0][0] == 0 and nz[1][0] == 0:
+                        res = tr.idct_dc(int(deq[0, 0]), n, bd)
+                    else:
+                        res = tr.idct2d(deq, bd)
+                if op.rdpcm_dir >= 0:
+                    res = tr.transform_rdpcm(res, op.rdpcm_dir == 1)
+            blk = pl[op.y:op.y + n, op.x:op.x + n]
+            pl[op.y:op.y + n, op.x:op.x + n] = tr.transform_add(blk, res, bd)
+        elif isinstance(op, PcmOp):
+            pl = planes[op.c_idx]
+            pl[op.y:op.y + op.size, op.x:op.x + op.size] = op.samples
+        else:
+            from .inter_np import execute_inter_op
+            execute_inter_op(plan, planes, dpb, op)
+    return planes
+
+
+def deblock_frame(plan: FramePlan, planes):
+    """Whole-frame deblocking: all vertical edges, then all horizontal."""
+    if plan.deblock_disable:
+        return planes
+    bd = plan.bit_depth
+    luma = planes[0]
+    h, w = luma.shape
+    qp_map = plan.qp_map          # (h/8-ish, w/8) per min-cb... stored 8x8
+    vbs, hbs = plan.vertical_bs, plan.horizontal_bs
+    nfm = plan.no_filter_map
+
+    def edge_qp(xp, yp, xq, yq):
+        return (int(qp_map[yp >> 3, xp >> 3]) + int(qp_map[yq >> 3, xq >> 3]) + 1) >> 1
+
+    # vertical edges: x multiple of 8, segments of 8 rows (2x4)
+    if vbs is not None:
+        for x in range(8, w, 8):
+            for y in range(0, h, 8):
+                bs = [int(vbs[(y >> 2) + j, x >> 3]) for j in range(2)
+                      if (y >> 2) + j < vbs.shape[0]]
+                if len(bs) < 2:
+                    bs = bs + [0]
+                if not any(bs):
+                    continue
+                qp = edge_qp(x - 1, y, x, y)
+                beta = int(flt.BETA_TABLE[np.clip(qp + plan.beta_offset, 0, 51)])
+                tc = [int(flt.TC_TABLE[np.clip(qp + 2 * (b - 1) + plan.tc_offset, 0, 53)])
+                      if b else 0 for b in bs]
+                rows = min(8, h - y)
+                patch = np.zeros((8, 8), np.int32)
+                patch[:rows] = luma[y:y + rows, x - 4:x + 4]
+                no_p = [0, 0] if nfm is None else \
+                    [int(nfm[(y + 4 * j) >> 2, (x - 1) >> 2]) for j in range(2)]
+                no_q = [0, 0] if nfm is None else \
+                    [int(nfm[(y + 4 * j) >> 2, x >> 2]) for j in range(2)]
+                out = flt.deblock_luma(patch, beta, tc, no_p, no_q, bd)
+                luma[y:y + rows, x - 4:x + 4] = out[:rows]
+    # horizontal edges
+    for y in range(8, h, 8):
+        for x in range(0, w, 8):
+            bs = [int(hbs[y >> 3, (x >> 2) + j]) for j in range(2)
+                  if (x >> 2) + j < hbs.shape[1]]
+            if len(bs) < 2:
+                bs = bs + [0]
+            if not any(bs):
+                continue
+            cols = min(8, w - x)
+            qp = edge_qp(x, y - 1, x, y)
+            beta = int(flt.BETA_TABLE[np.clip(qp + plan.beta_offset, 0, 51)])
+            tc = [int(flt.TC_TABLE[np.clip(qp + 2 * (b - 1) + plan.tc_offset, 0, 53)])
+                  if b else 0 for b in bs]
+            patch = np.zeros((8, 8), np.int32)
+            patch[:, :cols] = luma[y - 4:y + 4, x:x + cols]
+            no_p = [0, 0] if nfm is None else \
+                [int(nfm[(y - 1) >> 2, (x + 4 * j) >> 2]) for j in range(2)]
+            no_q = [0, 0] if nfm is None else \
+                [int(nfm[y >> 2, (x + 4 * j) >> 2]) for j in range(2)]
+            out = flt.deblock_luma(patch.T, beta, tc, no_p, no_q, bd).T
+            luma[y - 4:y + 4, x:x + cols] = out[:, :cols]
+
+    # chroma (4:2:0): edges on 16-luma grid, bs == 2 only
+    if plan.chroma_format_idc == 1:
+        for c_idx in (1, 2):
+            pl = planes[c_idx]
+            ch, cw = pl.shape
+            qp_off = plan.cb_qp_offset if c_idx == 1 else plan.cr_qp_offset
+            if vbs is not None:
+                for x in range(16, w, 16):
+                    for y in range(0, h, 16):
+                        bs = []
+                        for j in range(2):
+                            yy = (y >> 2) + 2 * j
+                            bs.append(int(vbs[yy, x >> 3]) if yy < vbs.shape[0] else 0)
+                        if not any(b == 2 for b in bs):
+                            continue
+                        xc, yc = x >> 1, y >> 1
+                        rows = min(8, ch - yc)
+                        tc = []
+                        for j, b in enumerate(bs):
+                            if b == 2:
+                                qp = _chroma_edge_qp(plan, x - 1, min(y + 4 * j * 2, h - 1),
+                                                     x, min(y + 4 * j * 2, h - 1), qp_off)
+                                tc.append(int(flt.TC_TABLE[np.clip(qp + 2 + plan.tc_offset, 0, 53)]))
+                            else:
+                                tc.append(0)
+                        patch = np.zeros((8, 4), np.int32)
+                        patch[:rows] = pl[yc:yc + rows, xc - 2:xc + 2]
+                        no_p = [0, 0] if nfm is None else \
+                            [int(nfm[min(y + 8 * j, h - 4) >> 2, (x - 1) >> 2]) for j in range(2)]
+                        no_q = [0, 0] if nfm is None else \
+                            [int(nfm[min(y + 8 * j, h - 4) >> 2, x >> 2]) for j in range(2)]
+                        out = flt.deblock_chroma(patch, tc, no_p, no_q, bd)
+                        pl[yc:yc + rows, xc - 2:xc + 2] = out[:rows]
+                for y in range(16, h, 16):
+                    for x in range(0, w, 16):
+                        bs = []
+                        for j in range(2):
+                            xx = (x >> 2) + 2 * j
+                            bs.append(int(hbs[y >> 3, xx]) if xx < hbs.shape[1] else 0)
+                        if not any(b == 2 for b in bs):
+                            continue
+                        xc, yc = x >> 1, y >> 1
+                        cols = min(8, cw - xc)
+                        tc = []
+                        for j, b in enumerate(bs):
+                            if b == 2:
+                                qp = _chroma_edge_qp(plan, min(x + 8 * j, w - 1), y - 1,
+                                                     min(x + 8 * j, w - 1), y, qp_off)
+                                tc.append(int(flt.TC_TABLE[np.clip(qp + 2 + plan.tc_offset, 0, 53)]))
+                            else:
+                                tc.append(0)
+                        seg = pl[yc - 2:yc + 2, xc:xc + cols]
+                        patch2 = np.zeros((8, 4), np.int32)
+                        patch2[:cols, :] = seg.T
+                        no_p = [0, 0] if nfm is None else \
+                            [int(nfm[(y - 1) >> 2, min(x + 8 * j, w - 4) >> 2]) for j in range(2)]
+                        no_q = [0, 0] if nfm is None else \
+                            [int(nfm[y >> 2, min(x + 8 * j, w - 4) >> 2]) for j in range(2)]
+                        out = flt.deblock_chroma(patch2, tc, no_p, no_q, bd)
+                        pl[yc - 2:yc + 2, xc:xc + cols] = out[:cols, :].T
+    return planes
+
+
+def _chroma_edge_qp(plan, xp, yp, xq, yq, qp_off):
+    qp_map = plan.qp_map
+    qp = (int(qp_map[yp >> 3, xp >> 3]) + int(qp_map[yq >> 3, xq >> 3]) + 1) >> 1
+    # chroma qp mapping (4:2:0)
+    from ..syntax.ctu import _QP_C
+    qp_i = max(0, min(57, qp + qp_off))
+    if qp_i < 30:
+        return qp_i
+    if qp_i > 43:
+        return qp_i - 6
+    return _QP_C[qp_i - 30]
+
+
+def sao_frame(plan: FramePlan, planes, ctb_size: int):
+    """Whole-frame SAO using the per-CTB parameters."""
+    if plan.sao is None or not (plan.sao_luma or plan.sao_chroma):
+        return planes
+    bd = plan.bit_depth
+    out = [p.copy() for p in planes]
+    w, h = plan.width, plan.height
+    ctbs_w = (w + ctb_size - 1) // ctb_size
+    for (rx, ry), sao in plan.sao.items():
+        for c_idx in range(3):
+            t = int(sao.sao_type[c_idx])
+            if t == 0:
+                continue
+            pl = planes[c_idx]
+            ph, pw = pl.shape
+            cs = ctb_size >> (1 if c_idx and plan.chroma_format_idc == 1 else 0)
+            x0, y0 = rx * cs, ry * cs
+            x1, y1 = min(x0 + cs, pw), min(y0 + cs, ph)
+            if t == 1:      # band
+                out[c_idx][y0:y1, x0:x1] = flt.sao_band(
+                    pl[y0:y1, x0:x1], sao.sao_offsets[c_idx][1:5],
+                    int(sao.sao_band_position[c_idx]), bd)
+            else:           # edge
+                eo = int(sao.sao_eo_class[c_idx])
+                # window with 1-px halo clamped to picture
+                ax0, ay0 = max(x0 - 1, 0), max(y0 - 1, 0)
+                ax1, ay1 = min(x1 + 1, pw), min(y1 + 1, ph)
+                win = pl[ay0:ay1, ax0:ax1]
+                pad = np.pad(win, ((1 - (y0 - ay0), 1 - (ay1 - y1)),
+                                   (1 - (x0 - ax0), 1 - (ax1 - x1))), mode="edge")
+                filt = flt.sao_edge(pad, sao.sao_offsets[c_idx], eo, bd)
+                blk = filt.copy()
+                # picture-border pixels copy (reference borders[] handling)
+                if eo != flt.SAO_EO_VERT:
+                    if x0 == 0:
+                        blk[:, 0] = pl[y0:y1, 0]
+                    if x1 == pw:
+                        blk[:, -1] = pl[y0:y1, -1]
+                if eo != flt.SAO_EO_HORIZ:
+                    if y0 == 0:
+                        blk[0, :] = pl[0, x0:x1]
+                    if y1 == ph:
+                        blk[-1, :] = pl[-1, x0:x1]
+                out[c_idx][y0:y1, x0:x1] = blk
+    # restore transquant-bypass / pcm pixels (restore_tqb_pixels)
+    if plan.no_filter_map is not None and plan.no_filter_map.any():
+        for c_idx in range(3):
+            hsc = 1 if (c_idx and plan.chroma_format_idc == 1) else 0
+            pl, o = planes[c_idx], out[c_idx]
+            ys, xs = np.nonzero(plan.no_filter_map)
+            for yy, xx in zip(ys, xs):
+                y0, x0 = (yy * 4) >> hsc, (xx * 4) >> hsc
+                n = 4 >> hsc
+                o[y0:y0 + n, x0:x0 + n] = pl[y0:y0 + n, x0:x0 + n]
+    return out

@@ -1,0 +1,322 @@
+"""Test-stream HEVC encoder.
+
+Produces spec-conformant bitstreams to test the decoder (the repo has no
+conformance vectors offline).  Quality is secondary; syntax coverage and
+bit-exactness of the reconstruction are the point.  The reconstruction path
+is the same plan executor the decoder uses, so encoder recon == decoder
+recon by construction; the reference decoder (.oracle) is the independent
+correctness oracle.
+
+Intra mode decisions use source-pixel heuristics; levels are computed lazily
+during the CABAC walk from the true (recon-based) prediction, via
+FrameState.level_provider.
+"""
+
+import random
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..bitstream import nal as nalmod
+from ..bitstream.nal import write_nal
+from ..cabac import CabacDecoder, CabacEncoder, ContextSet
+from ..decoder.plan import FramePlan
+from ..decoder import recon_np
+from ..model import transforms as tr
+from ..model import intra as ipred
+from ..ps.params import VPS, SPS, PPS, write_vps, write_sps, write_pps
+from ..decoder.slice import SliceHeader, write_slice_header, I_SLICE
+from ..syntax.ctu import (FrameState, CtbData, CQTNode, CUData, TTNode,
+                          TUData, code_ctu, MODE_INTRA, PART_2Nx2N, PART_NxN,
+                          _mpm_candidates, _sao_off, expand_qp_map)
+from ..syntax.io import CabacIO
+
+
+@dataclass
+class EncoderConfig:
+    width: int = 0
+    height: int = 0
+    qp: int = 32
+    bit_depth: int = 8
+    log2_ctb: int = 5
+    sao: bool = False
+    deblock: bool = True
+    sign_data_hiding: bool = False
+    transform_skip: bool = False
+    strong_intra_smoothing: bool = True
+    rng_seed: int = 1234
+    # probability knobs for syntax coverage
+    p_split: float = 0.4
+    p_tt_split: float = 0.3
+    p_cbf_zero: float = 0.15
+    p_nxn: float = 0.3
+
+
+class Encoder:
+    def __init__(self, cfg: EncoderConfig):
+        assert cfg.width % 8 == 0 and cfg.height % 8 == 0, \
+            "dimensions must be multiples of the min CB size"
+        self.cfg = cfg
+        self.rng = random.Random(cfg.rng_seed)
+        self.poc = 0
+
+        self.vps = VPS()
+        self.sps = SPS(width=cfg.width, height=cfg.height,
+                       bit_depth=cfg.bit_depth, bit_depth_chroma=cfg.bit_depth,
+                       log2_ctb_size=cfg.log2_ctb,
+                       log2_min_cb_size=3, log2_min_tb_size=2,
+                       log2_max_tb_size=5,
+                       max_transform_hierarchy_depth_intra=1,
+                       max_transform_hierarchy_depth_inter=1,
+                       sao_enabled=1 if cfg.sao else 0,
+                       strong_intra_smoothing_enabled=1 if cfg.strong_intra_smoothing else 0)
+        if cfg.bit_depth > 8:
+            self.sps.ptl.profile_idc = 2
+        self.pps = PPS(sign_data_hiding=1 if cfg.sign_data_hiding else 0,
+                       transform_skip_enabled=1 if cfg.transform_skip else 0,
+                       init_qp=26)
+        if not cfg.deblock:
+            self.pps.deblocking_filter_control_present = 1
+            self.pps.deblocking_filter_disabled = 1
+        self.pps.finalize(self.sps)
+
+    # ------------------------------------------------------------------ ps
+
+    def parameter_set_nals(self):
+        return [write_nal(nalmod.NAL_VPS, write_vps(self.vps)),
+                write_nal(nalmod.NAL_SPS, write_sps(self.sps)),
+                write_nal(nalmod.NAL_PPS, write_pps(self.pps, self.sps))]
+
+    # ---------------------------------------------------------------- frame
+
+    def encode_intra_frame(self, src_planes):
+        """-> (nal_bytes, recon_planes, plan). src_planes: [Y, U, V] int."""
+        cfg, sps, pps = self.cfg, self.sps, self.pps
+        sh = SliceHeader(slice_type=I_SLICE, slice_qp=cfg.qp,
+                         sao_luma=1 if cfg.sao else 0,
+                         sao_chroma=1 if cfg.sao else 0)
+        nal_type = nalmod.NAL_IDR_W_RADL
+
+        plan = FramePlan(poc=self.poc, width=sps.width, height=sps.height,
+                         bit_depth=sps.bit_depth,
+                         chroma_format_idc=sps.chroma_format_idc,
+                         strong_intra_smoothing=bool(sps.strong_intra_smoothing_enabled),
+                         sao_luma=bool(sh.sao_luma), sao_chroma=bool(sh.sao_chroma),
+                         deblock_disable=not cfg.deblock or bool(sh.deblocking_filter_disabled))
+        st = FrameState(sps, pps, sh, plan, init_type=0)
+        if not cfg.deblock:
+            sh.deblocking_filter_disabled = 1
+            plan.deblock_disable = True
+
+        self.src = [np.asarray(p, np.int32) for p in src_planes]
+        self.recon = recon_np.alloc_frame(plan)
+        self._exec_pos = 0
+        st.level_provider = self._level_provider
+        self._plan = plan
+
+        ctx = ContextSet(init_type=0, qp=sh.slice_qp)
+        enc = CabacEncoder(ctx)
+        io = CabacIO(enc=enc)
+
+        nctbs = sps.pic_size_in_ctbs
+        for ts in range(nctbs):
+            rs = int(pps.ctb_addr_ts_to_rs[ts])
+            x_ctb = (rs % sps.ctb_width) << sps.log2_ctb_size
+            y_ctb = (rs // sps.ctb_width) << sps.log2_ctb_size
+            ctb = self._plan_ctb(st, x_ctb, y_ctb)
+            code_ctu(io, st, x_ctb, y_ctb, ts, ctb)
+            io.terminate(1 if ts == nctbs - 1 else 0)
+        payload = enc.finish()
+
+        # catch up remaining recon ops
+        self._execute_pending()
+        plan.qp_map = expand_qp_map(st, sps)
+        plan.vertical_bs = st.vertical_bs
+        plan.horizontal_bs = st.horizontal_bs
+        plan.sao = st.sao_ctbs if cfg.sao else None
+        plan.no_filter_map = st.is_pcm_or_bypass
+
+        recon_np.deblock_frame(plan, self.recon)
+        self.recon = recon_np.sao_frame(plan, self.recon, sps.ctb_size)
+
+        w = write_slice_header(sh, nal_type, sps, pps)
+        rbsp = w.get_bytes() + payload
+        nal = write_nal(nal_type, rbsp)
+        self.poc += 1
+        return nal, self.recon, plan
+
+    # ------------------------------------------------------------ decisions
+
+    def _plan_ctb(self, st, x_ctb, y_ctb) -> CtbData:
+        ctb = CtbData()
+        if self.cfg.sao:
+            ctb.sao = self._pick_sao()
+        ctb.cqt = self._plan_cqt(x_ctb, y_ctb, self.sps.log2_ctb_size)
+        return ctb
+
+    def _pick_sao(self):
+        sao = _sao_off()
+        rng = self.rng
+        for c_idx in range(3):
+            if c_idx == 2:
+                # cr type/class mirror cb
+                sao.sao_type[2] = sao.sao_type[1]
+                sao.sao_eo_class[2] = sao.sao_eo_class[1]
+                t = int(sao.sao_type[2])
+            else:
+                t = rng.choice([0, 1, 2, 2])
+                sao.sao_type[c_idx] = t
+            if t == 1:
+                sao.sao_band_position[c_idx] = rng.randrange(0, 29)
+                for i in range(4):
+                    sao.sao_offsets[c_idx][i + 1] = rng.randint(-7, 7)
+            elif t == 2:
+                if c_idx != 2:
+                    sao.sao_eo_class[c_idx] = rng.randrange(0, 4)
+                sao.sao_offsets[c_idx][1] = rng.randint(0, 7)
+                sao.sao_offsets[c_idx][2] = rng.randint(0, 7)
+                sao.sao_offsets[c_idx][3] = -rng.randint(0, 7)
+                sao.sao_offsets[c_idx][4] = -rng.randint(0, 7)
+        return sao
+
+    def _plan_cqt(self, x0, y0, log2) -> CQTNode:
+        sps = self.sps
+        node = CQTNode()
+        inside = (x0 + (1 << log2) <= sps.width and
+                  y0 + (1 << log2) <= sps.height)
+        must_split = not inside
+        may_split = log2 > sps.log2_min_cb_size
+        if may_split and (must_split or self.rng.random() < self.cfg.p_split):
+            node.split = 1
+            half = 1 << (log2 - 1)
+            node.children = []
+            for (x1, y1) in ((x0, y0), (x0 + half, y0), (x0, y0 + half),
+                             (x0 + half, y0 + half)):
+                if x1 < sps.width and y1 < sps.height:
+                    node.children.append(self._plan_cqt(x1, y1, log2 - 1))
+                else:
+                    node.children.append(CQTNode())
+            return node
+        node.cu = self._plan_cu(x0, y0, log2)
+        return node
+
+    def _plan_cu(self, x0, y0, log2) -> CUData:
+        cfg, sps, rng = self.cfg, self.sps, self.rng
+        cu = CUData(pred_mode=MODE_INTRA)
+        nxn = (log2 == sps.log2_min_cb_size and rng.random() < cfg.p_nxn)
+        cu.part_mode = PART_NxN if nxn else PART_2Nx2N
+        # luma modes chosen from source-pixel heuristic + randomness
+        npus = 4 if nxn else 1
+        pb = (1 << log2) >> (1 if nxn else 0)
+        for k in range(npus):
+            cu.intra_modes[k] = self._pick_luma_mode()
+        if not nxn:
+            cu.intra_modes[1:] = [cu.intra_modes[0]] * 3
+        cu.chroma_mode = rng.choice([4, 4, 0, 1, 2, 3])
+        # derive intra_mode_c the same way the walker will
+        from ..syntax.ctu import INTRA_CHROMA_TABLE
+        if cu.chroma_mode != 4:
+            if cu.intra_modes[0] == INTRA_CHROMA_TABLE[cu.chroma_mode]:
+                cu.intra_mode_c = 34
+            else:
+                cu.intra_mode_c = INTRA_CHROMA_TABLE[cu.chroma_mode]
+        else:
+            cu.intra_mode_c = cu.intra_modes[0]
+        cu.tt = self._plan_tt(log2, 0, intra_split=nxn)
+        return cu
+
+    def _pick_luma_mode(self):
+        r = self.rng.random()
+        if r < 0.25:
+            return 0        # planar
+        if r < 0.45:
+            return 1        # dc
+        return self.rng.randrange(2, 35)
+
+    def _plan_tt(self, log2, depth, intra_split) -> TTNode:
+        cfg, sps, rng = self.cfg, self.sps, self.rng
+        node = TTNode()
+        max_depth = sps.max_transform_hierarchy_depth_intra + (1 if intra_split else 0)
+        forced_split = (log2 > sps.log2_max_tb_size or
+                        (intra_split and depth == 0))
+        may_split = (log2 <= sps.log2_max_tb_size and
+                     log2 > sps.log2_min_tb_size and depth < max_depth and
+                     not (intra_split and depth == 0))
+        split = forced_split or (may_split and rng.random() < cfg.p_tt_split)
+        # chroma cbf decisions at this node
+        if log2 > 2 or sps.chroma_format_idc == 3:
+            node.cbf_cb = [0 if rng.random() < cfg.p_cbf_zero else 1, 0]
+            node.cbf_cr = [0 if rng.random() < cfg.p_cbf_zero else 1, 0]
+        if split:
+            node.split = 1
+            node.children = [self._plan_tt(log2 - 1, depth + 1, intra_split)
+                             for _ in range(4)]
+            return node
+        node.tu = TUData()
+        node.tu.cbf_luma = 0 if rng.random() < cfg.p_cbf_zero else 1
+        # levels left None -> computed lazily via level_provider
+        return node
+
+    # ----------------------------------------------------------- lazy levels
+
+    def _execute_pending(self):
+        ops = self._plan.ops
+        while self._exec_pos < len(ops):
+            recon_np.execute_plan(
+                _SubPlan(self._plan, ops[self._exec_pos:self._exec_pos + 1]),
+                self.recon)
+            self._exec_pos += 1
+
+    def _level_provider(self, st, cu, c_idx, x, y, log2_size, scan_idx,
+                        pred_mode_intra):
+        """Quantize the true residual (source - prediction) for this TU."""
+        self._execute_pending()
+        n = 1 << log2_size
+        pred = self.recon[c_idx][y:y + n, x:x + n]
+        srcb = self.src[c_idx][y:y + n, x:x + n]
+        resid = srcb.astype(np.int32) - pred
+        bd = self.sps.bit_depth
+        use_dst = (c_idx == 0 and log2_size == 2)
+        coefs = tr.fdst4x4(resid, bd) if use_dst else tr.fdct2d(resid, bd)
+        qp = st.qp_y + self.sps.qp_bd_offset if c_idx == 0 else \
+            st.chroma_qp(st.qp_y, c_idx)
+        levels = tr.quantize(coefs, qp, log2_size, bd)
+        if not levels.any():
+            levels[0, 0] = 1
+        if self.cfg.sign_data_hiding:
+            levels = _fix_sign_hiding(levels, scan_idx, log2_size)
+        return levels, False
+
+
+class _SubPlan:
+    """View of a plan with a subset of ops (for incremental execution)."""
+    def __init__(self, plan, ops):
+        self._plan = plan
+        self.ops = ops
+
+    def __getattr__(self, k):
+        return getattr(self._plan, k)
+
+
+def _fix_sign_hiding(levels, scan_idx, log2_size):
+    """Adjust levels so hidden-sign parity holds per 4x4 CG."""
+    from ..syntax.scans import select_scans
+    coeff_scan, cg_scan, _ = select_scans(scan_idx, log2_size)
+    ncg = max(1, (1 << log2_size) >> 2)
+    for cy in range(ncg):
+        for cx in range(ncg):
+            blk = levels[cy * 4:cy * 4 + 4, cx * 4:cx * 4 + 4]
+            nzpos = [i for i, (sx, sy) in enumerate(coeff_scan) if blk[sy, sx]]
+            if not nzpos:
+                continue
+            first, last = min(nzpos), max(nzpos)
+            if last - first < 4:
+                continue
+            sx, sy = coeff_scan[first]
+            want_neg = int(np.abs(blk).sum()) & 1
+            is_neg = blk[sy, sx] < 0
+            if bool(want_neg) != bool(is_neg):
+                # bump the first coefficient's magnitude to flip parity while
+                # keeping its sign
+                blk[sy, sx] += 1 if blk[sy, sx] > 0 else -1
+    return levels
