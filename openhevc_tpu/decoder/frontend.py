@@ -18,19 +18,20 @@ from .slice import parse_slice_header, I_SLICE, P_SLICE, B_SLICE
 from .plan import FramePlan
 from ..syntax.ctu import FrameState, code_ctu, expand_qp_map
 from ..syntax.io import CabacIO
+from .refs import DPB, Frame, construct_rpl
+from . import recon_np
 
 
 class Frontend:
     """Stateful bitstream front-end; call decode_au() per access unit."""
 
-    def __init__(self):
+    def __init__(self, dpb=None):
         self.vps_list = {}
         self.sps_list = {}
         self.pps_list = {}
         self.sps = None
         self.pps = None
-        self.poc = 0
-        self.pocs_seen = []
+        self.dpb = dpb
 
     def decode_bytes(self, data: bytes):
         """Decode a whole annex-B stream -> list of FramePlan."""
@@ -97,8 +98,16 @@ class Frontend:
 
         st = FrameState(sps, pps, sh, plan, init_type=init_type)
         st.level_provider = None
-        st.sh = sh
-        st.frontend = self
+        st.cur_poc = poc
+        if sh.slice_type != I_SLICE:
+            st.rpl = construct_rpl(sh, poc)
+            st.rpl_lt = [[False] * len(st.rpl[0]), [False] * len(st.rpl[1])]
+            plan.rpl = st.rpl
+            plan.rpl_lt = st.rpl_lt
+            if sh.temporal_mvp_enabled and self.dpb is not None and \
+                    st.rpl[sh.collocated_list]:
+                st.collocated_frame = self.dpb.get(
+                    st.rpl[sh.collocated_list][sh.collocated_ref_idx])
 
         # CABAC payload starts at the next byte after the slice header
         assert r.byte_aligned()
@@ -123,6 +132,11 @@ class Frontend:
         plan.sao = st.sao_ctbs if (sh.sao_luma or sh.sao_chroma) else None
         plan.no_filter_map = st.is_pcm_or_bypass
         plan.slice_type = sh.slice_type
+        plan.mvf_mv = st.mvf_mv
+        plan.mvf_poc = st.mvf_poc
+        plan.mvf_pred = st.mvf_pred
+        plan.mvf_ref_idx = st.mvf_ref_idx
+        self.nal_type = nal.type
         return plan
 
     def _compute_poc(self, nal_type, sh, sps):
@@ -147,3 +161,48 @@ class Frontend:
                              nalmod.NAL_RASL_N)):
             self.prev_poc = poc
         return poc
+
+
+class Decoder:
+    """Full decoder: front-end + NumPy exact back-end + DPB.
+
+    This is the correctness-reference pipeline; the TPU back-end
+    (openhevc_tpu.tpu) plugs in behind the same FramePlan contract.
+    """
+
+    def __init__(self, backend=None):
+        self.dpb = DPB()
+        self.fe = Frontend(dpb=self.dpb)
+        self.backend = backend
+
+    def decode_stream(self, data: bytes):
+        """Decode an annex-B stream -> frames in output (POC) order."""
+        from ..bitstream.nal import split_annexb
+        from ..bitstream import nal as nalmod
+        out = []
+        for nal in split_annexb(data):
+            if nalmod.is_vcl(nal.type) and nalmod.is_idr(nal.type):
+                self.dpb.clear()
+            plan = self.fe.decode_nal(nal)
+            if plan is None:
+                continue
+            frame = self._reconstruct(plan)
+            out.append(frame)
+            self.dpb.add(frame)
+            if plan.slice_type != I_SLICE and self.fe.sps is not None:
+                pass
+        out.sort(key=lambda f: f.poc)
+        return out
+
+    def _reconstruct(self, plan) -> Frame:
+        if self.backend is not None:
+            planes = self.backend.decode_frame(plan, self.dpb)
+        else:
+            planes = recon_np.execute_plan(plan, dpb=self.dpb)
+            recon_np.deblock_frame(plan, planes)
+            planes = recon_np.sao_frame(plan, planes,
+                                        1 << self.fe.sps.log2_ctb_size)
+        return Frame(poc=plan.poc, planes=planes,
+                     mvf_mv=plan.mvf_mv, mvf_poc=plan.mvf_poc,
+                     mvf_pred=plan.mvf_pred, mvf_ref_idx=plan.mvf_ref_idx,
+                     rpl=plan.rpl, rpl_lt=plan.rpl_lt)

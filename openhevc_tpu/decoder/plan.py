@@ -105,3 +105,11 @@ class FramePlan:
     # transquant-bypass / pcm pixels excluded from SAO when pcm_loop_filter_disabled
     no_filter_map: Optional[np.ndarray] = None    # (h/4, w/4) bool
     cu_transquant_bypass_map: Optional[np.ndarray] = None
+    slice_type: int = 2
+    # motion field snapshot for DPB storage (TMVP of later frames)
+    mvf_mv: Optional[np.ndarray] = None
+    mvf_poc: Optional[np.ndarray] = None
+    mvf_pred: Optional[np.ndarray] = None
+    mvf_ref_idx: Optional[np.ndarray] = None
+    rpl: Optional[list] = None
+    rpl_lt: Optional[list] = None

@@ -1,0 +1,93 @@
+"""DPB and reference picture list construction.
+
+Covers the reference's hevc_refs.c responsibilities: RPS classification
+(ST_CURR_BEF/AFT, LT_CURR), per-slice RPL with list modification, and
+POC-ordered output bumping.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class Frame:
+    poc: int
+    planes: list                      # post-filter [Y, U, V] int32
+    # motion field at 4x4 granularity, for TMVP and BS of later frames
+    mvf_mv: Optional[np.ndarray] = None       # (h4, w4, 2, 2) int32
+    mvf_poc: Optional[np.ndarray] = None      # (h4, w4, 2) int32
+    mvf_pred: Optional[np.ndarray] = None     # (h4, w4) uint8 (0=intra)
+    mvf_ref_idx: Optional[np.ndarray] = None  # (h4, w4, 2) int8
+    rpl: Optional[list] = None                # [list0 pocs, list1 pocs]
+    rpl_lt: Optional[list] = None             # is-long-term flags per list
+    needed_for_output: bool = True
+    is_irap: bool = False
+
+
+class DPB:
+    def __init__(self):
+        self.frames: Dict[int, Frame] = {}
+
+    def add(self, frame: Frame):
+        self.frames[frame.poc] = frame
+
+    def get(self, poc: int) -> Frame:
+        if poc not in self.frames:
+            raise KeyError(f"reference POC {poc} missing from DPB")
+        return self.frames[poc]
+
+    def clear(self):
+        self.frames.clear()
+
+    def apply_rps(self, cur_poc: int, rps, lt_pocs=()):
+        """Drop frames not in the RPS of the current picture (keep cur)."""
+        keep = {cur_poc}
+        if rps is not None:
+            for d in rps.delta_poc:
+                keep.add(cur_poc + d)
+        keep.update(lt_pocs)
+        for poc in list(self.frames):
+            if poc not in keep:
+                del self.frames[poc]
+
+
+def rps_sets(sh, cur_poc: int):
+    """-> (st_curr_bef, st_curr_aft, st_foll) POC lists (spec 8.3.2)."""
+    rps = sh.slice_rps
+    bef, aft, foll = [], [], []
+    if rps is not None:
+        for d, u in zip(rps.delta_poc, rps.used):
+            poc = cur_poc + d
+            if d < 0:
+                (bef if u else foll).append(poc)
+            else:
+                (aft if u else foll).append(poc)
+    return bef, aft, foll
+
+
+def construct_rpl(sh, cur_poc: int):
+    """Build RefPicList POCs for both lists (spec 8.3.4 / hevc_refs.c:430)."""
+    bef, aft, _ = rps_sets(sh, cur_poc)
+    lt = list(sh.lt_poc)   # already absolute? (slice stores lsb; resolved by caller)
+    cands = {0: bef + aft + lt, 1: aft + bef + lt}
+    out = []
+    for lx in range(2):
+        n = sh.num_ref_idx[lx]
+        cand = cands[lx]
+        if not cand:
+            out.append([])
+            continue
+        init = [cand[i % len(cand)] for i in range(max(n, len(cand)))]
+        mod = sh.rpl_modification[lx]
+        if mod:
+            lst = [cand[idx] for idx in mod]
+        else:
+            lst = init[:n]
+        out.append(lst[:n])
+    return out
+
+
+def output_order(frames: List[Frame]) -> List[Frame]:
+    return sorted(frames, key=lambda f: f.poc)

@@ -135,7 +135,8 @@ def parse_slice_header(r: BitReader, nal_type: int, sps: SPS, pps: PPS) -> Slice
             sh.sao_luma = r.u1()
             sh.sao_chroma = r.u1()
         if sh.slice_type in (P_SLICE, B_SLICE):
-            sh.num_ref_idx = [pps.num_ref_idx_l0_default, pps.num_ref_idx_l1_default]
+            sh.num_ref_idx = [pps.num_ref_idx_l0_default,
+                              pps.num_ref_idx_l1_default if sh.slice_type == B_SLICE else 0]
             if r.u1():                      # num_ref_idx_active_override
                 sh.num_ref_idx[0] = r.ue() + 1
                 if sh.slice_type == B_SLICE:

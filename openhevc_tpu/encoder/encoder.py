@@ -25,10 +25,13 @@ from ..decoder import recon_np
 from ..model import transforms as tr
 from ..model import intra as ipred
 from ..ps.params import VPS, SPS, PPS, write_vps, write_sps, write_pps
-from ..decoder.slice import SliceHeader, write_slice_header, I_SLICE
+from ..decoder.slice import SliceHeader, write_slice_header, I_SLICE, P_SLICE, B_SLICE
+from ..decoder.refs import DPB, Frame, construct_rpl
+from ..ps.params import ShortTermRPS
 from ..syntax.ctu import (FrameState, CtbData, CQTNode, CUData, TTNode,
-                          TUData, code_ctu, MODE_INTRA, PART_2Nx2N, PART_NxN,
-                          _mpm_candidates, _sao_off, expand_qp_map)
+                          TUData, code_ctu, MODE_INTRA, MODE_INTER, PART_2Nx2N,
+                          PART_NxN, _mpm_candidates, _sao_off, expand_qp_map)
+from ..syntax.pu import PUData, _PART_GEOM
 from ..syntax.io import CabacIO
 
 
@@ -50,6 +53,13 @@ class EncoderConfig:
     p_tt_split: float = 0.3
     p_cbf_zero: float = 0.15
     p_nxn: float = 0.3
+    p_skip: float = 0.25
+    p_merge: float = 0.35
+    p_intra_in_inter: float = 0.1
+    p_no_residual: float = 0.2
+    mv_range: int = 32          # quarter-pel units
+    max_refs: int = 3
+    temporal_mvp: bool = False
 
 
 class Encoder:
@@ -59,6 +69,7 @@ class Encoder:
         self.cfg = cfg
         self.rng = random.Random(cfg.rng_seed)
         self.poc = 0
+        self.dpb = DPB()
 
         self.vps = VPS()
         self.sps = SPS(width=cfg.width, height=cfg.height,
@@ -69,6 +80,7 @@ class Encoder:
                        max_transform_hierarchy_depth_intra=1,
                        max_transform_hierarchy_depth_inter=1,
                        sao_enabled=1 if cfg.sao else 0,
+                       temporal_mvp_enabled=1 if cfg.temporal_mvp else 0,
                        strong_intra_smoothing_enabled=1 if cfg.strong_intra_smoothing else 0)
         if cfg.bit_depth > 8:
             self.sps.ptl.profile_idc = 2
@@ -90,12 +102,39 @@ class Encoder:
     # ---------------------------------------------------------------- frame
 
     def encode_intra_frame(self, src_planes):
+        return self.encode_frame(src_planes, "I")
+
+    def encode_frame(self, src_planes, slice_type="P"):
         """-> (nal_bytes, recon_planes, plan). src_planes: [Y, U, V] int."""
         cfg, sps, pps = self.cfg, self.sps, self.pps
-        sh = SliceHeader(slice_type=I_SLICE, slice_qp=cfg.qp,
+        if slice_type == "I" or not self.dpb.frames:
+            slice_type = "I"
+            self.poc = 0
+            self.dpb.clear()
+        stype = {"I": I_SLICE, "P": P_SLICE, "B": B_SLICE}[slice_type]
+        sh = SliceHeader(slice_type=stype, slice_qp=cfg.qp,
                          sao_luma=1 if cfg.sao else 0,
                          sao_chroma=1 if cfg.sao else 0)
-        nal_type = nalmod.NAL_IDR_W_RADL
+        if stype == I_SLICE:
+            nal_type = nalmod.NAL_IDR_W_RADL
+        else:
+            nal_type = nalmod.NAL_TRAIL_R
+            sh.pic_order_cnt_lsb = self.poc & ((1 << sps.log2_max_poc_lsb) - 1)
+            refs = sorted(self.dpb.frames, reverse=True)[:cfg.max_refs]
+            rps = ShortTermRPS()
+            for poc in refs:
+                rps.delta_poc.append(poc - self.poc)
+                rps.used.append(1)
+            rps.delta_poc.sort(reverse=True)    # closest first (all negative)
+            rps.num_negative_pics = len(rps.delta_poc)
+            sh.slice_rps = rps
+            nref = max(1, len(refs))
+            sh.num_ref_idx = [nref, nref if slice_type == "B" else 0]
+            sh.max_num_merge_cand = 5
+            if cfg.temporal_mvp:
+                sh.temporal_mvp_enabled = 1
+                sh.collocated_list = 0
+                sh.collocated_ref_idx = 0
 
         plan = FramePlan(poc=self.poc, width=sps.width, height=sps.height,
                          bit_depth=sps.bit_depth,
@@ -103,7 +142,24 @@ class Encoder:
                          strong_intra_smoothing=bool(sps.strong_intra_smoothing_enabled),
                          sao_luma=bool(sh.sao_luma), sao_chroma=bool(sh.sao_chroma),
                          deblock_disable=not cfg.deblock or bool(sh.deblocking_filter_disabled))
-        st = FrameState(sps, pps, sh, plan, init_type=0)
+        plan.poc = self.poc
+        plan.slice_type = stype
+        init_type = 0
+        if stype == P_SLICE:
+            init_type = 2 if sh.cabac_init_flag else 1
+        elif stype == B_SLICE:
+            init_type = 1 if sh.cabac_init_flag else 2
+        st = FrameState(sps, pps, sh, plan, init_type=init_type)
+        st.cur_poc = self.poc
+        if stype != I_SLICE:
+            st.rpl = construct_rpl(sh, self.poc)
+            st.rpl_lt = [[False] * len(st.rpl[0]), [False] * len(st.rpl[1])]
+            plan.rpl = st.rpl
+            plan.rpl_lt = st.rpl_lt
+            if sh.temporal_mvp_enabled and st.rpl[sh.collocated_list]:
+                st.collocated_frame = self.dpb.get(
+                    st.rpl[sh.collocated_list][sh.collocated_ref_idx])
+        self._slice_type = stype
         if not cfg.deblock:
             sh.deblocking_filter_disabled = 1
             plan.deblock_disable = True
@@ -114,7 +170,7 @@ class Encoder:
         st.level_provider = self._level_provider
         self._plan = plan
 
-        ctx = ContextSet(init_type=0, qp=sh.slice_qp)
+        ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
         enc = CabacEncoder(ctx)
         io = CabacIO(enc=enc)
 
@@ -138,6 +194,15 @@ class Encoder:
 
         recon_np.deblock_frame(plan, self.recon)
         self.recon = recon_np.sao_frame(plan, self.recon, sps.ctb_size)
+
+        # store in the encoder DPB for future reference frames
+        self.dpb.add(Frame(poc=self.poc, planes=[p.copy() for p in self.recon],
+                           mvf_mv=st.mvf_mv.copy(), mvf_poc=st.mvf_poc.copy(),
+                           mvf_pred=st.mvf_pred.copy(),
+                           mvf_ref_idx=st.mvf_ref_idx.copy(),
+                           rpl=st.rpl, rpl_lt=st.rpl_lt))
+        if sh.slice_rps is not None:
+            self.dpb.apply_rps(self.poc, sh.slice_rps)
 
         w = write_slice_header(sh, nal_type, sps, pps)
         rbsp = w.get_bytes() + payload
@@ -202,6 +267,8 @@ class Encoder:
 
     def _plan_cu(self, x0, y0, log2) -> CUData:
         cfg, sps, rng = self.cfg, self.sps, self.rng
+        if self._slice_type != I_SLICE:
+            return self._plan_inter_cu(x0, y0, log2)
         cu = CUData(pred_mode=MODE_INTRA)
         nxn = (log2 == sps.log2_min_cb_size and rng.random() < cfg.p_nxn)
         cu.part_mode = PART_NxN if nxn else PART_2Nx2N
@@ -233,12 +300,18 @@ class Encoder:
             return 1        # dc
         return self.rng.randrange(2, 35)
 
-    def _plan_tt(self, log2, depth, intra_split) -> TTNode:
+    def _plan_tt(self, log2, depth, intra_split, is_intra=True,
+                 part_mode=PART_2Nx2N) -> TTNode:
         cfg, sps, rng = self.cfg, self.sps, self.rng
         node = TTNode()
-        max_depth = sps.max_transform_hierarchy_depth_intra + (1 if intra_split else 0)
+        if is_intra:
+            max_depth = sps.max_transform_hierarchy_depth_intra + (1 if intra_split else 0)
+        else:
+            max_depth = sps.max_transform_hierarchy_depth_inter
+        inter_split = (sps.max_transform_hierarchy_depth_inter == 0 and
+                       not is_intra and part_mode != PART_2Nx2N and depth == 0)
         forced_split = (log2 > sps.log2_max_tb_size or
-                        (intra_split and depth == 0))
+                        (intra_split and depth == 0) or inter_split)
         may_split = (log2 <= sps.log2_max_tb_size and
                      log2 > sps.log2_min_tb_size and depth < max_depth and
                      not (intra_split and depth == 0))
@@ -249,13 +322,90 @@ class Encoder:
             node.cbf_cr = [0 if rng.random() < cfg.p_cbf_zero else 1, 0]
         if split:
             node.split = 1
-            node.children = [self._plan_tt(log2 - 1, depth + 1, intra_split)
+            node.children = [self._plan_tt(log2 - 1, depth + 1, intra_split,
+                                           is_intra, part_mode)
                              for _ in range(4)]
             return node
         node.tu = TUData()
         node.tu.cbf_luma = 0 if rng.random() < cfg.p_cbf_zero else 1
         # levels left None -> computed lazily via level_provider
         return node
+
+    def _plan_inter_cu(self, x0, y0, log2) -> CUData:
+        cfg, sps, rng = self.cfg, self.sps, self.rng
+        cu = CUData()
+        nrefs = len(self.sh_refs())
+        if rng.random() < cfg.p_intra_in_inter:
+            cu2 = self._plan_intra_cu_payload(x0, y0, log2)
+            return cu2
+        cu.pred_mode = MODE_INTER
+        if rng.random() < cfg.p_skip:
+            cu.skip = 1
+            cu.pred_mode = MODE_INTER
+            cu.pus = [PUData(merge_flag=1, merge_idx=rng.randrange(0, 5))]
+            cu.tt = None
+            return cu
+        # part mode: 2Nx2N / 2NxN / Nx2N (no AMP, no inter NxN)
+        cu.part_mode = rng.choice([PART_2Nx2N, PART_2Nx2N, 1, 2])
+        geom = _PART_GEOM[cu.part_mode]
+        cb = 1 << log2
+        q = cb >> 2
+        cu.pus = []
+        for (dx, dy, gw, gh) in geom:
+            w, h = gw * q, gh * q
+            pu = PUData()
+            if rng.random() < cfg.p_merge:
+                pu.merge_flag = 1
+                pu.merge_idx = rng.randrange(0, 5)
+            else:
+                pu.merge_flag = 0
+                if self._slice_type == B_SLICE:
+                    if w + h == 12:
+                        pu.inter_pred_idc = rng.choice([0, 1])
+                    else:
+                        pu.inter_pred_idc = rng.choice([0, 1, 2, 2])
+                else:
+                    pu.inter_pred_idc = 0
+                r = cfg.mv_range
+                pu.ref_idx = [rng.randrange(0, nrefs), rng.randrange(0, nrefs)]
+                pu.mvp_flag = [rng.randrange(0, 2), rng.randrange(0, 2)]
+                pu.mvd = [(rng.randint(-r, r), rng.randint(-r, r)),
+                          (rng.randint(-r, r), rng.randint(-r, r))]
+            cu.pus.append(pu)
+        if (cu.part_mode == PART_2Nx2N and cu.pus[0].merge_flag):
+            cu.rqt_root_cbf = 1
+        else:
+            cu.rqt_root_cbf = 0 if rng.random() < cfg.p_no_residual else 1
+        if cu.rqt_root_cbf:
+            cu.tt = self._plan_tt(log2, 0, intra_split=False, is_intra=False,
+                                  part_mode=cu.part_mode)
+        return cu
+
+    def sh_refs(self):
+        return sorted(self.dpb.frames, reverse=True)[:self.cfg.max_refs] or [0]
+
+    def _plan_intra_cu_payload(self, x0, y0, log2) -> CUData:
+        """Intra CU inside a P/B slice."""
+        sps, rng, cfg = self.sps, self.rng, self.cfg
+        cu = CUData(pred_mode=MODE_INTRA)
+        nxn = (log2 == sps.log2_min_cb_size and rng.random() < cfg.p_nxn)
+        cu.part_mode = PART_NxN if nxn else PART_2Nx2N
+        npus = 4 if nxn else 1
+        for k in range(npus):
+            cu.intra_modes[k] = self._pick_luma_mode()
+        if not nxn:
+            cu.intra_modes[1:] = [cu.intra_modes[0]] * 3
+        cu.chroma_mode = rng.choice([4, 4, 0, 1, 2, 3])
+        from ..syntax.ctu import INTRA_CHROMA_TABLE
+        if cu.chroma_mode != 4:
+            if cu.intra_modes[0] == INTRA_CHROMA_TABLE[cu.chroma_mode]:
+                cu.intra_mode_c = 34
+            else:
+                cu.intra_mode_c = INTRA_CHROMA_TABLE[cu.chroma_mode]
+        else:
+            cu.intra_mode_c = cu.intra_modes[0]
+        cu.tt = self._plan_tt(log2, 0, intra_split=nxn)
+        return cu
 
     # ----------------------------------------------------------- lazy levels
 
@@ -264,7 +414,7 @@ class Encoder:
         while self._exec_pos < len(ops):
             recon_np.execute_plan(
                 _SubPlan(self._plan, ops[self._exec_pos:self._exec_pos + 1]),
-                self.recon)
+                self.recon, dpb=self.dpb)
             self._exec_pos += 1
 
     def _level_provider(self, st, cu, c_idx, x, y, log2_size, scan_idx,
@@ -276,7 +426,7 @@ class Encoder:
         srcb = self.src[c_idx][y:y + n, x:x + n]
         resid = srcb.astype(np.int32) - pred
         bd = self.sps.bit_depth
-        use_dst = (c_idx == 0 and log2_size == 2)
+        use_dst = (cu.pred_mode == MODE_INTRA and c_idx == 0 and log2_size == 2)
         coefs = tr.fdst4x4(resid, bd) if use_dst else tr.fdct2d(resid, bd)
         qp = st.qp_y + self.sps.qp_bd_offset if c_idx == 0 else \
             st.chroma_qp(st.qp_y, c_idx)

@@ -147,8 +147,20 @@ class FrameState:
         self.qp_y = sh.slice_qp
         self.qp_y_pred = sh.slice_qp
         self.is_cu_qp_delta_coded = 0
-        # mv field for inter (filled by PU syntax)
-        self.mvf = None
+        # motion field at 4x4 granularity (TEST_MV_POC layout)
+        h4, w4 = h >> 2, w >> 2
+        self.mvf_mv = np.zeros((h4, w4, 2, 2), np.int32)
+        self.mvf_poc = np.zeros((h4, w4, 2), np.int32)
+        self.mvf_pred = np.zeros((h4, w4), np.uint8)     # 0 = intra
+        self.mvf_ref_idx = np.zeros((h4, w4, 2), np.int8)
+        # reference picture lists of the current slice (POCs + LT flags)
+        self.rpl = [[], []]
+        self.rpl_lt = [[], []]
+        self.cur_poc = 0
+        self.collocated_frame = None
+        self.ct_depth_cur = 0
+        self.slice_or_tiles_up_boundary = 0
+        self.slice_or_tiles_left_boundary = 0
         # per-CTB neighbor flags (decode_neighbour)
         self.ctb_left_flag = False
         self.ctb_up_flag = False
@@ -193,6 +205,8 @@ class FrameState:
             tile_left = tile_up = False
             slice_left = ctb_addr_in_slice <= 0
             slice_up = ctb_addr_in_slice < sps.ctb_width
+        self.slice_or_tiles_left_boundary = int(bool(slice_left)) + (int(bool(tile_left)) << 1)
+        self.slice_or_tiles_up_boundary = int(bool(slice_up)) + (int(bool(tile_up)) << 1)
         self.ctb_left_flag = x_ctb > 0 and ctb_addr_in_slice > 0 and not tile_left
         self.ctb_up_flag = (y_ctb > 0 and ctb_addr_in_slice >= sps.ctb_width
                             and not tile_up)
@@ -435,6 +449,7 @@ def code_quadtree(io: CabacIO, st: FrameState, x0, y0, log2_cb, depth,
         return node
     if node.cu is None:
         node.cu = CUData()
+    st.ct_depth_cur = depth
     code_cu(io, st, x0, y0, log2_cb, depth, node.cu)
     return node
 
@@ -770,24 +785,114 @@ def code_transform_tree(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
     _mark_tu_edges(st, x0, y0, 1 << log2_tt)
 
 
-def _mark_tu_edges(st: FrameState, x0, y0, size, bs=2):
-    """Record TU boundary edge strengths for deblocking.
+def _boundary_strength(st, xq4, yq4, xp4, yp4):
+    """BS between two inter 4x4 PU cells (hevc_filter.c:584, TEST_MV_POC)."""
+    cp = st.mvf_pred[yp4, xp4]
+    cq = st.mvf_pred[yq4, xq4]
+    mvp = st.mvf_mv[yp4, xp4]
+    mvq = st.mvf_mv[yq4, xq4]
+    pocp = st.mvf_poc[yp4, xp4]
+    pocq = st.mvf_poc[yq4, xq4]
 
-    Intra slices: BS = 2 on every TU/CU boundary edge (spec 8.7.2.4 — one
-    side intra). Inter BS derivation lands with the inter path."""
-    sps = st.sps
-    if x0 % 8 == 0 and x0 > 0 and st.vertical_bs is not None:
-        y4 = y0 >> 2
-        st.vertical_bs[y4:(min(y0 + size, sps.height)) >> 2, x0 >> 3] = \
-            np.maximum(st.vertical_bs[y4:(min(y0 + size, sps.height)) >> 2, x0 >> 3], bs)
-    if y0 % 8 == 0 and y0 > 0:
-        x4 = x0 >> 2
-        st.horizontal_bs[y0 >> 3, x4:(min(x0 + size, sps.width)) >> 2] = \
-            np.maximum(st.horizontal_bs[y0 >> 3, x4:(min(x0 + size, sps.width)) >> 2], bs)
+    def big(a, b):
+        return abs(int(a[0]) - int(b[0])) >= 4 or abs(int(a[1]) - int(b[1])) >= 4
+
+    if cq == 3 and cp == 3:
+        if (pocq[0] == pocp[0] and pocq[0] == pocq[1] and pocp[0] == pocp[1]):
+            if ((big(mvp[0], mvq[0]) or big(mvp[1], mvq[1])) and
+                    (big(mvp[1], mvq[0]) or big(mvp[0], mvq[1]))):
+                return 1
+            return 0
+        if pocp[0] == pocq[0] and pocp[1] == pocq[1]:
+            return 1 if (big(mvp[0], mvq[0]) or big(mvp[1], mvq[1])) else 0
+        if pocp[1] == pocq[0] and pocp[0] == pocq[1]:
+            return 1 if (big(mvp[1], mvq[0]) or big(mvp[0], mvq[1])) else 0
+        return 1
+    if cq != 3 and cp != 3:
+        a = mvq[0] if (cq & 1) else mvq[1]
+        ref_a = pocq[0] if (cq & 1) else pocq[1]
+        b = mvp[0] if (cp & 1) else mvp[1]
+        ref_b = pocp[0] if (cp & 1) else pocp[1]
+        if ref_a == ref_b:
+            return 1 if big(a, b) else 0
+        return 1
+    return 1
 
 
-def _mark_cu_edges(st: FrameState, x0, y0, size, bs=2):
-    _mark_tu_edges(st, x0, y0, size, bs)
+def compute_bs(st: FrameState, x0, y0, log2_size):
+    """ff_hevc_deblocking_boundary_strengths (hevc_filter.c:805)."""
+    sps, sh, pps = st.sps, st.sh, st.pps
+    size = 1 << log2_size
+    is_intra_cu = st.mvf_pred[y0 >> 2, x0 >> 2] == 0
+    ctb_mask = sps.ctb_size - 1
+
+    if y0 > 0 and (y0 & 7) == 0:
+        bd_ctby = y0 & ctb_mask
+        bd_slice = sh.loop_filter_across_slices or \
+            not (st.slice_or_tiles_up_boundary & 1)
+        bd_tiles = pps.loop_filter_across_tiles_enabled or \
+            not (st.slice_or_tiles_up_boundary & 2)
+        if (bd_slice and bd_tiles) or bd_ctby:
+            yp4, yq4 = (y0 - 1) >> 2, y0 >> 2
+            yp_t, yq_t = (y0 - 1) >> sps.log2_min_tb_size, y0 >> sps.log2_min_tb_size
+            for i in range(0, size, 4):
+                x4 = (x0 + i) >> 2
+                xt = (x0 + i) >> sps.log2_min_tb_size
+                if st.mvf_pred[yq4, x4] == 0 or st.mvf_pred[yp4, x4] == 0:
+                    bs = 2
+                elif st.cbf_luma[yq_t, xt] or st.cbf_luma[yp_t, xt]:
+                    bs = 1
+                else:
+                    bs = _boundary_strength(st, x4, yq4, x4, yp4)
+                st.horizontal_bs[y0 >> 3, x4] = bs
+
+    if x0 > 0 and (x0 & 7) == 0 and st.vertical_bs is not None:
+        bd_ctbx = x0 & ctb_mask
+        bd_slice = sh.loop_filter_across_slices or \
+            not (st.slice_or_tiles_left_boundary & 1)
+        bd_tiles = pps.loop_filter_across_tiles_enabled or \
+            not (st.slice_or_tiles_left_boundary & 2)
+        if (bd_slice and bd_tiles) or bd_ctbx:
+            xp4, xq4 = (x0 - 1) >> 2, x0 >> 2
+            xp_t, xq_t = (x0 - 1) >> sps.log2_min_tb_size, x0 >> sps.log2_min_tb_size
+            for i in range(0, size, 4):
+                y4 = (y0 + i) >> 2
+                yt = (y0 + i) >> sps.log2_min_tb_size
+                if st.mvf_pred[y4, xq4] == 0 or st.mvf_pred[y4, xp4] == 0:
+                    bs = 2
+                elif st.cbf_luma[yt, xq_t] or st.cbf_luma[yt, xp_t]:
+                    bs = 1
+                else:
+                    bs = _boundary_strength(st, xq4, y4, xp4, y4)
+                st.vertical_bs[y4, x0 >> 3] = bs
+
+    # interior PU boundaries (8-grid) inside a TU larger than the min PU
+    if log2_size > 2 and not is_intra_cu:
+        for i in range(0, size, 4):
+            x4 = (x0 + i) >> 2
+            yp4 = (y0 + 8 - 1) >> 2
+            for j in range(8, size, 8):
+                yq4 = (y0 + j) >> 2
+                st.horizontal_bs[(y0 + j) >> 3, x4] = \
+                    _boundary_strength(st, x4, yq4, x4, yp4)
+                yp4 = yq4
+        if st.vertical_bs is not None:
+            for j in range(0, size, 4):
+                y4 = (y0 + j) >> 2
+                xp4 = (x0 + 8 - 1) >> 2
+                for i in range(8, size, 8):
+                    xq4 = (x0 + i) >> 2
+                    st.vertical_bs[y4, (x0 + i) >> 3] = \
+                        _boundary_strength(st, xq4, y4, xp4, y4)
+                    xp4 = xq4
+
+
+def _mark_tu_edges(st: FrameState, x0, y0, size, bs=None):
+    compute_bs(st, x0, y0, size.bit_length() - 1)
+
+
+def _mark_cu_edges(st: FrameState, x0, y0, size, bs=None):
+    compute_bs(st, x0, y0, size.bit_length() - 1)
 
 
 def _intra_op(st: FrameState, x0, y0, log2, c_idx, mode, w_luma, h_luma):

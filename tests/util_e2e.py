@@ -42,18 +42,10 @@ def oracle_decode(stream: bytes, width, height, bit_depth=8, chroma=1):
 
 
 def my_decode(stream: bytes):
-    """Decode with our frontend + NumPy back-end -> list of plane triples."""
-    from openhevc_tpu.decoder.frontend import Frontend
-    from openhevc_tpu.decoder import recon_np
-    fe = Frontend()
-    out = []
-    for plan in fe.decode_bytes(stream):
-        planes = recon_np.execute_plan(plan)
-        recon_np.deblock_frame(plan, planes)
-        planes = recon_np.sao_frame(plan, planes,
-                                    1 << fe.sps.log2_ctb_size)
-        out.append(planes)
-    return out
+    """Decode with our frontend + NumPy back-end -> plane triples, POC order."""
+    from openhevc_tpu.decoder.frontend import Decoder
+    dec = Decoder()
+    return [f.planes for f in dec.decode_stream(stream)]
 
 
 def make_source(rng, w, h, bit_depth=8, smooth=True):
