@@ -196,6 +196,8 @@ class Decoder:
 
     def _reconstruct(self, plan) -> Frame:
         if self.backend is not None:
+            if getattr(self.backend, "ctb_log2", None) is None and self.fe.sps:
+                self.backend.ctb_log2 = self.fe.sps.log2_ctb_size
             planes = self.backend.decode_frame(plan, self.dpb)
         else:
             planes = recon_np.execute_plan(plan, dpb=self.dpb)

@@ -1,0 +1,153 @@
+"""TPU back-end orchestrator: executes a compiled FramePlan on device.
+
+decode_frame() = MC wave + intra/residual waves + deblock + SAO, all as
+jit-compiled batched kernels over HBM-resident frame planes.  Bit-exact with
+the NumPy scalar pipeline (recon_np), which the tests enforce.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoder.plan import FramePlan
+from .plan_compile import compile_plan, pad_batch
+from .residual import residual_batch, scatter_add_residual
+from .intra import intra_batch
+from .mc import mc_batch, mc_combine_scatter
+from . import deblock as dbk
+from .sao import sao_plane, build_sao_maps
+
+_QP_C = jnp.asarray([29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37],
+                    jnp.int32)
+
+
+def _scatter_set(plane, xs, ys, vals, valid):
+    """Write disjoint blocks (padding rows duplicate a valid block; they
+    contribute zero via the difference trick, so duplicates are safe)."""
+    n = vals.shape[1]
+    h, w = plane.shape
+    gy = ys[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = xs[:, None, None] + jnp.arange(n)[None, None, :]
+    flat_idx = (gy * w + gx).reshape(-1)
+    flat = plane.reshape(-1)
+    cur = flat[flat_idx]
+    vmask = jnp.repeat(valid, n * n)
+    delta = jnp.where(vmask, vals.reshape(-1), cur) - jnp.where(vmask, cur, cur)
+    return flat.at[flat_idx].add(delta).reshape(h, w)
+
+
+class TpuBackend:
+    def __init__(self, ctb_log2=None):
+        self.ctb_log2 = ctb_log2
+
+    def decode_frame(self, plan: FramePlan, dpb):
+        cp = compile_plan(plan)
+        bd = plan.bit_depth
+        hs = 1 if plan.chroma_format_idc in (1, 2) else 0
+        vs = 1 if plan.chroma_format_idc == 1 else 0
+        shapes = [(plan.height, plan.width),
+                  (plan.height >> vs, plan.width >> hs),
+                  (plan.height >> vs, plan.width >> hs)]
+        planes = [jnp.zeros(s, jnp.int32) for s in shapes]
+
+        # ---- wave 0: motion compensation ----
+        if cp.inter:
+            refs = [jnp.stack([jnp.asarray(dpb.get(p).planes[c], jnp.int32)
+                               for p in cp.ref_pocs]) for c in range(3)]
+            for (w, h), batch in sorted(cp.inter.items()):
+                b, valid = pad_batch(batch)
+                valid = jnp.asarray(valid)
+                for c in range(3):
+                    sh = hs if c else 0
+                    sv = vs if c else 0
+                    xs = jnp.asarray(b["xs"] >> sh)
+                    ys = jnp.asarray(b["ys"] >> sv)
+                    wc, hc = w >> sh, h >> sv
+                    val0 = mc_batch(refs[c], jnp.asarray(b["s0"]), xs, ys,
+                                    jnp.asarray(b["mvx0"]), jnp.asarray(b["mvy0"]),
+                                    wc, hc, c == 0, bd)
+                    val1 = mc_batch(refs[c], jnp.asarray(b["s1"]), xs, ys,
+                                    jnp.asarray(b["mvx1"]), jnp.asarray(b["mvy1"]),
+                                    wc, hc, c == 0, bd)
+                    planes[c] = mc_combine_scatter(planes[c], xs, ys, val0, val1,
+                                                   jnp.asarray(b["pf"]), valid,
+                                                   wc, hc, bd)
+
+        # ---- intra waves + residuals ----
+        intra_by_wave = {}
+        for (wave, c, n), batch in cp.intra.items():
+            intra_by_wave.setdefault(wave, []).append((c, n, batch))
+        resid_by_wave = {}
+        for (wave, c, n), batch in cp.residual.items():
+            resid_by_wave.setdefault(wave, []).append((c, n, batch))
+
+        for wave in range(cp.nwaves):
+            for c, n, batch in sorted(intra_by_wave.get(wave, []),
+                                      key=lambda t: (t[0], t[1])):
+                b, valid = pad_batch(batch)
+                preds = intra_batch(planes[c], jnp.asarray(b["xs"]),
+                                    jnp.asarray(b["ys"]), jnp.asarray(b["modes"]),
+                                    jnp.asarray(b["flags"]), n, min(c, 1), bd,
+                                    bool(plan.strong_intra_smoothing))
+                planes[c] = _scatter_set(planes[c], jnp.asarray(b["xs"]),
+                                         jnp.asarray(b["ys"]), preds,
+                                         jnp.asarray(valid))
+            for c, n, batch in sorted(resid_by_wave.get(wave, []),
+                                      key=lambda t: (t[0], t[1])):
+                b, valid = pad_batch(batch)
+                res = residual_batch(jnp.asarray(b["levels"]),
+                                     jnp.asarray(b["qp"]),
+                                     jnp.asarray(b["kind"]), n, bd)
+                planes[c] = scatter_add_residual(planes[c], jnp.asarray(b["xs"]),
+                                                 jnp.asarray(b["ys"]), res,
+                                                 jnp.asarray(valid), bd)
+
+        planes = self._filters(plan, planes, bd)
+        return planes
+
+    # ------------------------------------------------------------- filters
+
+    def _filters(self, plan, planes, bd):
+        if not plan.deblock_disable:
+            vbs = jnp.asarray(plan.vertical_bs.astype(np.int32))
+            hbs = jnp.asarray(plan.horizontal_bs.astype(np.int32))
+            qp_map = jnp.asarray(plan.qp_map.astype(np.int32))
+            nfm = jnp.asarray((plan.no_filter_map if plan.no_filter_map is not None
+                               else np.zeros((plan.height // 4, plan.width // 4)))
+                              .astype(np.int32))
+            planes[0] = dbk.deblock_luma_vertical(planes[0], vbs, qp_map,
+                                                  plan.beta_offset,
+                                                  plan.tc_offset, nfm, bd)
+            planes[0] = dbk.deblock_luma_horizontal(planes[0], hbs, qp_map,
+                                                    plan.beta_offset,
+                                                    plan.tc_offset, nfm, bd)
+            if plan.chroma_format_idc == 1:
+                for c in (1, 2):
+                    off = plan.cb_qp_offset if c == 1 else plan.cr_qp_offset
+                    planes[c] = dbk.deblock_chroma_vertical(
+                        planes[c], vbs, qp_map, off, plan.tc_offset, nfm,
+                        _QP_C, bd)
+                    planes[c] = dbk.deblock_chroma_horizontal(
+                        planes[c], hbs, qp_map, off, plan.tc_offset, nfm,
+                        _QP_C, bd)
+
+        if plan.sao is not None and (plan.sao_luma or plan.sao_chroma):
+            ctb = 1 << (self.ctb_log2 or 6)
+            out = []
+            for c in range(3):
+                cs = ctb >> (1 if c and plan.chroma_format_idc == 1 else 0)
+                tm, bm, em, om = build_sao_maps(plan, c, cs, planes[c].shape)
+                filt = sao_plane(planes[c], jnp.asarray(tm), jnp.asarray(bm),
+                                 jnp.asarray(em), jnp.asarray(om), bd)
+                out.append(filt)
+            # restore pcm/transquant-bypass pixels
+            if plan.no_filter_map is not None and plan.no_filter_map.any():
+                for c in range(3):
+                    sh = 1 if (c and plan.chroma_format_idc == 1) else 0
+                    rep = 4 >> sh
+                    mask = np.repeat(np.repeat(plan.no_filter_map, rep, 0),
+                                     rep, 1)[:planes[c].shape[0], :planes[c].shape[1]]
+                    out[c] = jnp.where(jnp.asarray(mask.astype(bool)),
+                                       planes[c], out[c])
+            planes = out
+        return planes

@@ -1,0 +1,149 @@
+"""Host-side plan compiler: FramePlan -> wave-scheduled tensor batches.
+
+Dependency analysis turns the sequential op list into parallel waves:
+  - wave 0: all motion compensation (reads only DPB frames)
+  - wave k: intra predictions whose reference samples were finalized in
+    waves < k (tracked on a 4x4 write-wave grid per plane)
+  - each wave's residuals execute after its predictions
+
+This is the TPU-native replacement for the reference's per-CTB sequential
+reconstruction: intra dependencies become explicit wave batches instead of
+a serial walk (SURVEY.md §7 'wavefront scheduling').
+"""
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..decoder.plan import FramePlan, IntraOp, ResidualOp, InterOp
+from .residual import KIND_DCT, KIND_DST, KIND_DC, KIND_SKIP, KIND_BYPASS
+
+
+@dataclass
+class CompiledPlan:
+    nwaves: int
+    # inter: {(w, h): dict of arrays}
+    inter: dict = field(default_factory=dict)
+    # intra: {(wave, c_idx, size): dict of arrays}
+    intra: dict = field(default_factory=dict)
+    # residual: {(wave, c_idx, size): dict of arrays}
+    residual: dict = field(default_factory=dict)
+    ref_pocs: list = field(default_factory=list)
+
+
+def compile_plan(plan: FramePlan):
+    """Schedule ops into waves and build batched host arrays."""
+    hs = 1 if plan.chroma_format_idc in (1, 2) else 0
+    vs = 1 if plan.chroma_format_idc == 1 else 0
+    shapes = [(plan.height, plan.width),
+              (plan.height >> vs, plan.width >> hs),
+              (plan.height >> vs, plan.width >> hs)]
+    # final-write wave per 4x4 cell, per plane
+    W = [np.zeros(((h + 3) // 4, (w + 3) // 4), np.int32) for h, w in shapes]
+
+    ref_pocs = []
+    inter_rows = defaultdict(list)
+    intra_rows = defaultdict(list)
+    resid_rows = defaultdict(list)
+    nwaves = 1
+
+    def poc_slot(poc):
+        if poc not in ref_pocs:
+            ref_pocs.append(poc)
+        return ref_pocs.index(poc)
+
+    for op in plan.ops:
+        if isinstance(op, InterOp):
+            pf = (1 if op.l0 else 0) + (2 if op.l1 else 0)
+            s0 = poc_slot(op.l0[0]) if op.l0 else 0
+            s1 = poc_slot(op.l1[0]) if op.l1 else 0
+            mv0 = (op.l0[1], op.l0[2]) if op.l0 else (0, 0)
+            mv1 = (op.l1[1], op.l1[2]) if op.l1 else (0, 0)
+            inter_rows[(op.w, op.h)].append(
+                (op.x, op.y, pf, s0, mv0[0], mv0[1], s1, mv1[0], mv1[1]))
+            # inter writes land in wave 0; the W grids start at 0 already
+        elif isinstance(op, IntraOp):
+            g = W[op.c_idx]
+            gh, gw = g.shape
+            n = op.size
+            x4, y4 = op.x >> 2, op.y >> 2
+            n4 = max(1, n >> 2)
+            # read region: top strip (row y-1, x-1 .. x+2n-1) and left strip
+            rmax = 0
+            if op.y > 0:
+                r0 = max(0, (op.x - 1) >> 2)
+                r1 = min(gw, ((op.x + 2 * n - 1) >> 2) + 1)
+                rmax = max(rmax, int(g[(op.y - 1) >> 2, r0:r1].max(initial=0)))
+            if op.x > 0:
+                c0 = max(0, (op.y - 1) >> 2)
+                c1 = min(gh, ((op.y + 2 * n - 1) >> 2) + 1)
+                rmax = max(rmax, int(g[c0:c1, (op.x - 1) >> 2].max(initial=0)))
+            wave = rmax + 1
+            nwaves = max(nwaves, wave + 1)
+            g[y4:y4 + n4, x4:x4 + n4] = wave
+            flags = (int(op.cand_bottom_left), int(op.cand_left),
+                     int(op.cand_up_left), int(op.cand_up),
+                     int(op.cand_up_right))
+            intra_rows[(wave, op.c_idx, n)].append(
+                (op.x, op.y, op.mode) + flags)
+        elif isinstance(op, ResidualOp):
+            g = W[op.c_idx]
+            n = 1 << op.log2_size
+            x4, y4 = op.x >> 2, op.y >> 2
+            n4 = max(1, n >> 2)
+            wave = int(g[y4:y4 + n4, x4:x4 + n4].max())
+            if op.transquant_bypass:
+                kind = KIND_BYPASS
+            elif op.transform_skip:
+                kind = KIND_SKIP
+            elif op.use_dst:
+                kind = KIND_DST
+            else:
+                kind = KIND_DCT
+            resid_rows[(wave, op.c_idx, n)].append(
+                (op.x, op.y, op.qp, kind, op.levels))
+        else:
+            raise NotImplementedError(f"op {type(op)}")
+
+    cp = CompiledPlan(nwaves=nwaves, ref_pocs=ref_pocs)
+    for (w, h), rows in inter_rows.items():
+        a = np.asarray([r for r in rows], np.int32)
+        cp.inter[(w, h)] = dict(
+            xs=a[:, 0], ys=a[:, 1], pf=a[:, 2],
+            s0=a[:, 3], mvx0=a[:, 4], mvy0=a[:, 5],
+            s1=a[:, 6], mvx1=a[:, 7], mvy1=a[:, 8])
+    for key, rows in intra_rows.items():
+        a = np.asarray(rows, np.int32)
+        cp.intra[key] = dict(xs=a[:, 0], ys=a[:, 1], modes=a[:, 2],
+                             flags=a[:, 3:8])
+    for key, rows in resid_rows.items():
+        n = key[2]
+        xs = np.asarray([r[0] for r in rows], np.int32)
+        ys = np.asarray([r[1] for r in rows], np.int32)
+        qp = np.asarray([r[2] for r in rows], np.int32)
+        kind = np.asarray([r[3] for r in rows], np.int32)
+        levels = np.stack([r[4] for r in rows]).astype(np.int32)
+        cp.residual[key] = dict(xs=xs, ys=ys, qp=qp, kind=kind, levels=levels)
+    return cp
+
+
+def pad_batch(arrs: dict, pad_to_pow2=True):
+    """Pad batch arrays to the next power of two (jit cache stability).
+
+    Returns (padded dict, valid mask).
+    """
+    n = len(next(iter(arrs.values())))
+    target = 1
+    while target < n:
+        target *= 2
+    target = max(target, 8)
+    valid = np.zeros(target, bool)
+    valid[:n] = True
+    out = {}
+    for k, v in arrs.items():
+        pad = target - n
+        if pad:
+            v = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+        out[k] = v
+    return out, valid

@@ -1,0 +1,96 @@
+"""Batched dequant + inverse transform (exact int32, jit-compiled).
+
+One kernel per transform size; a batch mixes DCT / DST / DC-only / skip /
+bypass blocks, selected per block with masks (no data-dependent control
+flow). Semantics match model/transforms.py exactly.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.transforms import dct_matrix, TDST4, LEVEL_SCALE
+
+# transform kind codes in the residual batch
+KIND_DCT = 0
+KIND_DST = 1
+KIND_DC = 2          # handled inside the DCT path (same math)
+KIND_SKIP = 3
+KIND_BYPASS = 4
+
+_T = {n: jnp.asarray(dct_matrix(n), jnp.int32) for n in (4, 8, 16, 32)}
+_TDST = jnp.asarray(TDST4, jnp.int32)
+_LEVEL_SCALE = jnp.asarray(np.asarray(LEVEL_SCALE), jnp.int32)
+
+
+def _clip16(x):
+    return jnp.clip(x, -32768, 32767)
+
+
+def _inv_stage(mat, coeffs, shift):
+    """clip16((mat^T @ coeffs + add) >> shift) over a batch (N, n, n)."""
+    add = 1 << (shift - 1)
+    acc = jnp.einsum("kn,bkm->bnm", mat, coeffs,
+                     preferred_element_type=jnp.int32)
+    return _clip16((acc + add) >> shift)
+
+
+@partial(jax.jit, static_argnames=("n", "bit_depth"))
+def residual_batch(levels, qp, kind, n, bit_depth=8):
+    """levels (N, n, n) int32, qp (N,) int32, kind (N,) int32 -> residuals.
+
+    dequant: clip16((lv * levelScale[qp%6] << (qp/6) * 16 + add) >> shift)
+    then per-kind inverse transform.
+    """
+    # dequant in pure int32: fold the x16 into the shift
+    # (lv*scale*16 + 1<<(shift-1)) >> shift == (lv*scale + 1<<(shift-5)) >> (shift-4)
+    # clamp lv so lv*scale stays < 2^30; clamped values saturate identically
+    shift = bit_depth + (n.bit_length() - 1) - 5
+    scale = (_LEVEL_SCALE[qp % 6] << (qp // 6))[:, None, None]
+    lim = (1 << 30) // scale
+    lv = jnp.clip(levels, -lim, lim)
+    deq = _clip16((lv * scale + (1 << (shift - 5))) >> (shift - 4)).astype(jnp.int32)
+
+    mat = _T[n]
+    # stage 1 on columns, stage 2 on rows (transposed application)
+    tmp = _inv_stage(mat, deq, 7)
+    dct = jnp.swapaxes(_inv_stage(mat, jnp.swapaxes(tmp, 1, 2), 20 - bit_depth), 1, 2)
+
+    out = dct
+    if n == 4:
+        tmp_d = _inv_stage(_TDST, deq, 7)
+        dst = jnp.swapaxes(_inv_stage(_TDST, jnp.swapaxes(tmp_d, 1, 2),
+                                      20 - bit_depth), 1, 2)
+        out = jnp.where((kind == KIND_DST)[:, None, None], dst, out)
+
+    # transform skip
+    ts_shift = 15 - bit_depth - (n.bit_length() - 1)
+    if ts_shift > 0:
+        skip = (deq + (1 << (ts_shift - 1))) >> ts_shift
+    else:
+        skip = deq << -ts_shift
+    out = jnp.where((kind == KIND_SKIP)[:, None, None], skip, out)
+    # transquant bypass: raw levels
+    out = jnp.where((kind == KIND_BYPASS)[:, None, None], levels, out)
+    return out
+
+
+def scatter_add_residual(plane, xs, ys, res, valid, bit_depth=8):
+    """plane (H, W) int32; res (N, n, n); adds clip16(res) then clip_pixel.
+
+    Blocks are disjoint, so a scatter-add over flat indices is exact.
+    """
+    n = res.shape[1]
+    maxv = (1 << bit_depth) - 1
+    h, w = plane.shape
+    gy = ys[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = xs[:, None, None] + jnp.arange(n)[None, None, :]
+    flat_idx = (gy * w + gx).reshape(-1)
+    # invalid (padding) blocks contribute zero; duplicates then sum safely
+    vals = jnp.where(valid[:, None, None], _clip16(res), 0).reshape(-1)
+    out = plane.reshape(-1).at[flat_idx].add(vals).reshape(h, w)
+    # valid blocks are disjoint -> exactly one add per pixel; clipping the
+    # whole plane is a no-op for untouched (already in-range) pixels
+    return jnp.clip(out, 0, maxv)

@@ -1,0 +1,87 @@
+"""Whole-frame SAO on TPU (exact int32, jit-compiled).
+
+Per-CTB parameters are broadcast to per-pixel maps on the host; the kernel
+then applies band/edge offsets in one vectorized pass per plane.
+Picture-border pixels copy through (reference sao_edge_filter_0 borders[]).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EDGE_IDX = jnp.asarray([1, 2, 0, 3, 4], jnp.int32)
+# eo class -> (dx0, dy0) (the second neighbor is the negation)
+_EO_D = ((-1, 0), (0, -1), (-1, -1), (1, -1))
+
+
+@partial(jax.jit, static_argnames=("bit_depth",))
+def sao_plane(src, type_map, band_pos_map, eo_map, offset_map, bit_depth=8):
+    """src (H, W) int32.
+
+    type_map (H, W) int32: 0 off / 1 band / 2 edge (per pixel, from CTB grid)
+    band_pos_map (H, W), eo_map (H, W), offset_map (H, W, 5): SaoOffsetVal.
+    """
+    h, w = src.shape
+    maxv = (1 << bit_depth) - 1
+    shift = bit_depth - 5
+
+    # band: offset index = (src >> shift) - band_pos mod 32, in [0, 4) else 0
+    band_idx = ((src >> shift) - band_pos_map) & 31
+    band_off = jnp.where(band_idx < 4,
+                         jnp.take_along_axis(
+                             offset_map, jnp.clip(band_idx + 1, 1, 4)[..., None],
+                             axis=2)[..., 0],
+                         0)
+    band_out = jnp.clip(src + band_off, 0, maxv)
+
+    # edge: compare with the two neighbors per class
+    pad = jnp.pad(src, 1, mode="edge")
+
+    def neigh(dx, dy):
+        return jax.lax.dynamic_slice(pad, (1 + dy, 1 + dx), (h, w))
+
+    edge_out = src
+    border_x = (jnp.arange(w) == 0) | (jnp.arange(w) == w - 1)
+    border_y = (jnp.arange(h) == 0) | (jnp.arange(h) == h - 1)
+    for cls, (dx, dy) in enumerate(_EO_D):
+        n0 = neigh(dx, dy)
+        n1 = neigh(-dx, -dy)
+        diff0 = jnp.sign(src - n0)
+        diff1 = jnp.sign(src - n1)
+        idx = _EDGE_IDX[diff0 + diff1 + 2]
+        off = jnp.take_along_axis(offset_map, idx[..., None], axis=2)[..., 0]
+        filt = jnp.clip(src + off, 0, maxv)
+        # picture borders copy (spec: offset 0 outside; reference borders[])
+        if cls != 1:        # not vertical: left/right borders copy
+            filt = jnp.where(border_x[None, :], src, filt)
+        if cls != 0:        # not horizontal: top/bottom borders copy
+            filt = jnp.where(border_y[:, None], src, filt)
+        edge_out = jnp.where(eo_map == cls, filt, edge_out)
+
+    out = jnp.where(type_map == 1, band_out,
+                    jnp.where(type_map == 2, edge_out, src))
+    return out
+
+
+def build_sao_maps(plan, c_idx, ctb_size, plane_shape):
+    """Host-side: per-CTB params -> per-pixel maps (NumPy)."""
+    h, w = plane_shape
+    cs = ctb_size
+    type_map = np.zeros((h, w), np.int32)
+    band_map = np.zeros((h, w), np.int32)
+    eo_map = np.zeros((h, w), np.int32)
+    off_map = np.zeros((h, w, 5), np.int32)
+    if plan.sao is None:
+        return type_map, band_map, eo_map, off_map
+    for (rx, ry), sao in plan.sao.items():
+        x0, y0 = rx * cs, ry * cs
+        if x0 >= w or y0 >= h:
+            continue
+        x1, y1 = min(x0 + cs, w), min(y0 + cs, h)
+        type_map[y0:y1, x0:x1] = int(sao.sao_type[c_idx])
+        band_map[y0:y1, x0:x1] = int(sao.sao_band_position[c_idx])
+        eo_map[y0:y1, x0:x1] = int(sao.sao_eo_class[c_idx])
+        off_map[y0:y1, x0:x1, :] = np.asarray(sao.sao_offsets[c_idx], np.int32)
+    return type_map, band_map, eo_map, off_map

@@ -7,3 +7,8 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# persistent jit cache makes repeated test runs fast (compile once)
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/openhevc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
