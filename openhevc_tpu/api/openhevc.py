@@ -1,0 +1,307 @@
+"""libOpenHevc-compatible public API.
+
+Mirrors the reference wrapper surface (gpac/modules/openhevc_dec/
+openHevcWrapper.h:79-98) so players built against openHEVC map 1:1:
+
+  libOpenHevcInit / StartDecoder / Decode / GetPictureInfo / GetOutput(Cpy) /
+  SetCheckMD5 / SetTemporalLayer_id / SetActiveDecoders / SetViewLayers /
+  Flush / Close / Version
+
+The object-style OpenHevcDecoder is the idiomatic Python surface; the
+module-level libOpenHevc* functions provide the exact legacy call shape
+(handle-based).  A C ABI shim over these lands with the native front-end.
+"""
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .. import __version__
+from ..bitstream import nal as nalmod
+from ..bitstream.nal import split_annexb
+from ..decoder.frontend import Frontend
+from ..decoder.refs import DPB, Frame
+from ..decoder import recon_np
+
+YUV420 = 0
+YUV422 = 1
+YUV444 = 2
+
+
+@dataclass
+class FrameInfo:
+    nYPitch: int = 0
+    nUPitch: int = 0
+    nVPitch: int = 0
+    nBitDepth: int = 8
+    nWidth: int = 0
+    nHeight: int = 0
+    chromat_format: int = YUV420
+    sample_aspect_ratio: tuple = (0, 1)
+    frameRate: tuple = (0, 1)
+    display_picture_number: int = 0
+    flag: int = 0
+    nTimeStamp: int = 0
+
+
+@dataclass
+class OutputFrame:
+    pvY: np.ndarray = None
+    pvU: np.ndarray = None
+    pvV: np.ndarray = None
+    frameInfo: FrameInfo = field(default_factory=FrameInfo)
+
+
+class OpenHevcDecoder:
+    """Single-layer HEVC decoder with the reference wrapper's lifecycle."""
+
+    def __init__(self, nb_threads: int = 1, thread_type: int = 1,
+                 backend: str = "auto"):
+        self.nb_threads = nb_threads
+        self.thread_type = thread_type
+        self._backend_kind = backend
+        self._backend = None
+        self._started = False
+        self._check_md5 = False
+        self._temporal_layer_id = 7
+        self._output_queue: List[Frame] = []
+        self._out_idx = 0
+        self._current: Optional[Frame] = None
+        self._reorder: List[Frame] = []
+        self.dpb = DPB()
+        self.fe = Frontend(dpb=self.dpb)
+        self.md5_log: List[tuple] = []
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self):
+        if self._backend_kind == "tpu" or self._backend_kind == "auto":
+            try:
+                from ..tpu import TpuBackend
+                self._backend = TpuBackend()
+            except Exception:
+                if self._backend_kind == "tpu":
+                    raise
+                self._backend = None
+        self._started = True
+
+    def copy_extradata(self, extradata: bytes):
+        """hvcC or annex-B parameter sets (libOpenHevcCopyExtraData)."""
+        if extradata[:1] in (b"\x01",):
+            for nal_bytes in _parse_hvcc(extradata):
+                for nal in split_annexb(b"\x00\x00\x01" + nal_bytes):
+                    self.fe.decode_nal(nal)
+        else:
+            for nal in split_annexb(extradata):
+                self.fe.decode_nal(nal)
+
+    def decode(self, data: bytes, pts: int = 0) -> int:
+        """Decode one AU (annex-B). Returns got_picture (reference
+        libOpenHevcDecode semantics; len 0 flushes)."""
+        assert self._started, "call start() first"
+        if not data:
+            return self._flush_one()
+        got = 0
+        for nal in split_annexb(data):
+            if nalmod.is_vcl(nal.type):
+                if nal.temporal_id > self._temporal_layer_id:
+                    continue
+                if nalmod.is_idr(nal.type):
+                    self._drain_reorder()
+                    self.dpb.clear()
+            plan = self.fe.decode_nal(nal)
+            if plan is None:
+                continue
+            frame = self._reconstruct(plan)
+            self.dpb.add(frame)
+            self._reorder.append(frame)
+            got = 1
+        if got:
+            self._bump()
+        if self._output_queue[self._out_idx:]:
+            self._current = self._output_queue[self._out_idx]
+            self._out_idx += 1
+            if self._check_md5:
+                self._verify_md5(self._current)
+            return 1
+        return 0
+
+    def _reconstruct(self, plan) -> Frame:
+        if self._backend is not None:
+            if getattr(self._backend, "ctb_log2", None) is None:
+                self._backend.ctb_log2 = self.fe.sps.log2_ctb_size
+            planes = self._backend.decode_frame(plan, self.dpb)
+            planes = [np.asarray(p) for p in planes]
+        else:
+            planes = recon_np.execute_plan(plan, dpb=self.dpb)
+            recon_np.deblock_frame(plan, planes)
+            planes = recon_np.sao_frame(plan, planes,
+                                        1 << self.fe.sps.log2_ctb_size)
+        return Frame(poc=plan.poc, planes=planes,
+                     mvf_mv=plan.mvf_mv, mvf_poc=plan.mvf_poc,
+                     mvf_pred=plan.mvf_pred, mvf_ref_idx=plan.mvf_ref_idx,
+                     rpl=plan.rpl, rpl_lt=plan.rpl_lt)
+
+    def _bump(self):
+        """Output reorder: emit frames once the reorder buffer exceeds the
+        SPS reorder depth (reference ff_hevc_output_frame, hevc_refs.c:182)."""
+        sps = self.fe.sps
+        max_reorder = sps.num_reorder_pics[-1] if sps else 0
+        self._reorder.sort(key=lambda f: f.poc)
+        while len(self._reorder) > max_reorder:
+            self._output_queue.append(self._reorder.pop(0))
+
+    def _drain_reorder(self):
+        self._reorder.sort(key=lambda f: f.poc)
+        self._output_queue.extend(self._reorder)
+        self._reorder = []
+
+    def _flush_one(self) -> int:
+        self._drain_reorder()
+        if self._output_queue[self._out_idx:]:
+            self._current = self._output_queue[self._out_idx]
+            self._out_idx += 1
+            return 1
+        return 0
+
+    # -- output ------------------------------------------------------------
+
+    def get_picture_info(self) -> FrameInfo:
+        sps = self.fe.sps
+        f = FrameInfo()
+        if sps is None or self._current is None:
+            return f
+        # conformance-window cropping
+        l, r, t, b = sps.conf_win
+        sub_w = 2 if sps.chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if sps.chroma_format_idc == 1 else 1
+        f.nWidth = sps.width - (l + r) * sub_w
+        f.nHeight = sps.height - (t + b) * sub_h
+        f.nBitDepth = sps.bit_depth
+        f.chromat_format = {1: YUV420, 2: YUV422, 3: YUV444}[sps.chroma_format_idc]
+        f.nYPitch = f.nWidth
+        f.nUPitch = f.nWidth // (2 if sps.chroma_format_idc in (1, 2) else 1)
+        f.nVPitch = f.nUPitch
+        f.display_picture_number = self._current.poc
+        return f
+
+    def get_output(self, copy: bool = False) -> Optional[OutputFrame]:
+        if self._current is None:
+            return None
+        sps = self.fe.sps
+        info = self.get_picture_info()
+        l, r, t, b = sps.conf_win
+        sub = 2 if sps.chroma_format_idc == 1 else 1
+        y, u, v = self._current.planes
+        y = np.asarray(y)[t * sub:(sps.height - b * sub) or None,
+                          l * sub:(sps.width - r * sub) or None]
+        u = np.asarray(u)[t:(u.shape[0] - b) or None, l:(u.shape[1] - r) or None]
+        v = np.asarray(v)[t:(v.shape[0] - b) or None, l:(v.shape[1] - r) or None]
+        dt = np.uint16 if sps.bit_depth > 8 else np.uint8
+        out = OutputFrame(pvY=y.astype(dt), pvU=u.astype(dt), pvV=v.astype(dt),
+                          frameInfo=info)
+        return out
+
+    # -- knobs --------------------------------------------------------------
+
+    def set_check_md5(self, val: bool):
+        self._check_md5 = bool(val)
+
+    def set_temporal_layer_id(self, tid: int):
+        self._temporal_layer_id = tid
+
+    def flush(self):
+        self._drain_reorder()
+        self.dpb.clear()
+
+    def close(self):
+        self.dpb.clear()
+        self._output_queue = []
+
+    def _verify_md5(self, frame):
+        for i, p in enumerate(frame.planes):
+            dt = np.uint16 if self.fe.sps.bit_depth > 8 else np.uint8
+            h = hashlib.md5(np.asarray(p).astype(dt).tobytes()).hexdigest()
+            self.md5_log.append((frame.poc, i, h))
+
+
+def _parse_hvcc(data: bytes):
+    """Minimal hvcC (ISO 14496-15) parameter-set extraction."""
+    pos = 22
+    num_arrays = data[pos]
+    pos += 1
+    out = []
+    for _ in range(num_arrays):
+        pos += 1                      # array_completeness/NAL type
+        n = int.from_bytes(data[pos:pos + 2], "big")
+        pos += 2
+        for _ in range(n):
+            ln = int.from_bytes(data[pos:pos + 2], "big")
+            pos += 2
+            out.append(data[pos:pos + ln])
+            pos += ln
+    return out
+
+
+# ---------------------------------------------------------------------------
+# legacy handle-based surface (openHevcWrapper.h parity)
+# ---------------------------------------------------------------------------
+
+def libOpenHevcInit(nb_pthreads: int, thread_type: int) -> OpenHevcDecoder:
+    return OpenHevcDecoder(nb_pthreads, thread_type)
+
+
+def libOpenHevcStartDecoder(handle: OpenHevcDecoder) -> int:
+    handle.start()
+    return 1
+
+
+def libOpenHevcDecode(handle, buf: bytes, nal_len: int = None, pts: int = 0) -> int:
+    data = buf[:nal_len] if (buf is not None and nal_len is not None) else (buf or b"")
+    return handle.decode(data, pts)
+
+
+def libOpenHevcGetPictureInfo(handle) -> FrameInfo:
+    return handle.get_picture_info()
+
+
+def libOpenHevcGetOutput(handle, got_picture: int = 1) -> Optional[OutputFrame]:
+    return handle.get_output(copy=False)
+
+
+def libOpenHevcGetOutputCpy(handle, got_picture: int = 1) -> Optional[OutputFrame]:
+    return handle.get_output(copy=True)
+
+
+def libOpenHevcSetCheckMD5(handle, val: int):
+    handle.set_check_md5(val)
+
+
+def libOpenHevcSetDebugMode(handle, val: int):
+    pass
+
+
+def libOpenHevcSetTemporalLayer_id(handle, val: int):
+    handle.set_temporal_layer_id(val)
+
+
+def libOpenHevcSetActiveDecoders(handle, val: int):
+    pass        # layered (SHVC) decode arrives with the SHVC milestone
+
+
+def libOpenHevcSetViewLayers(handle, val: int):
+    pass
+
+
+def libOpenHevcFlush(handle):
+    handle.flush()
+
+
+def libOpenHevcClose(handle):
+    handle.close()
+
+
+def libOpenHevcVersion(handle=None) -> str:
+    return f"openhevc_tpu {__version__}"

@@ -1,0 +1,1 @@
+from .mesh import make_mesh, sharded_recon_step, dryrun_step

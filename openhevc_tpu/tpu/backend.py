@@ -109,27 +109,45 @@ class TpuBackend:
 
     def _filters(self, plan, planes, bd):
         if not plan.deblock_disable:
-            vbs = jnp.asarray(plan.vertical_bs.astype(np.int32))
-            hbs = jnp.asarray(plan.horizontal_bs.astype(np.int32))
-            qp_map = jnp.asarray(plan.qp_map.astype(np.int32))
-            nfm = jnp.asarray((plan.no_filter_map if plan.no_filter_map is not None
-                               else np.zeros((plan.height // 4, plan.width // 4)))
+            # pad to luma multiples of 16 (chroma 8) so the edge-window
+            # reshapes are exact; padded regions carry BS 0 (no-ops)
+            ph = -plan.height % 16
+            pw = -plan.width % 16
+
+            def padmap(m, dy, dx):
+                return np.pad(m, ((0, dy), (0, dx)))
+
+            vbs = jnp.asarray(padmap(plan.vertical_bs, ph // 4, pw // 8)
                               .astype(np.int32))
-            planes[0] = dbk.deblock_luma_vertical(planes[0], vbs, qp_map,
-                                                  plan.beta_offset,
-                                                  plan.tc_offset, nfm, bd)
-            planes[0] = dbk.deblock_luma_horizontal(planes[0], hbs, qp_map,
-                                                    plan.beta_offset,
-                                                    plan.tc_offset, nfm, bd)
+            hbs = jnp.asarray(padmap(plan.horizontal_bs, ph // 8, pw // 4)
+                              .astype(np.int32))
+            qp_map = jnp.asarray(padmap(plan.qp_map, ph // 8, pw // 8)
+                                 .astype(np.int32))
+            nfm0 = (plan.no_filter_map if plan.no_filter_map is not None
+                    else np.zeros((plan.height // 4, plan.width // 4), np.int32))
+            nfm = jnp.asarray(padmap(nfm0, ph // 4, pw // 4).astype(np.int32))
+
+            def pad_pl(p, dy, dx):
+                return jnp.pad(p, ((0, dy), (0, dx))) if (dy or dx) else p
+
+            luma = pad_pl(planes[0], ph, pw)
+            luma = dbk.deblock_luma_vertical(luma, vbs, qp_map,
+                                             plan.beta_offset,
+                                             plan.tc_offset, nfm, bd)
+            luma = dbk.deblock_luma_horizontal(luma, hbs, qp_map,
+                                               plan.beta_offset,
+                                               plan.tc_offset, nfm, bd)
+            planes[0] = luma[:plan.height, :plan.width]
             if plan.chroma_format_idc == 1:
                 for c in (1, 2):
                     off = plan.cb_qp_offset if c == 1 else plan.cr_qp_offset
-                    planes[c] = dbk.deblock_chroma_vertical(
-                        planes[c], vbs, qp_map, off, plan.tc_offset, nfm,
-                        _QP_C, bd)
-                    planes[c] = dbk.deblock_chroma_horizontal(
-                        planes[c], hbs, qp_map, off, plan.tc_offset, nfm,
-                        _QP_C, bd)
+                    ch, cw = planes[c].shape
+                    pl = pad_pl(planes[c], ph // 2, pw // 2)
+                    pl = dbk.deblock_chroma_vertical(
+                        pl, vbs, qp_map, off, plan.tc_offset, nfm, _QP_C, bd)
+                    pl = dbk.deblock_chroma_horizontal(
+                        pl, hbs, qp_map, off, plan.tc_offset, nfm, _QP_C, bd)
+                    planes[c] = pl[:ch, :cw]
 
         if plan.sao is not None and (plan.sao_luma or plan.sao_chroma):
             ctb = 1 << (self.ctb_log2 or 6)
