@@ -426,8 +426,16 @@ class Encoder:
         srcb = self.src[c_idx][y:y + n, x:x + n]
         resid = srcb.astype(np.int32) - pred
         bd = self.sps.bit_depth
-        use_dst = (cu.pred_mode == MODE_INTRA and c_idx == 0 and log2_size == 2)
-        coefs = tr.fdst4x4(resid, bd) if use_dst else tr.fdct2d(resid, bd)
+        tskip = (self.cfg.transform_skip and log2_size == 2 and
+                 self.rng.random() < 0.5)
+        if tskip:
+            ts_shift = 15 - bd - log2_size
+            coefs = (resid << ts_shift) if ts_shift >= 0 else \
+                (resid >> -ts_shift)
+        else:
+            use_dst = (cu.pred_mode == MODE_INTRA and c_idx == 0 and
+                       log2_size == 2)
+            coefs = tr.fdst4x4(resid, bd) if use_dst else tr.fdct2d(resid, bd)
         qp = st.qp_y + self.sps.qp_bd_offset if c_idx == 0 else \
             st.chroma_qp(st.qp_y, c_idx)
         levels = tr.quantize(coefs, qp, log2_size, bd)
@@ -435,7 +443,7 @@ class Encoder:
             levels[0, 0] = 1
         if self.cfg.sign_data_hiding:
             levels = _fix_sign_hiding(levels, scan_idx, log2_size)
-        return levels, False
+        return levels, tskip
 
 
 class _SubPlan:

@@ -11,6 +11,7 @@ import numpy as np
 
 from ..decoder.plan import FramePlan
 from .plan_compile import compile_plan, pad_batch
+from .wavefront import schedule_slots, run_slots
 from .residual import residual_batch, scatter_add_residual
 from .intra import intra_batch
 from .mc import mc_batch, mc_combine_scatter
@@ -73,34 +74,13 @@ class TpuBackend:
                                                    jnp.asarray(b["pf"]), valid,
                                                    wc, hc, bd)
 
-        # ---- intra waves + residuals ----
-        intra_by_wave = {}
-        for (wave, c, n), batch in cp.intra.items():
-            intra_by_wave.setdefault(wave, []).append((c, n, batch))
-        resid_by_wave = {}
-        for (wave, c, n), batch in cp.residual.items():
-            resid_by_wave.setdefault(wave, []).append((c, n, batch))
-
-        for wave in range(cp.nwaves):
-            for c, n, batch in sorted(intra_by_wave.get(wave, []),
-                                      key=lambda t: (t[0], t[1])):
-                b, valid = pad_batch(batch)
-                preds = intra_batch(planes[c], jnp.asarray(b["xs"]),
-                                    jnp.asarray(b["ys"]), jnp.asarray(b["modes"]),
-                                    jnp.asarray(b["flags"]), n, min(c, 1), bd,
-                                    bool(plan.strong_intra_smoothing))
-                planes[c] = _scatter_set(planes[c], jnp.asarray(b["xs"]),
-                                         jnp.asarray(b["ys"]), preds,
-                                         jnp.asarray(valid))
-            for c, n, batch in sorted(resid_by_wave.get(wave, []),
-                                      key=lambda t: (t[0], t[1])):
-                b, valid = pad_batch(batch)
-                res = residual_batch(jnp.asarray(b["levels"]),
-                                     jnp.asarray(b["qp"]),
-                                     jnp.asarray(b["kind"]), n, bd)
-                planes[c] = scatter_add_residual(planes[c], jnp.asarray(b["xs"]),
-                                                 jnp.asarray(b["ys"]), res,
-                                                 jnp.asarray(valid), bd)
+        # ---- intra + residual slots: one fused scan ----
+        T, caps, data = schedule_slots(plan)
+        if data:
+            keys = tuple(sorted(data.keys()))
+            jdata = jax.tree_util.tree_map(jnp.asarray, data)
+            planes = list(run_slots(tuple(planes), jdata, keys, bd,
+                                    bool(plan.strong_intra_smoothing)))
 
         planes = self._filters(plan, planes, bd)
         return planes

@@ -1,0 +1,50 @@
+"""Main-10 (10-bit) and transform-skip end-to-end tests vs reference."""
+
+import numpy as np
+import pytest
+
+from openhevc_tpu.encoder import Encoder, EncoderConfig
+from tests.util_e2e import (oracle_decode, my_decode, make_source,
+                            assert_frames_equal)
+
+
+def _run(cfg, pattern="I", seed=0):
+    rng = np.random.default_rng(seed)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    base = make_source(rng, cfg.width, cfg.height, cfg.bit_depth)
+    recons = []
+    for i, st in enumerate(pattern):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, recon, _ = enc.encode_frame(src, st)
+        stream += nal
+        recons.append([np.asarray(p).copy() for p in recon])
+    mine = my_decode(stream)
+    assert_frames_equal(mine, recons, "self")
+    oracle = oracle_decode(stream, cfg.width, cfg.height, cfg.bit_depth)
+    assert_frames_equal(mine, oracle, "oracle")
+
+
+def test_main10_intra():
+    _run(EncoderConfig(width=64, height=64, qp=30, bit_depth=10, rng_seed=51),
+         "I", seed=1)
+
+
+def test_main10_inter():
+    _run(EncoderConfig(width=96, height=64, qp=27, bit_depth=10, rng_seed=52),
+         "IPP", seed=2)
+
+
+def test_main10_sao_qp_extremes():
+    _run(EncoderConfig(width=64, height=64, qp=45, bit_depth=10, sao=True,
+                       rng_seed=53), "IP", seed=3)
+
+
+def test_transform_skip():
+    _run(EncoderConfig(width=64, height=64, qp=30, transform_skip=True,
+                       rng_seed=54), "IP", seed=4)
+
+
+def test_transform_skip_main10():
+    _run(EncoderConfig(width=64, height=64, qp=33, bit_depth=10,
+                       transform_skip=True, rng_seed=55), "I", seed=5)
