@@ -32,6 +32,7 @@ class Frontend:
         self.sps = None
         self.pps = None
         self.dpb = dpb
+        self.sei_picture_hash = None
 
     def decode_bytes(self, data: bytes):
         """Decode a whole annex-B stream -> list of FramePlan."""
@@ -53,8 +54,15 @@ class Frontend:
         elif t == nalmod.NAL_PPS:
             p = parse_pps(nal.rbsp)
             self.pps_list[p.pps_id] = p
-        elif t in (nalmod.NAL_SEI_PREFIX, nalmod.NAL_SEI_SUFFIX,
-                   nalmod.NAL_AUD, nalmod.NAL_EOS_NUT, nalmod.NAL_EOB_NUT,
+        elif t in (nalmod.NAL_SEI_PREFIX, nalmod.NAL_SEI_SUFFIX):
+            from .sei import parse_sei
+            try:
+                for kind, payload in parse_sei(nal.rbsp, t):
+                    if kind == "picture_hash":
+                        self.sei_picture_hash = payload
+            except Exception:
+                pass        # non-hash SEIs are display metadata; ignore
+        elif t in (nalmod.NAL_AUD, nalmod.NAL_EOS_NUT, nalmod.NAL_EOB_NUT,
                    nalmod.NAL_FD_NUT):
             pass
         elif nalmod.is_vcl(t):
@@ -170,29 +178,48 @@ class Decoder:
     (openhevc_tpu.tpu) plugs in behind the same FramePlan contract.
     """
 
-    def __init__(self, backend=None):
+    def __init__(self, backend=None, check_md5=True):
         self.dpb = DPB()
         self.fe = Frontend(dpb=self.dpb)
         self.backend = backend
+        self.check_md5 = check_md5
+        self.md5_ok = 0
+        self.md5_fail = 0
 
     def decode_stream(self, data: bytes):
         """Decode an annex-B stream -> frames in output (POC) order."""
         from ..bitstream.nal import split_annexb
         from ..bitstream import nal as nalmod
         out = []
+        last = None
         for nal in split_annexb(data):
             if nalmod.is_vcl(nal.type) and nalmod.is_idr(nal.type):
                 self.dpb.clear()
             plan = self.fe.decode_nal(nal)
-            if plan is None:
-                continue
-            frame = self._reconstruct(plan)
-            out.append(frame)
-            self.dpb.add(frame)
-            if plan.slice_type != I_SLICE and self.fe.sps is not None:
-                pass
+            if plan is not None:
+                frame = self._reconstruct(plan)
+                out.append(frame)
+                self.dpb.add(frame)
+                last = frame
+            if self.fe.sei_picture_hash is not None and last is not None:
+                if self.check_md5:
+                    self._verify_md5(last, self.fe.sei_picture_hash)
+                self.fe.sei_picture_hash = None
         out.sort(key=lambda f: f.poc)
         return out
+
+    def _verify_md5(self, frame, expected):
+        from .sei import plane_md5
+        bd = self.fe.sps.bit_depth
+        for c in range(3):
+            got = plane_md5(np.asarray(frame.planes[c]), bd)
+            if got == expected[c]:
+                self.md5_ok += 1
+            else:
+                self.md5_fail += 1
+                raise AssertionError(
+                    f"MD5 mismatch poc {frame.poc} plane {c}: "
+                    f"{got.hex()} != {expected[c].hex()}")
 
     def _reconstruct(self, plan) -> Frame:
         if self.backend is not None:

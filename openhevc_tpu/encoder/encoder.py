@@ -207,8 +207,13 @@ class Encoder:
         w = write_slice_header(sh, nal_type, sps, pps)
         rbsp = w.get_bytes() + payload
         nal = write_nal(nal_type, rbsp)
+        from ..decoder.sei import plane_md5, write_picture_hash_sei
+        sei = write_nal(nalmod.NAL_SEI_SUFFIX,
+                        write_picture_hash_sei(
+                            [plane_md5(np.asarray(p), sps.bit_depth)
+                             for p in self.recon]))
         self.poc += 1
-        return nal, self.recon, plan
+        return nal + sei, self.recon, plan
 
     # ------------------------------------------------------------ decisions
 
