@@ -27,8 +27,8 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 STREAMS = os.path.join(REPO, "streams")
-CACHE_VERSION = "v1"
-W, H, NFRAMES, QP = 1920, 1080, 5, 32
+CACHE_VERSION = "v2"
+W, H, NFRAMES, QP = 1920, 1080, 8, 32
 
 
 def log(*a):
@@ -45,8 +45,10 @@ def ensure_stream():
     from openhevc_tpu.encoder import Encoder, EncoderConfig
     rng = np.random.default_rng(42)
     enc = Encoder(EncoderConfig(width=W, height=H, qp=QP, log2_ctb=6,
-                                sao=True, rng_seed=7, p_split=0.3,
-                                p_intra_in_inter=0.05))
+                                sao=True, rng_seed=7, p_split=0.15,
+                                p_tt_split=0.15, p_nxn=0.02,
+                                p_intra_in_inter=0.02, p_skip=0.35,
+                                p_merge=0.45))
     blocky = rng.integers(0, 256, ((H + 15) // 16, (W + 15) // 16)) \
         .repeat(16, 0).repeat(16, 1)[:H, :W]
     base = [(blocky * 0.7 + rng.integers(0, 256, (H, W)) * 0.3).astype(np.int32),
@@ -99,6 +101,8 @@ def measure_baseline(spath):
 
 def measure_backend(ppath):
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/openhevc_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from openhevc_tpu.tpu import TpuBackend
     from openhevc_tpu.decoder.refs import DPB, Frame
 

@@ -25,7 +25,8 @@ from . import recon_np
 class Frontend:
     """Stateful bitstream front-end; call decode_au() per access unit."""
 
-    def __init__(self, dpb=None):
+    def __init__(self, dpb=None, use_native=False):
+        self.use_native = use_native
         self.vps_list = {}
         self.sps_list = {}
         self.pps_list = {}
@@ -120,32 +121,74 @@ class Frontend:
         # CABAC payload starts at the next byte after the slice header
         assert r.byte_aligned()
         payload = nal.rbsp[r.pos >> 3:]
-        ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
-        dec = CabacDecoder(payload, ctx)
-        io = CabacIO(dec=dec)
 
-        nctbs = sps.pic_size_in_ctbs
-        for ts in range(nctbs):
-            rs = int(pps.ctb_addr_ts_to_rs[ts])
-            x_ctb = (rs % sps.ctb_width) << sps.log2_ctb_size
-            y_ctb = (rs // sps.ctb_width) << sps.log2_ctb_size
-            code_ctu(io, st, x_ctb, y_ctb, ts)
-            eos = io.terminate()
-            if eos and ts != nctbs - 1:
-                raise ValueError(f"premature end_of_slice at ctb {ts}")
-
-        plan.qp_map = expand_qp_map(st, sps)
-        plan.vertical_bs = st.vertical_bs
-        plan.horizontal_bs = st.horizontal_bs
-        plan.sao = st.sao_ctbs if (sh.sao_luma or sh.sao_chroma) else None
-        plan.no_filter_map = st.is_pcm_or_bypass
+        if self.use_native:
+            self._decode_slice_native(nal, sps, pps, sh, poc, init_type,
+                                      payload, plan, st)
+        else:
+            ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
+            dec = CabacDecoder(payload, ctx)
+            io = CabacIO(dec=dec)
+            nctbs = sps.pic_size_in_ctbs
+            for ts in range(nctbs):
+                rs = int(pps.ctb_addr_ts_to_rs[ts])
+                x_ctb = (rs % sps.ctb_width) << sps.log2_ctb_size
+                y_ctb = (rs // sps.ctb_width) << sps.log2_ctb_size
+                code_ctu(io, st, x_ctb, y_ctb, ts)
+                eos = io.terminate()
+                if eos and ts != nctbs - 1:
+                    raise ValueError(f"premature end_of_slice at ctb {ts}")
+            plan.qp_map = expand_qp_map(st, sps)
+            plan.vertical_bs = st.vertical_bs
+            plan.horizontal_bs = st.horizontal_bs
+            plan.sao = st.sao_ctbs if (sh.sao_luma or sh.sao_chroma) else None
+            plan.no_filter_map = st.is_pcm_or_bypass
+            plan.mvf_mv = st.mvf_mv
+            plan.mvf_poc = st.mvf_poc
+            plan.mvf_pred = st.mvf_pred
+            plan.mvf_ref_idx = st.mvf_ref_idx
         plan.slice_type = sh.slice_type
-        plan.mvf_mv = st.mvf_mv
-        plan.mvf_poc = st.mvf_poc
-        plan.mvf_pred = st.mvf_pred
-        plan.mvf_ref_idx = st.mvf_ref_idx
         self.nal_type = nal.type
         return plan
+
+    def _decode_slice_native(self, nal, sps, pps, sh, poc, init_type,
+                             payload, plan, st):
+        from ..native import decode_slice_native, ops_to_plan_ops
+        from .plan import CtbFilterParams
+        collocated = None
+        if sh.temporal_mvp_enabled and self.dpb is not None and st.rpl and \
+                st.rpl[sh.collocated_list]:
+            collocated = self.dpb.get(
+                st.rpl[sh.collocated_list][sh.collocated_ref_idx])
+        out = decode_slice_native(sps, pps, sh, nal.type, payload, poc,
+                                  st.rpl, collocated, init_type, 0,
+                                  sps.pic_size_in_ctbs - 1)
+        plan.ops = ops_to_plan_ops(out["ops"], out["levels"], sps)
+        rep = 1 << (sps.log2_min_cb_size - 3)
+        qpm = out["qp_y_tab"].astype(np.int32)
+        if rep > 1:
+            qpm = np.repeat(np.repeat(qpm, rep, 0), rep, 1)
+        plan.qp_map = qpm
+        plan.vertical_bs = out["vbs"]
+        plan.horizontal_bs = out["hbs"]
+        plan.no_filter_map = out["pcm_map"]
+        plan.mvf_mv = out["mvf_mv"]
+        plan.mvf_poc = out["mvf_poc"]
+        plan.mvf_pred = out["mvf_pred"]
+        plan.mvf_ref_idx = out["mvf_ref_idx"]
+        if sh.sao_luma or sh.sao_chroma:
+            sao = {}
+            for rs in range(sps.pic_size_in_ctbs):
+                row = out["sao"][rs]
+                sao[(rs % sps.ctb_width, rs // sps.ctb_width)] = \
+                    CtbFilterParams(
+                        sao_type=row[0:3].copy(),
+                        sao_band_position=row[3:6].copy(),
+                        sao_eo_class=row[6:9].copy(),
+                        sao_offsets=row[9:24].reshape(3, 5).copy())
+            plan.sao = sao
+        else:
+            plan.sao = None
 
     def _compute_poc(self, nal_type, sh, sps):
         """POC derivation (spec 8.3.1; reference hevc_refs.c:763)."""

@@ -1,0 +1,269 @@
+"""Native (C++) slice-data front-end: build + ctypes bindings.
+
+Replaces the Python CABAC/CTU walk with frontend.cc (same semantics, ~100x
+faster); the tests diff both paths op-by-op.
+"""
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libhevcfe.so")
+_CC = os.path.join(_DIR, "frontend.cc")
+_TABLES = os.path.join(_DIR, "tables.h")
+_STAMP = os.path.join(_DIR, ".build_stamp")
+
+_lib = None
+
+_PARAM_FIELDS = [
+    "width", "height", "bit_depth", "chroma_format_idc",
+    "log2_ctb", "log2_min_cb", "log2_min_tb", "log2_max_tb",
+    "max_tt_depth_intra", "max_tt_depth_inter",
+    "amp_enabled", "sao_enabled_sps", "strong_intra_smoothing", "pcm_enabled",
+    "qp_bd_offset",
+    "sign_data_hiding", "cabac_init_present", "cu_qp_delta_enabled",
+    "diff_cu_qp_delta_depth",
+    "cb_qp_offset", "cr_qp_offset", "transquant_bypass_enabled",
+    "transform_skip_enabled",
+    "tiles_enabled", "entropy_coding_sync", "loop_filter_across_tiles",
+    "log2_parallel_merge_level",
+    "slice_type", "slice_qp", "sao_luma", "sao_chroma",
+    "num_ref_idx0", "num_ref_idx1", "max_num_merge_cand", "mvd_l1_zero",
+    "collocated_list", "collocated_ref_idx", "sh_tmvp_enabled",
+    "loop_filter_across_slices", "deblocking_disabled",
+    "slice_addr", "cur_poc", "init_type",
+    "ctb_width", "ctb_height", "mtb_w", "mtb_h",
+    "has_collocated", "col_poc", "first_ctb_ts", "last_ctb_ts",
+]
+
+
+class SliceParams(ctypes.Structure):
+    _fields_ = [(f, ctypes.c_int32) for f in _PARAM_FIELDS]
+
+
+def _source_hash():
+    h = hashlib.sha256()
+    for path in (_CC, _TABLES):
+        if os.path.exists(path):
+            h.update(open(path, "rb").read())
+    return h.hexdigest()
+
+
+def build_lib(force=False):
+    """Compile the native front-end (cached by source hash)."""
+    if not os.path.exists(_TABLES):
+        from .gen_tables import generate
+        generate(_TABLES)
+    want = _source_hash()
+    have = open(_STAMP).read().strip() if os.path.exists(_STAMP) else ""
+    if force or not os.path.exists(_SO) or have != want:
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                        _CC, "-o", _SO], check=True)
+        with open(_STAMP, "w") as f:
+            f.write(want)
+    return _SO
+
+
+def get_lib():
+    global _lib
+    if _lib is None:
+        _lib = ctypes.CDLL(build_lib())
+        _lib.decode_slice_data.restype = ctypes.c_int64
+    return _lib
+
+
+def _ptr(a, dtype):
+    if a is None:
+        return None
+    a = np.ascontiguousarray(a, dtype)
+    return a, a.ctypes.data_as(ctypes.c_void_p)
+
+
+def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
+                        rpl, collocated, init_type, first_ts, last_ts):
+    """Run the native CTU walk; returns raw output arrays.
+
+    -> dict with ops, levels, mvf_*, vbs, hbs, qp_y_tab, pcm_map, sao, err
+    """
+    lib = get_lib()
+    p = SliceParams()
+    p.width, p.height = sps.width, sps.height
+    p.bit_depth = sps.bit_depth
+    p.chroma_format_idc = sps.chroma_format_idc
+    p.log2_ctb = sps.log2_ctb_size
+    p.log2_min_cb = sps.log2_min_cb_size
+    p.log2_min_tb = sps.log2_min_tb_size
+    p.log2_max_tb = sps.log2_max_tb_size
+    p.max_tt_depth_intra = sps.max_transform_hierarchy_depth_intra
+    p.max_tt_depth_inter = sps.max_transform_hierarchy_depth_inter
+    p.amp_enabled = sps.amp_enabled
+    p.sao_enabled_sps = sps.sao_enabled
+    p.strong_intra_smoothing = sps.strong_intra_smoothing_enabled
+    p.pcm_enabled = sps.pcm_enabled
+    p.qp_bd_offset = sps.qp_bd_offset
+    p.sign_data_hiding = pps.sign_data_hiding
+    p.cabac_init_present = pps.cabac_init_present
+    p.cu_qp_delta_enabled = pps.cu_qp_delta_enabled
+    p.diff_cu_qp_delta_depth = pps.diff_cu_qp_delta_depth
+    p.cb_qp_offset = pps.cb_qp_offset + sh.slice_cb_qp_offset
+    p.cr_qp_offset = pps.cr_qp_offset + sh.slice_cr_qp_offset
+    p.transquant_bypass_enabled = pps.transquant_bypass_enabled
+    p.transform_skip_enabled = pps.transform_skip_enabled
+    p.tiles_enabled = pps.tiles_enabled
+    p.entropy_coding_sync = pps.entropy_coding_sync_enabled
+    p.loop_filter_across_tiles = pps.loop_filter_across_tiles_enabled
+    p.log2_parallel_merge_level = pps.log2_parallel_merge_level
+    p.slice_type = sh.slice_type
+    p.slice_qp = sh.slice_qp
+    p.sao_luma = sh.sao_luma
+    p.sao_chroma = sh.sao_chroma
+    p.num_ref_idx0 = sh.num_ref_idx[0]
+    p.num_ref_idx1 = sh.num_ref_idx[1]
+    p.max_num_merge_cand = sh.max_num_merge_cand
+    p.mvd_l1_zero = sh.mvd_l1_zero
+    p.collocated_list = sh.collocated_list
+    p.collocated_ref_idx = sh.collocated_ref_idx
+    p.sh_tmvp_enabled = sh.temporal_mvp_enabled
+    p.loop_filter_across_slices = sh.loop_filter_across_slices
+    p.deblocking_disabled = sh.deblocking_filter_disabled
+    p.slice_addr = sh.slice_addr
+    p.cur_poc = cur_poc
+    p.init_type = init_type
+    p.ctb_width, p.ctb_height = sps.ctb_width, sps.ctb_height
+    zs = pps.min_tb_addr_zs
+    p.mtb_h, p.mtb_w = zs.shape
+
+    W, H = sps.width, sps.height
+    w4, h4 = W >> 2, H >> 2
+    w8, h8 = W >> 3, H >> 3
+    mcw, mch = sps.min_cb_width, sps.min_cb_height
+    mtw, mth = sps.min_tb_width, sps.min_tb_height
+    nctb = sps.pic_size_in_ctbs
+
+    ops_cap = 64 * 1024 * 64
+    lv_cap = 64 * 1024 * 256
+    ops = np.zeros(ops_cap, np.int32)
+    levels = np.zeros(lv_cap, np.int32)
+    mvf_mv = np.zeros((h4, w4, 2, 2), np.int32)
+    mvf_poc = np.zeros((h4, w4, 2), np.int32)
+    mvf_pred = np.zeros((h4, w4), np.uint8)
+    mvf_ref_idx = np.zeros((h4, w4, 2), np.int8)
+    vbs = np.zeros((h4, w8), np.uint8)
+    hbs = np.zeros((h8, w4), np.uint8)
+    qp_y_tab = np.full((mch, mcw), sh.slice_qp, np.int8)
+    pcm_map = np.zeros((h4, w4), np.uint8)
+    sao_out = np.zeros((nctb, 24), np.int32)
+    cbf_luma = np.zeros((mth, p.mtb_w), np.uint8)
+    scratch = np.zeros(mcw * mch * 2 + w4 * h4 + nctb * 4 + 64, np.uint8)
+    out_sizes = np.zeros(3, np.int64)
+
+    rpl0 = np.zeros(16, np.int32)
+    rpl1 = np.zeros(16, np.int32)
+    if rpl:
+        rpl0[:len(rpl[0])] = rpl[0]
+        rpl1[:len(rpl[1])] = rpl[1]
+
+    if collocated is not None:
+        p.has_collocated = 1
+        p.col_poc = collocated.poc
+        col_mv = np.ascontiguousarray(collocated.mvf_mv, np.int32)
+        col_poc_a = np.ascontiguousarray(collocated.mvf_poc, np.int32)
+        col_pred = np.ascontiguousarray(collocated.mvf_pred, np.uint8)
+        col_ri = np.ascontiguousarray(collocated.mvf_ref_idx, np.int8)
+        col_rpl0 = np.zeros(16, np.int32)
+        col_rpl1 = np.zeros(16, np.int32)
+        if collocated.rpl:
+            col_rpl0[:len(collocated.rpl[0])] = collocated.rpl[0]
+            col_rpl1[:len(collocated.rpl[1])] = collocated.rpl[1]
+    else:
+        col_mv = np.zeros(1, np.int32)
+        col_poc_a = np.zeros(1, np.int32)
+        col_pred = np.zeros(1, np.uint8)
+        col_ri = np.zeros(1, np.int8)
+        col_rpl0 = np.zeros(16, np.int32)
+        col_rpl1 = np.zeros(16, np.int32)
+
+    p.first_ctb_ts = first_ts
+    p.last_ctb_ts = last_ts
+
+    def cp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rs2ts = np.ascontiguousarray(pps.ctb_addr_rs_to_ts, np.int32)
+    ts2rs = np.ascontiguousarray(pps.ctb_addr_ts_to_rs, np.int32)
+    tid = np.ascontiguousarray(pps.tile_id, np.int32)
+    zsc = np.ascontiguousarray(zs, np.int32)
+
+    err = get_lib().decode_slice_data(
+        ctypes.byref(p), payload, ctypes.c_int64(len(payload)),
+        cp(rs2ts), cp(ts2rs), cp(tid), cp(zsc), cp(rpl0), cp(rpl1),
+        cp(col_mv), cp(col_poc_a), cp(col_pred), cp(col_ri),
+        cp(col_rpl0), cp(col_rpl1),
+        cp(ops), ctypes.c_int64(ops_cap), cp(levels), ctypes.c_int64(lv_cap),
+        cp(mvf_mv), cp(mvf_poc), cp(mvf_pred), cp(mvf_ref_idx),
+        cp(vbs), cp(hbs), cp(qp_y_tab), cp(pcm_map), cp(sao_out),
+        cp(cbf_luma), cp(scratch), cp(out_sizes))
+    if out_sizes[2] != 0 or out_sizes[0] > ops_cap or out_sizes[1] > lv_cap:
+        raise RuntimeError(f"native front-end error {out_sizes[2]} "
+                           f"(ops {out_sizes[0]}, levels {out_sizes[1]})")
+    return dict(ops=ops[:out_sizes[0]], levels=levels[:out_sizes[1]],
+                mvf_mv=mvf_mv, mvf_poc=mvf_poc, mvf_pred=mvf_pred,
+                mvf_ref_idx=mvf_ref_idx, vbs=vbs, hbs=hbs,
+                qp_y_tab=qp_y_tab, pcm_map=pcm_map, sao=sao_out)
+
+
+def ops_to_plan_ops(raw_ops, raw_levels, sps):
+    """Convert the flat native op stream to plan op objects."""
+    from ..decoder.plan import IntraOp, ResidualOp, InterOp
+    out = []
+    i = 0
+    n = len(raw_ops)
+    o = raw_ops
+    W, H = sps.width, sps.height
+    while i < n:
+        t = o[i]
+        if t == 1:
+            c_idx, x, y, size, mode = (int(o[i+1]), int(o[i+2]), int(o[i+3]),
+                                       int(o[i+4]), int(o[i+5]))
+            fl = [bool(o[i+6+k]) for k in range(5)]
+            hs = 1 if (c_idx and sps.chroma_format_idc != 3) else 0
+            vs = 1 if (c_idx and sps.chroma_format_idc == 1) else 0
+            sil_v = size << vs
+            sil_h = size << hs
+            yl = y << vs
+            xl = x << hs
+            bls = (min(yl + 2 * sil_v, H) - (yl + sil_v)) >> vs
+            trs = (min(xl + 2 * sil_h, W) - (xl + sil_h)) >> hs
+            out.append(IntraOp(c_idx=c_idx, x=x, y=y, size=size, mode=mode,
+                               cand_bottom_left=fl[0], cand_left=fl[1],
+                               cand_up_left=fl[2], cand_up=fl[3],
+                               cand_up_right=fl[4],
+                               bottom_left_size=max(0, bls),
+                               top_right_size=max(0, trs)))
+            i += 11
+        elif t == 2:
+            c_idx, x, y, log2n, qp, kind, off = (
+                int(o[i+1]), int(o[i+2]), int(o[i+3]), int(o[i+4]),
+                int(o[i+5]), int(o[i+6]), int(o[i+7]))
+            nn = 1 << log2n
+            lv = raw_levels[off:off + nn * nn].reshape(nn, nn)
+            out.append(ResidualOp(c_idx=c_idx, x=x, y=y, log2_size=log2n,
+                                  levels=lv, qp=qp,
+                                  transform_skip=(kind == 2),
+                                  use_dst=(kind == 1),
+                                  transquant_bypass=(kind == 3)))
+            i += 8
+        elif t == 3:
+            x, y, w, h, pf = (int(o[i+1]), int(o[i+2]), int(o[i+3]),
+                              int(o[i+4]), int(o[i+5]))
+            l0 = (int(o[i+6]), int(o[i+7]), int(o[i+8])) if pf & 1 else None
+            l1 = (int(o[i+9]), int(o[i+10]), int(o[i+11])) if pf & 2 else None
+            out.append(InterOp(c_idx=-1, x=x, y=y, w=w, h=h, l0=l0, l1=l1))
+            i += 12
+        else:
+            raise ValueError(f"bad op tag {t} at {i}")
+    return out

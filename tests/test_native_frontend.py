@@ -1,0 +1,86 @@
+"""Native (C++) front-end must match the Python front-end op-for-op."""
+
+import numpy as np
+import pytest
+
+from openhevc_tpu.encoder import Encoder, EncoderConfig
+from openhevc_tpu.decoder.frontend import Frontend
+from openhevc_tpu.decoder.refs import DPB, Frame
+from tests.util_e2e import make_source
+
+
+def _plans(stream, native, with_dpb_frames=None):
+    fe = Frontend(dpb=DPB(), use_native=native)
+    plans = []
+    from openhevc_tpu.bitstream.nal import split_annexb
+    for nal in split_annexb(stream):
+        plan = fe.decode_nal(nal)
+        if plan is not None:
+            plans.append(plan)
+            # register a stub frame so TMVP has collocated motion
+            fe.dpb.add(Frame(poc=plan.poc, planes=None,
+                             mvf_mv=plan.mvf_mv, mvf_poc=plan.mvf_poc,
+                             mvf_pred=plan.mvf_pred,
+                             mvf_ref_idx=plan.mvf_ref_idx,
+                             rpl=plan.rpl, rpl_lt=plan.rpl_lt))
+    return plans
+
+
+def _diff(pa, pb):
+    assert len(pa) == len(pb)
+    for f, (a, b) in enumerate(zip(pa, pb)):
+        assert len(a.ops) == len(b.ops), (f, len(a.ops), len(b.ops))
+        for i, (x, y) in enumerate(zip(a.ops, b.ops)):
+            for k, va in x.__dict__.items():
+                vb = y.__dict__[k]
+                if isinstance(va, np.ndarray):
+                    assert (va == vb).all(), (f, i, type(x).__name__, k)
+                else:
+                    assert va == vb, (f, i, type(x).__name__, k, va, vb)
+        assert (a.vertical_bs == b.vertical_bs).all()
+        assert (a.horizontal_bs == b.horizontal_bs).all()
+        assert (a.qp_map == b.qp_map).all()
+        assert (a.mvf_pred == b.mvf_pred).all()
+        assert (np.asarray(a.no_filter_map) == np.asarray(b.no_filter_map)).all()
+        if a.sao:
+            for k in a.sao:
+                for fld in ("sao_type", "sao_band_position", "sao_eo_class",
+                            "sao_offsets"):
+                    assert (np.asarray(getattr(a.sao[k], fld)) ==
+                            np.asarray(getattr(b.sao[k], fld))).all()
+
+
+def _run(cfg, pattern, seed):
+    rng = np.random.default_rng(seed)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    base = make_source(rng, cfg.width, cfg.height, cfg.bit_depth)
+    for i, t in enumerate(pattern):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, _, _ = enc.encode_frame(src, t)
+        stream += nal
+    _diff(_plans(stream, False), _plans(stream, True))
+
+
+def test_native_intra():
+    _run(EncoderConfig(width=64, height=64, qp=28, rng_seed=81), "I", 1)
+
+
+def test_native_inter_sao():
+    _run(EncoderConfig(width=96, height=64, qp=31, sao=True, rng_seed=82),
+         "IPPB", 2)
+
+
+def test_native_tmvp():
+    _run(EncoderConfig(width=64, height=64, qp=30, temporal_mvp=True,
+                       rng_seed=83), "IPPP", 3)
+
+
+def test_native_main10_tskip():
+    _run(EncoderConfig(width=64, height=64, qp=33, bit_depth=10,
+                       transform_skip=True, rng_seed=84), "IP", 4)
+
+
+def test_native_sign_hiding_nxn():
+    _run(EncoderConfig(width=64, height=64, qp=24, sign_data_hiding=True,
+                       p_nxn=0.8, p_split=0.8, rng_seed=85), "IP", 5)
