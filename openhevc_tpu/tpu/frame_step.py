@@ -1,0 +1,148 @@
+"""Single-dispatch frame reconstruction: the whole back-end as one jit call.
+
+Remote-TPU dispatch latency dominates when a frame issues hundreds of small
+kernels, so MC, the intra/residual wavefront scan, deblocking and SAO are
+composed into one jitted program.  The static `prof` tuple captures every
+shape-determining property; identical profiles reuse the compiled program.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mc import mc_batch
+from .intra import intra_batch
+from .residual import residual_batch
+from . import deblock as dbk
+from .sao import sao_plane
+
+_QP_C = jnp.asarray([29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37],
+                    jnp.int32)
+
+
+def _scatter_set(plane, xs, ys, vals, valid):
+    bh, bw = vals.shape[-2], vals.shape[-1]
+    h, w = plane.shape
+    gy = ys[:, None, None] + jnp.arange(bh)[None, :, None]
+    gx = xs[:, None, None] + jnp.arange(bw)[None, None, :]
+    flat_idx = (gy * w + gx).reshape(-1)
+    flat = plane.reshape(-1)
+    cur = flat[flat_idx]
+    vmask = jnp.repeat(valid, bh * bw)
+    delta = jnp.where(vmask, vals.reshape(-1) - cur, 0)
+    return flat.at[flat_idx].add(delta).reshape(h, w)
+
+
+def _scatter_add_clip(plane, xs, ys, res, valid, bit_depth):
+    n = res.shape[-1]
+    maxv = (1 << bit_depth) - 1
+    h, w = plane.shape
+    gy = ys[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = xs[:, None, None] + jnp.arange(n)[None, None, :]
+    flat_idx = (gy * w + gx).reshape(-1)
+    vals = jnp.where(valid[:, None, None],
+                     jnp.clip(res, -32768, 32767), 0).reshape(-1)
+    out = plane.reshape(-1).at[flat_idx].add(vals).reshape(h, w)
+    return jnp.clip(out, 0, maxv)
+
+
+@partial(jax.jit, static_argnames=("prof",))
+def frame_step(refs, inter, slots, maps, sao_maps, prof):
+    """One fused frame reconstruction.
+
+    prof: (bd, strong, chroma_fmt, H, W, inter_sizes, slot_keys, deblock_on,
+           sao_on, beta_off, tc_off, cb_off, cr_off)
+    refs: [3 stacked ref tensors] or None
+    inter: {(w,h): dict arrays}; slots: {key: dict arrays (T, C, ...)}
+    maps: (vbs, hbs, qp_map, nfm) padded; sao_maps: per-plane tuples or None
+    """
+    (bd, strong, cfmt, H, W, inter_sizes, slot_keys, deblock_on, sao_on,
+     beta_off, tc_off, cb_off, cr_off) = prof
+    hs = 1 if cfmt in (1, 2) else 0
+    vs = 1 if cfmt == 1 else 0
+    shapes = [(H, W), (H >> vs, W >> hs), (H >> vs, W >> hs)]
+    planes = [jnp.zeros(s, jnp.int32) for s in shapes]
+
+    # ---- motion compensation ----
+    for (w, h) in inter_sizes:
+        b = inter[(w, h)]
+        valid = b["valid"]
+        for c in range(3):
+            sh_, sv_ = (hs, vs) if c else (0, 0)
+            xs = b["xs"] >> sh_
+            ys = b["ys"] >> sv_
+            wc, hc = w >> sh_, h >> sv_
+            val0 = mc_batch(refs[c], b["s0"], xs, ys, b["mvx0"], b["mvy0"],
+                            wc, hc, c == 0, bd)
+            val1 = mc_batch(refs[c], b["s1"], xs, ys, b["mvx1"], b["mvy1"],
+                            wc, hc, c == 0, bd)
+            shift_u = 14 - bd
+            shift_b = 15 - bd
+            maxv = (1 << bd) - 1
+            uni_src = jnp.where((b["pf"] == 1)[:, None, None], val0, val1)
+            uni = jnp.clip((uni_src + (1 << (shift_u - 1))) >> shift_u, 0, maxv)
+            bi = jnp.clip((val0 + val1 + (1 << (shift_b - 1))) >> shift_b,
+                          0, maxv)
+            vals = jnp.where((b["pf"] == 3)[:, None, None], bi, uni)
+            planes[c] = _scatter_set(planes[c], xs, ys, vals, valid)
+
+    # ---- intra/residual wavefront scan ----
+    if slot_keys:
+        def body(pl, xs):
+            pl = list(pl)
+            for key in slot_keys:
+                phase, c, n = key
+                d = xs[key]
+                if phase == "intra":
+                    preds = intra_batch(pl[c], d["xs"], d["ys"], d["modes"],
+                                        d["flags"], n, min(c, 1), bd, strong)
+                    pl[c] = _scatter_set(pl[c], d["xs"], d["ys"], preds,
+                                         d["valid"])
+            for key in slot_keys:
+                phase, c, n = key
+                d = xs[key]
+                if phase == "resid":
+                    res = residual_batch(d["levels"], d["qp"], d["kind"], n, bd)
+                    pl[c] = _scatter_add_clip(pl[c], d["xs"], d["ys"], res,
+                                              d["valid"], bd)
+            return tuple(pl), None
+        planes_t, _ = jax.lax.scan(body, tuple(planes), slots)
+        planes = list(planes_t)
+
+    # ---- deblock ----
+    if deblock_on:
+        vbs, hbs, qp_map, nfm = maps
+        ph = -H % 16
+        pw = -W % 16
+        luma = jnp.pad(planes[0], ((0, ph), (0, pw))) if (ph or pw) else planes[0]
+        luma = dbk.deblock_luma_vertical(luma, vbs, qp_map, beta_off, tc_off,
+                                         nfm, bd)
+        luma = dbk.deblock_luma_horizontal(luma, hbs, qp_map, beta_off,
+                                           tc_off, nfm, bd)
+        planes[0] = luma[:H, :W]
+        if cfmt == 1:
+            for c in (1, 2):
+                off = cb_off if c == 1 else cr_off
+                ch, cw = planes[c].shape
+                pl = jnp.pad(planes[c], ((0, ph // 2), (0, pw // 2))) \
+                    if (ph or pw) else planes[c]
+                pl = dbk.deblock_chroma_vertical(pl, vbs, qp_map, off, tc_off,
+                                                 nfm, _QP_C, bd)
+                pl = dbk.deblock_chroma_horizontal(pl, hbs, qp_map, off,
+                                                   tc_off, nfm, _QP_C, bd)
+                planes[c] = pl[:ch, :cw]
+
+    # ---- SAO ----
+    if sao_on:
+        pre = planes
+        out = []
+        for c in range(3):
+            tm, bm, em, om, restore = sao_maps[c]
+            filt = sao_plane(pre[c], tm, bm, em, om, bd)
+            if restore is not None:
+                filt = jnp.where(restore, pre[c], filt)
+            out.append(filt)
+        planes = out
+    return tuple(planes)
