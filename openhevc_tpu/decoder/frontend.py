@@ -122,22 +122,37 @@ class Frontend:
         assert r.byte_aligned()
         payload = nal.rbsp[r.pos >> 3:]
 
-        if self.use_native:
+        if self.use_native and not (pps.entropy_coding_sync_enabled or
+                                    pps.tiles_enabled):
             self._decode_slice_native(nal, sps, pps, sh, poc, init_type,
                                       payload, plan, st)
         else:
-            ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
-            dec = CabacDecoder(payload, ctx)
-            io = CabacIO(dec=dec)
+            from ..encoder.encoder import _substream_bounds
+            bounds = _substream_bounds(sps, pps)
+            offsets = [0]
+            for epo in sh.entry_point_offsets:
+                offsets.append(offsets[-1] + epo)
+            offsets.append(len(payload))
+            assert len(offsets) == len(bounds) + 1, "entry point count mismatch"
             nctbs = sps.pic_size_in_ctbs
-            for ts in range(nctbs):
-                rs = int(pps.ctb_addr_ts_to_rs[ts])
-                x_ctb = (rs % sps.ctb_width) << sps.log2_ctb_size
-                y_ctb = (rs // sps.ctb_width) << sps.log2_ctb_size
-                code_ctu(io, st, x_ctb, y_ctb, ts)
-                eos = io.terminate()
-                if eos and ts != nctbs - 1:
-                    raise ValueError(f"premature end_of_slice at ctb {ts}")
+            saved_ctx = None
+            for si, (ts0, ts1) in enumerate(bounds):
+                ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
+                if si > 0 and pps.entropy_coding_sync_enabled and \
+                        sps.ctb_width > 1 and saved_ctx is not None:
+                    ctx.load(saved_ctx)
+                dec = CabacDecoder(payload[offsets[si]:offsets[si + 1]], ctx)
+                io = CabacIO(dec=dec)
+                for ts in range(ts0, ts1 + 1):
+                    rs = int(pps.ctb_addr_ts_to_rs[ts])
+                    x_ctb = (rs % sps.ctb_width) << sps.log2_ctb_size
+                    y_ctb = (rs // sps.ctb_width) << sps.log2_ctb_size
+                    code_ctu(io, st, x_ctb, y_ctb, ts)
+                    eos = io.terminate()
+                    if eos and ts != nctbs - 1:
+                        raise ValueError(f"premature end_of_slice at {ts}")
+                    if pps.entropy_coding_sync_enabled and ts == ts0 + 1:
+                        saved_ctx = ctx.save()
             plan.qp_map = expand_qp_map(st, sps)
             plan.vertical_bs = st.vertical_bs
             plan.horizontal_bs = st.horizontal_bs

@@ -46,6 +46,8 @@ class EncoderConfig:
     deblock: bool = True
     sign_data_hiding: bool = False
     transform_skip: bool = False
+    wpp: bool = False
+    tiles: tuple = None          # (num_cols, num_rows) or None
     strong_intra_smoothing: bool = True
     rng_seed: int = 1234
     # probability knobs for syntax coverage
@@ -87,6 +89,12 @@ class Encoder:
         self.pps = PPS(sign_data_hiding=1 if cfg.sign_data_hiding else 0,
                        transform_skip_enabled=1 if cfg.transform_skip else 0,
                        init_qp=26)
+        assert not (cfg.wpp and cfg.tiles), "wpp-in-tiles not supported yet"
+        if cfg.wpp:
+            self.pps.entropy_coding_sync_enabled = 1
+        if cfg.tiles:
+            self.pps.tiles_enabled = 1
+            self.pps.num_tile_columns, self.pps.num_tile_rows = cfg.tiles
         if not cfg.deblock:
             self.pps.deblocking_filter_control_present = 1
             self.pps.deblocking_filter_disabled = 1
@@ -170,19 +178,37 @@ class Encoder:
         st.level_provider = self._level_provider
         self._plan = plan
 
-        ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
-        enc = CabacEncoder(ctx)
-        io = CabacIO(enc=enc)
-
         nctbs = sps.pic_size_in_ctbs
-        for ts in range(nctbs):
-            rs = int(pps.ctb_addr_ts_to_rs[ts])
-            x_ctb = (rs % sps.ctb_width) << sps.log2_ctb_size
-            y_ctb = (rs // sps.ctb_width) << sps.log2_ctb_size
-            ctb = self._plan_ctb(st, x_ctb, y_ctb)
-            code_ctu(io, st, x_ctb, y_ctb, ts, ctb)
-            io.terminate(1 if ts == nctbs - 1 else 0)
-        payload = enc.finish()
+        bounds = _substream_bounds(sps, pps)
+        payload = b""
+        entry_points = []
+        saved_ctx = None
+        prev_sub = b""
+        for si, (ts0, ts1) in enumerate(bounds):
+            ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
+            if si > 0 and pps.entropy_coding_sync_enabled and \
+                    sps.ctb_width > 1 and saved_ctx is not None:
+                ctx.load(saved_ctx)
+            enc = CabacEncoder(ctx)
+            io = CabacIO(enc=enc)
+            for ts in range(ts0, ts1 + 1):
+                rs = int(pps.ctb_addr_ts_to_rs[ts])
+                x_ctb = (rs % sps.ctb_width) << sps.log2_ctb_size
+                y_ctb = (rs // sps.ctb_width) << sps.log2_ctb_size
+                ctb = self._plan_ctb(st, x_ctb, y_ctb)
+                code_ctu(io, st, x_ctb, y_ctb, ts, ctb)
+                io.terminate(1 if ts == nctbs - 1 else 0)
+                if pps.entropy_coding_sync_enabled and ts == ts0 + 1:
+                    saved_ctx = ctx.save()
+            if ts1 != nctbs - 1:
+                io.terminate(1)          # end_of_subset_one_bit
+            sub = enc.finish()
+            if si > 0:
+                entry_points.append(len(prev_sub))
+            prev_sub = sub
+            payload += sub
+        sh.num_entry_point_offsets = len(bounds) - 1
+        sh.entry_point_offsets = entry_points
 
         # catch up remaining recon ops
         self._execute_pending()
@@ -449,6 +475,25 @@ class Encoder:
         if self.cfg.sign_data_hiding:
             levels = _fix_sign_hiding(levels, scan_idx, log2_size)
         return levels, tskip
+
+
+def _substream_bounds(sps, pps):
+    """-> [(first_ts, last_ts)] per CABAC substream."""
+    nctbs = sps.pic_size_in_ctbs
+    if pps.entropy_coding_sync_enabled:
+        w = sps.ctb_width
+        return [(r * w, min((r + 1) * w, nctbs) - 1)
+                for r in range(sps.ctb_height)]
+    if pps.tiles_enabled:
+        out = []
+        start = 0
+        for ty in range(pps.num_tile_rows):
+            for tx in range(pps.num_tile_columns):
+                size = pps._col_width[tx] * pps._row_height[ty]
+                out.append((start, start + size - 1))
+                start += size
+        return out
+    return [(0, nctbs - 1)]
 
 
 class _SubPlan:
