@@ -18,6 +18,21 @@ from .frame_step import frame_step
 from .sao import build_sao_maps
 
 
+def _canonical_pu_sizes(ctb):
+    """All PU sizes the part modes can produce for CB sizes 8..ctb."""
+    sizes = set()
+    cb = 8
+    while cb <= ctb:
+        q = cb >> 2
+        for (gw, gh) in ((4, 4), (4, 2), (2, 4), (2, 2),
+                         (4, 1), (4, 3), (1, 4), (3, 4)):
+            w, h = gw * q, gh * q
+            if w >= 4 and h >= 4 and not (w == 4 and h == 4):
+                sizes.add((w, h))
+        cb <<= 1
+    return tuple(sorted(sizes))
+
+
 class TpuBackend:
     def __init__(self, ctb_log2=None):
         self.ctb_log2 = ctb_log2
@@ -36,15 +51,24 @@ class TpuBackend:
 
         cp = compile_plan(plan)
 
-        # ---- inter batches (padded) ----
+        # ---- inter batches (padded, canonical size list) ----
         inter = {}
         inter_sizes = []
         refs = None
         if cp.inter:
             refs = [jnp.stack([jnp.asarray(dpb.get(p).planes[c], jnp.int32)
                                for p in cp.ref_pocs]) for c in range(3)]
-            for (w, h), batch in sorted(cp.inter.items()):
-                b, valid = pad_batch(batch)
+            for (w, h) in _canonical_pu_sizes(1 << (self.ctb_log2 or 6)):
+                batch = cp.inter.get((w, h))
+                if batch is None:
+                    b = dict(xs=np.zeros(8, np.int32), ys=np.zeros(8, np.int32),
+                             pf=np.ones(8, np.int32), s0=np.zeros(8, np.int32),
+                             mvx0=np.zeros(8, np.int32), mvy0=np.zeros(8, np.int32),
+                             s1=np.zeros(8, np.int32), mvx1=np.zeros(8, np.int32),
+                             mvy1=np.zeros(8, np.int32))
+                    valid = np.zeros(8, bool)
+                else:
+                    b, valid = pad_batch(batch)
                 b["valid"] = valid
                 inter[(w, h)] = {k: jnp.asarray(v) for k, v in b.items()}
                 inter_sizes.append((w, h))

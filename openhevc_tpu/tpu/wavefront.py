@@ -30,12 +30,25 @@ def _pow2(x):
     return p
 
 
+def canonical_keys(chroma_format_idc):
+    """Stable slot-key set so the fused program compiles once per profile."""
+    keys = []
+    for phase in ("intra", "resid"):
+        for c in (0, 1, 2):
+            sizes = (4, 8, 16, 32) if (c == 0 or chroma_format_idc == 3) \
+                else (4, 8, 16)
+            for n in sizes:
+                keys.append((phase, c, n))
+    return tuple(sorted(keys))
+
+
 def schedule_slots(plan):
     """Pack intra/residual ops into balanced dependency slots.
 
     Returns (T, caps, data) where data[(phase, c, n)] is a dict of numpy
-    arrays with leading dims (T, C).  Inter ops are not included (wave 0,
-    handled separately).
+    arrays with leading dims (T, C) over the canonical key set (empty keys
+    get capacity-8 all-invalid batches).  T is padded to a power of two.
+    Inter ops are not included (wave 0, handled separately).
     """
     hs = 1 if plan.chroma_format_idc in (1, 2) else 0
     vs = 1 if plan.chroma_format_idc == 1 else 0
@@ -125,9 +138,14 @@ def schedule_slots(plan):
             rows[key].append((slot, op))
         T = max(T, slot + 1)
 
-    # stack into (T, C, ...) tensors
+    # pad T to a power of two (empty trailing slots) for profile stability
+    T = _pow2(T) if T > 1 else 1
+
+    # stack into (T, C, ...) tensors over the canonical key set
     data = {}
-    for key, items in rows.items():
+    for key in canonical_keys(plan.chroma_format_idc):
+        items = rows.get(key, [])
+        caps.setdefault(key, 8)
         phase, c, n = key
         C = caps[key]
         xs = np.zeros((T, C), np.int32)
