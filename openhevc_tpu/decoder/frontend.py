@@ -122,8 +122,7 @@ class Frontend:
         assert r.byte_aligned()
         payload = nal.rbsp[r.pos >> 3:]
 
-        if self.use_native and not (pps.entropy_coding_sync_enabled or
-                                    pps.tiles_enabled):
+        if self.use_native:
             self._decode_slice_native(nal, sps, pps, sh, poc, init_type,
                                       payload, plan, st)
         else:

@@ -38,6 +38,7 @@ _PARAM_FIELDS = [
     "slice_addr", "cur_poc", "init_type",
     "ctb_width", "ctb_height", "mtb_w", "mtb_h",
     "has_collocated", "col_poc", "first_ctb_ts", "last_ctb_ts",
+    "init_state", "ctx_load", "wpp_save_ctx",
 ]
 
 
@@ -197,23 +198,64 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
     ts2rs = np.ascontiguousarray(pps.ctb_addr_ts_to_rs, np.int32)
     tid = np.ascontiguousarray(pps.tile_id, np.int32)
     zsc = np.ascontiguousarray(zs, np.int32)
+    ctx_io = np.zeros(2 * 256, np.uint8)
 
-    err = get_lib().decode_slice_data(
-        ctypes.byref(p), payload, ctypes.c_int64(len(payload)),
-        cp(rs2ts), cp(ts2rs), cp(tid), cp(zsc), cp(rpl0), cp(rpl1),
-        cp(col_mv), cp(col_poc_a), cp(col_pred), cp(col_ri),
-        cp(col_rpl0), cp(col_rpl1),
-        cp(ops), ctypes.c_int64(ops_cap), cp(levels), ctypes.c_int64(lv_cap),
-        cp(mvf_mv), cp(mvf_poc), cp(mvf_pred), cp(mvf_ref_idx),
-        cp(vbs), cp(hbs), cp(qp_y_tab), cp(pcm_map), cp(sao_out),
-        cp(cbf_luma), cp(scratch), cp(out_sizes))
-    if out_sizes[2] != 0 or out_sizes[0] > ops_cap or out_sizes[1] > lv_cap:
-        raise RuntimeError(f"native front-end error {out_sizes[2]} "
-                           f"(ops {out_sizes[0]}, levels {out_sizes[1]})")
-    return dict(ops=ops[:out_sizes[0]], levels=levels[:out_sizes[1]],
+    # substream layout (WPP rows / tiles / single)
+    from ..encoder.encoder import _substream_bounds
+    bounds = _substream_bounds(sps, pps)
+    offsets = [0]
+    for epo in sh.entry_point_offsets:
+        offsets.append(offsets[-1] + epo)
+    offsets.append(len(payload))
+    assert len(offsets) == len(bounds) + 1, "entry point mismatch"
+
+    ops_total = 0
+    lv_total = 0
+    for si, (ts0, ts1) in enumerate(bounds):
+        p.first_ctb_ts, p.last_ctb_ts = ts0, ts1
+        p.init_state = 1 if si == 0 else 0
+        p.ctx_load = 1 if (si > 0 and pps.entropy_coding_sync_enabled and
+                           sps.ctb_width > 1) else 0
+        p.wpp_save_ctx = 1 if pps.entropy_coding_sync_enabled else 0
+        seg = payload[offsets[si]:offsets[si + 1]]
+        err = get_lib().decode_slice_data(
+            ctypes.byref(p), seg, ctypes.c_int64(len(seg)),
+            cp(rs2ts), cp(ts2rs), cp(tid), cp(zsc), cp(rpl0), cp(rpl1),
+            cp(col_mv), cp(col_poc_a), cp(col_pred), cp(col_ri),
+            cp(col_rpl0), cp(col_rpl1),
+            cp(ops[ops_total:]), ctypes.c_int64(ops_cap - ops_total),
+            cp(levels[lv_total:]), ctypes.c_int64(lv_cap - lv_total),
+            cp(mvf_mv), cp(mvf_poc), cp(mvf_pred), cp(mvf_ref_idx),
+            cp(vbs), cp(hbs), cp(qp_y_tab), cp(pcm_map), cp(sao_out),
+            cp(cbf_luma), cp(scratch), cp(ctx_io), cp(out_sizes))
+        if out_sizes[2] != 0 or ops_total + out_sizes[0] > ops_cap or \
+                lv_total + out_sizes[1] > lv_cap:
+            raise RuntimeError(f"native front-end error {out_sizes[2]}")
+        # level offsets inside this segment's ops are relative; rebase them
+        if lv_total:
+            _rebase_levels(ops[ops_total:ops_total + out_sizes[0]], lv_total)
+        ops_total += out_sizes[0]
+        lv_total += out_sizes[1]
+    return dict(ops=ops[:ops_total], levels=levels[:lv_total],
                 mvf_mv=mvf_mv, mvf_poc=mvf_poc, mvf_pred=mvf_pred,
                 mvf_ref_idx=mvf_ref_idx, vbs=vbs, hbs=hbs,
                 qp_y_tab=qp_y_tab, pcm_map=pcm_map, sao=sao_out)
+
+
+def _rebase_levels(ops, delta):
+    i = 0
+    n = len(ops)
+    while i < n:
+        t = ops[i]
+        if t == 1:
+            i += 11
+        elif t == 2:
+            ops[i + 7] += delta
+            i += 8
+        elif t == 3:
+            i += 12
+        else:
+            raise ValueError("bad op tag")
 
 
 def ops_to_plan_ops(raw_ops, raw_levels, sps):

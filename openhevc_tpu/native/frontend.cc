@@ -107,6 +107,9 @@ struct SliceParams {                 // keep in sync with native/__init__.py
     int32_t mtb_w, mtb_h;            // min-tb grid dims
     int32_t has_collocated, col_poc;
     int32_t first_ctb_ts, last_ctb_ts;   // substream CTB range (inclusive)
+    int32_t init_state;                  // 1 = clear persistent syntax state
+    int32_t ctx_load;                    // 1 = load contexts from ctx_io
+    int32_t wpp_save_ctx;                // 1 = save ctx after 2nd CTB
 };
 
 struct Ctx {
@@ -1653,7 +1656,7 @@ extern "C" int64_t decode_slice_data(
     int32_t *mvf_mv, int32_t *mvf_poc, uint8_t *mvf_pred, int8_t *mvf_ref_idx,
     uint8_t *vbs, uint8_t *hbs, int8_t *qp_y_tab, uint8_t *is_pcm_or_bypass,
     int32_t *sao_out, uint8_t *cbf_luma_buf, uint8_t *scratch,
-    int64_t *out_sizes /* [ops, levels, err] */)
+    uint8_t *ctx_io, int64_t *out_sizes /* [ops, levels, err] */)
 {
     Ctx c;
     memset(&c, 0, sizeof(c));
@@ -1683,12 +1686,21 @@ extern "C" int64_t decode_slice_data(
     c.tab_ipm = s; s += (int64_t)c.w4 * c.h4;
     c.skip_flag = s; s += (int64_t)c.min_cb_w * c.min_cb_h;
     c.slice_addr_tab = (int32_t *)s;
-    memset(c.tab_ipm, 1, (int64_t)c.w4 * c.h4);
-    for (int64_t i = 0; i < (int64_t)p->ctb_width * p->ctb_height; i++)
-        c.slice_addr_tab[i] = -1;
+    if (p->init_state) {
+        memset(c.ct_depth, 0, (int64_t)c.min_cb_w * c.min_cb_h);
+        memset(c.skip_flag, 0, (int64_t)c.min_cb_w * c.min_cb_h);
+        memset(c.tab_ipm, 1, (int64_t)c.w4 * c.h4);
+        for (int64_t i = 0; i < (int64_t)p->ctb_width * p->ctb_height; i++)
+            c.slice_addr_tab[i] = -1;
+    }
 
     c.cc.init_engine(data, data_size);
-    c.cc.init_contexts(p->init_type, av_clip(p->slice_qp, 0, 51));
+    if (p->ctx_load) {
+        memcpy(c.cc.state, ctx_io, NUM_CONTEXTS);
+        memcpy(c.cc.mps, ctx_io + NUM_CONTEXTS, NUM_CONTEXTS);
+    } else {
+        c.cc.init_contexts(p->init_type, av_clip(p->slice_qp, 0, 51));
+    }
 
     for (int ts = p->first_ctb_ts; ts <= p->last_ctb_ts && !c.err; ts++) {
         int rs = ts_to_rs[ts];
@@ -1699,6 +1711,10 @@ extern "C" int64_t decode_slice_data(
         code_quadtree(c, x_ctb, y_ctb, p->log2_ctb, 0);
         int eos = c.cc.terminate();
         if (eos && ts != p->last_ctb_ts) c.err = 3;
+        if (p->wpp_save_ctx && ts == p->first_ctb_ts + 1) {
+            memcpy(ctx_io, c.cc.state, NUM_CONTEXTS);
+            memcpy(ctx_io + NUM_CONTEXTS, c.cc.mps, NUM_CONTEXTS);
+        }
     }
     out_sizes[0] = c.ops_pos;
     out_sizes[1] = c.lv_pos;

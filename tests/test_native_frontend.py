@@ -84,3 +84,13 @@ def test_native_main10_tskip():
 def test_native_sign_hiding_nxn():
     _run(EncoderConfig(width=64, height=64, qp=24, sign_data_hiding=True,
                        p_nxn=0.8, p_split=0.8, rng_seed=85), "IP", 5)
+
+
+def test_native_wpp():
+    _run(EncoderConfig(width=128, height=96, qp=30, wpp=True, sao=True,
+                       rng_seed=86), "IPP", 6)
+
+
+def test_native_tiles():
+    _run(EncoderConfig(width=128, height=96, qp=30, tiles=(2, 2),
+                       rng_seed=87), "IP", 7)
