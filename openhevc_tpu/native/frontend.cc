@@ -1679,6 +1679,8 @@ extern "C" int64_t decode_slice_data(
     c.w4 = p->width >> 2; c.h4 = p->height >> 2;
     c.w8 = p->width >> 3; c.h8 = p->height >> 3;
     c.qp_y = p->slice_qp;
+    c.end_of_tiles_x = p->width;
+    c.end_of_tiles_y = p->height;
 
     // scratch layout: ct_depth | tab_ipm | skip_flag | slice_addr_tab
     uint8_t *s = scratch;
