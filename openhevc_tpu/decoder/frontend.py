@@ -177,7 +177,8 @@ class Frontend:
         out = decode_slice_native(sps, pps, sh, nal.type, payload, poc,
                                   st.rpl, collocated, init_type, 0,
                                   sps.pic_size_in_ctbs - 1)
-        plan.ops = ops_to_plan_ops(out["ops"], out["levels"], sps)
+        plan.ops = ops_to_plan_ops(out["ops"], out["levels"], sps,
+                                   has_wp=sh.wp is not None)
         rep = 1 << (sps.log2_min_cb_size - 3)
         qpm = out["qp_y_tab"].astype(np.int32)
         if rep > 1:

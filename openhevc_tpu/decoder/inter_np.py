@@ -62,7 +62,18 @@ def execute_inter_op(plan, planes, dpb, op):
     for c in range(3):
         if not vals[c]:
             continue
-        if len(vals[c]) == 2:
+        if op.weights is not None:
+            dy, dc, w0, w1 = op.weights
+            denom = dy if c == 0 else dc
+            wx0, ox0 = w0[2 * c], w0[2 * c + 1]
+            wx1, ox1 = w1[2 * c], w1[2 * c + 1]
+            if len(vals[c]) == 2:
+                out = mc.mc_bi_w(vals[c][0], vals[c][1], denom, wx0, wx1,
+                                 ox0, ox1, bd)
+            else:
+                wx, ox = (wx0, ox0) if op.l0 is not None else (wx1, ox1)
+                out = mc.mc_uni_w(vals[c][0], denom, wx, ox, bd)
+        elif len(vals[c]) == 2:
             out = mc.mc_bi(vals[c][0], vals[c][1], bd)
         else:
             out = mc.mc_uni(vals[c][0], bd)

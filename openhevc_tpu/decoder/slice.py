@@ -212,7 +212,7 @@ def _parse_pred_weight_table(r: BitReader, sh: SliceHeader, sps: SPS) -> WPTable
     wp = WPTable()
     wp.luma_log2_denom = r.ue()
     if sps.chroma_format_idc:
-        wp.chroma_log2_denom = wp.luma_log2_denom + r.se()
+        wp.chroma_log2_denom = max(0, min(7, wp.luma_log2_denom + r.se()))
     nlists = 2 if sh.slice_type == B_SLICE else 1
     for lst in range(nlists):
         n = sh.num_ref_idx[lst]
@@ -309,7 +309,7 @@ def write_slice_header(sh: SliceHeader, nal_type: int, sps: SPS, pps: PPS) -> Bi
                     w.ue(sh.collocated_ref_idx)
             if ((pps.weighted_pred and sh.slice_type == P_SLICE) or
                     (pps.weighted_bipred and sh.slice_type == B_SLICE)):
-                raise NotImplementedError("writing weighted pred tables")
+                _write_pred_weight_table(w, sh, sps)
             w.ue(5 - sh.max_num_merge_cand)
         w.se(sh.slice_qp - pps.init_qp)
         if pps.slice_chroma_qp_offsets_present:
@@ -331,3 +331,38 @@ def write_slice_header(sh: SliceHeader, nal_type: int, sps: SPS, pps: PPS) -> Bi
     w.u1(1)
     w.align_zero()
     return w
+
+
+def _write_pred_weight_table(w: BitWriter, sh: SliceHeader, sps: SPS):
+    wp = sh.wp
+    w.ue(wp.luma_log2_denom)
+    if sps.chroma_format_idc:
+        w.se(wp.chroma_log2_denom - wp.luma_log2_denom)
+    nlists = 2 if sh.slice_type == B_SLICE else 1
+    for lst in range(nlists):
+        n = sh.num_ref_idx[lst]
+        lflags = [1 if (wp.luma_weight[lst][i] != (1 << wp.luma_log2_denom) or
+                        wp.luma_offset[lst][i] != 0) else 0 for i in range(n)]
+        cflags = []
+        for i in range(n):
+            ident = (wp.chroma_weight[lst][i] == (1 << wp.chroma_log2_denom,) * 2
+                     and wp.chroma_offset[lst][i] == (0, 0))
+            cflags.append(0 if ident else 1)
+        for f in lflags:
+            w.u1(f)
+        if sps.chroma_format_idc:
+            for f in cflags:
+                w.u1(f)
+        for i in range(n):
+            if lflags[i]:
+                w.se(wp.luma_weight[lst][i] - (1 << wp.luma_log2_denom))
+                w.se(wp.luma_offset[lst][i])
+            if sps.chroma_format_idc and cflags[i]:
+                for j in range(2):
+                    cw = wp.chroma_weight[lst][i][j]
+                    co = wp.chroma_offset[lst][i][j]
+                    w.se(cw - (1 << wp.chroma_log2_denom))
+                    # invert the offset derivation (parse side):
+                    # off = clip(128 + doff - ((128*cw) >> denom))
+                    doff = co - 128 + ((128 * cw) >> wp.chroma_log2_denom)
+                    w.se(doff)

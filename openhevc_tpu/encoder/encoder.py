@@ -48,6 +48,7 @@ class EncoderConfig:
     transform_skip: bool = False
     wpp: bool = False
     tiles: tuple = None          # (num_cols, num_rows) or None
+    weighted_pred: bool = False
     strong_intra_smoothing: bool = True
     rng_seed: int = 1234
     # probability knobs for syntax coverage
@@ -95,6 +96,9 @@ class Encoder:
         if cfg.tiles:
             self.pps.tiles_enabled = 1
             self.pps.num_tile_columns, self.pps.num_tile_rows = cfg.tiles
+        if cfg.weighted_pred:
+            self.pps.weighted_pred = 1
+            self.pps.weighted_bipred = 1
         if not cfg.deblock:
             self.pps.deblocking_filter_control_present = 1
             self.pps.deblocking_filter_disabled = 1
@@ -143,6 +147,8 @@ class Encoder:
                 sh.temporal_mvp_enabled = 1
                 sh.collocated_list = 0
                 sh.collocated_ref_idx = 0
+            if cfg.weighted_pred:
+                sh.wp = self._pick_weights(sh)
 
         plan = FramePlan(poc=self.poc, width=sps.width, height=sps.height,
                          bit_depth=sps.bit_depth,
@@ -411,6 +417,32 @@ class Encoder:
             cu.tt = self._plan_tt(log2, 0, intra_split=False, is_intra=False,
                                   part_mode=cu.part_mode)
         return cu
+
+    def _pick_weights(self, sh):
+        from ..decoder.slice import WPTable
+        rng = self.rng
+        wp = WPTable()
+        wp.luma_log2_denom = rng.randrange(0, 8)
+        wp.chroma_log2_denom = max(0, min(7, wp.luma_log2_denom + rng.randint(-2, 1)))
+        for lst in range(2):
+            for i in range(max(sh.num_ref_idx[lst], 1)):
+                if rng.random() < 0.6:
+                    wp.luma_weight[lst].append(
+                        (1 << wp.luma_log2_denom) + rng.randint(-3, 3))
+                    wp.luma_offset[lst].append(rng.randint(-20, 20))
+                else:
+                    wp.luma_weight[lst].append(1 << wp.luma_log2_denom)
+                    wp.luma_offset[lst].append(0)
+                if rng.random() < 0.6:
+                    cw = tuple((1 << wp.chroma_log2_denom) + rng.randint(-3, 3)
+                               for _ in range(2))
+                    co = tuple(rng.randint(-20, 20) for _ in range(2))
+                else:
+                    cw = (1 << wp.chroma_log2_denom,) * 2
+                    co = (0, 0)
+                wp.chroma_weight[lst].append(cw)
+                wp.chroma_offset[lst].append(co)
+        return wp
 
     def sh_refs(self):
         return sorted(self.dpb.frames, reverse=True)[:self.cfg.max_refs] or [0]

@@ -39,11 +39,14 @@ _PARAM_FIELDS = [
     "ctb_width", "ctb_height", "mtb_w", "mtb_h",
     "has_collocated", "col_poc", "first_ctb_ts", "last_ctb_ts",
     "init_state", "ctx_load", "wpp_save_ctx",
+    "has_wp", "wp_denom_y", "wp_denom_c",
 ]
 
 
 class SliceParams(ctypes.Structure):
-    _fields_ = [(f, ctypes.c_int32) for f in _PARAM_FIELDS]
+    _fields_ = [(f, ctypes.c_int32) for f in _PARAM_FIELDS] + \
+        [("wp_w", ctypes.c_int32 * 3 * 16 * 2),
+         ("wp_o", ctypes.c_int32 * 3 * 16 * 2)]
 
 
 def _source_hash():
@@ -135,6 +138,18 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
     p.cur_poc = cur_poc
     p.init_type = init_type
     p.ctb_width, p.ctb_height = sps.ctb_width, sps.ctb_height
+    if sh.wp is not None:
+        p.has_wp = 1
+        p.wp_denom_y = sh.wp.luma_log2_denom
+        p.wp_denom_c = sh.wp.chroma_log2_denom
+        for lst in range(2):
+            for i in range(len(sh.wp.luma_weight[lst])):
+                p.wp_w[lst][i][0] = sh.wp.luma_weight[lst][i]
+                p.wp_o[lst][i][0] = sh.wp.luma_offset[lst][i]
+                p.wp_w[lst][i][1] = sh.wp.chroma_weight[lst][i][0]
+                p.wp_o[lst][i][1] = sh.wp.chroma_offset[lst][i][0]
+                p.wp_w[lst][i][2] = sh.wp.chroma_weight[lst][i][1]
+                p.wp_o[lst][i][2] = sh.wp.chroma_offset[lst][i][1]
     zs = pps.min_tb_addr_zs
     p.mtb_h, p.mtb_w = zs.shape
 
@@ -233,7 +248,8 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
             raise RuntimeError(f"native front-end error {out_sizes[2]}")
         # level offsets inside this segment's ops are relative; rebase them
         if lv_total:
-            _rebase_levels(ops[ops_total:ops_total + out_sizes[0]], lv_total)
+            _rebase_levels(ops[ops_total:ops_total + out_sizes[0]], lv_total,
+                           has_wp=bool(p.has_wp))
         ops_total += out_sizes[0]
         lv_total += out_sizes[1]
     return dict(ops=ops[:ops_total], levels=levels[:lv_total],
@@ -242,7 +258,7 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
                 qp_y_tab=qp_y_tab, pcm_map=pcm_map, sao=sao_out)
 
 
-def _rebase_levels(ops, delta):
+def _rebase_levels(ops, delta, has_wp=False):
     i = 0
     n = len(ops)
     while i < n:
@@ -253,12 +269,12 @@ def _rebase_levels(ops, delta):
             ops[i + 7] += delta
             i += 8
         elif t == 3:
-            i += 12
+            i += 12 + (14 if has_wp else 0)
         else:
             raise ValueError("bad op tag")
 
 
-def ops_to_plan_ops(raw_ops, raw_levels, sps):
+def ops_to_plan_ops(raw_ops, raw_levels, sps, has_wp=False):
     """Convert the flat native op stream to plan op objects."""
     from ..decoder.plan import IntraOp, ResidualOp, InterOp
     out = []
@@ -304,8 +320,16 @@ def ops_to_plan_ops(raw_ops, raw_levels, sps):
                               int(o[i+4]), int(o[i+5]))
             l0 = (int(o[i+6]), int(o[i+7]), int(o[i+8])) if pf & 1 else None
             l1 = (int(o[i+9]), int(o[i+10]), int(o[i+11])) if pf & 2 else None
-            out.append(InterOp(c_idx=-1, x=x, y=y, w=w, h=h, l0=l0, l1=l1))
             i += 12
+            weights = None
+            if has_wp:
+                dy, dc = int(o[i]), int(o[i+1])
+                s0 = tuple(int(v) for v in o[i+2:i+8])
+                s1 = tuple(int(v) for v in o[i+8:i+14])
+                weights = (dy, dc, s0, s1)
+                i += 14
+            out.append(InterOp(c_idx=-1, x=x, y=y, w=w, h=h, l0=l0, l1=l1,
+                               weights=weights))
         else:
             raise ValueError(f"bad op tag {t} at {i}")
     return out

@@ -110,6 +110,9 @@ struct SliceParams {                 // keep in sync with native/__init__.py
     int32_t init_state;                  // 1 = clear persistent syntax state
     int32_t ctx_load;                    // 1 = load contexts from ctx_io
     int32_t wpp_save_ctx;                // 1 = save ctx after 2nd CTB
+    int32_t has_wp, wp_denom_y, wp_denom_c;
+    int32_t wp_w[2][16][3];              // [list][ref][y/cb/cr] weights
+    int32_t wp_o[2][16][3];              // offsets
 };
 
 struct Ctx {
@@ -955,11 +958,28 @@ static void code_mvd(Ctx &c, int mvd[2]) {
 
 static void emit_inter_op(Ctx &c, int x0, int y0, int w, int h,
                           const MvField &f) {
+    const SliceParams *p = c.p;
     store_mvf(c, x0, y0, w, h, f);
     emit(c, 3); emit(c, x0); emit(c, y0); emit(c, w); emit(c, h);
     emit(c, f.pred);
     emit(c, f.poc[0]); emit(c, f.mv[0][0]); emit(c, f.mv[0][1]);
     emit(c, f.poc[1]); emit(c, f.mv[1][0]); emit(c, f.mv[1][1]);
+    if (p->has_wp) {
+        emit(c, p->wp_denom_y); emit(c, p->wp_denom_c);
+        for (int lst = 0; lst < 2; lst++) {
+            int use = f.pred & (1 << lst);
+            int ri = f.ref_idx[lst];
+            for (int comp = 0; comp < 3; comp++) {
+                int d = comp == 0 ? p->wp_denom_y : p->wp_denom_c;
+                if (use) {
+                    emit(c, p->wp_w[lst][ri][comp]);
+                    emit(c, p->wp_o[lst][ri][comp]);
+                } else {
+                    emit(c, 1 << d); emit(c, 0);
+                }
+            }
+        }
+    }
 }
 
 static void code_prediction_unit(Ctx &c, CuInfo &cu, int x0, int y0, int w,

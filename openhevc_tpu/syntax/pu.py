@@ -572,7 +572,26 @@ def _emit_inter_op(st, x0, y0, w, h, f: MvField):
     _store_mvf(st, x0, y0, w, h, f)
     l0 = (f.poc[0], f.mv[0][0], f.mv[0][1]) if f.pred_flag & PF_L0 else None
     l1 = (f.poc[1], f.mv[1][0], f.mv[1][1]) if f.pred_flag & PF_L1 else None
-    st.plan.ops.append(InterOp(c_idx=-1, x=x0, y=y0, w=w, h=h, l0=l0, l1=l1))
+    weights = None
+    wp = st.sh.wp
+    if wp is not None:
+        def side(lst):
+            if lst == 0 and not (f.pred_flag & PF_L0):
+                return (1 << wp.luma_log2_denom, 0,
+                        1 << wp.chroma_log2_denom, 0,
+                        1 << wp.chroma_log2_denom, 0)
+            if lst == 1 and not (f.pred_flag & PF_L1):
+                return (1 << wp.luma_log2_denom, 0,
+                        1 << wp.chroma_log2_denom, 0,
+                        1 << wp.chroma_log2_denom, 0)
+            ri = f.ref_idx[lst]
+            return (wp.luma_weight[lst][ri], wp.luma_offset[lst][ri],
+                    wp.chroma_weight[lst][ri][0], wp.chroma_offset[lst][ri][0],
+                    wp.chroma_weight[lst][ri][1], wp.chroma_offset[lst][ri][1])
+        weights = (wp.luma_log2_denom, wp.chroma_log2_denom,
+                   side(0), side(1))
+    st.plan.ops.append(InterOp(c_idx=-1, x=x0, y=y0, w=w, h=h, l0=l0, l1=l1,
+                               weights=weights))
     _compute_pu_bs(st, x0, y0, w, h)
 
 

@@ -65,7 +65,10 @@ class TpuBackend:
                              pf=np.ones(8, np.int32), s0=np.zeros(8, np.int32),
                              mvx0=np.zeros(8, np.int32), mvy0=np.zeros(8, np.int32),
                              s1=np.zeros(8, np.int32), mvx1=np.zeros(8, np.int32),
-                             mvy1=np.zeros(8, np.int32))
+                             mvy1=np.zeros(8, np.int32),
+                             wden=np.zeros((8, 2), np.int32),
+                             w0=np.tile(np.array([1, 0, 1, 0, 1, 0], np.int32), (8, 1)),
+                             w1=np.tile(np.array([1, 0, 1, 0, 1, 0], np.int32), (8, 1)))
                     valid = np.zeros(8, bool)
                 else:
                     b, valid = pad_batch(batch)

@@ -78,13 +78,26 @@ def frame_step(refs, inter, slots, maps, sao_maps, prof):
                             wc, hc, c == 0, bd)
             val1 = mc_batch(refs[c], b["s1"], xs, ys, b["mvx1"], b["mvy1"],
                             wc, hc, c == 0, bd)
-            shift_u = 14 - bd
-            shift_b = 15 - bd
             maxv = (1 << bd) - 1
-            uni_src = jnp.where((b["pf"] == 1)[:, None, None], val0, val1)
-            uni = jnp.clip((uni_src + (1 << (shift_u - 1))) >> shift_u, 0, maxv)
-            bi = jnp.clip((val0 + val1 + (1 << (shift_b - 1))) >> shift_b,
-                          0, maxv)
+            is_l0 = (b["pf"] == 1)[:, None, None]
+            denom = b["wden"][:, 0 if c == 0 else 1][:, None, None]
+            ci = 0 if c == 0 else (2 if c == 1 else 4)
+            wx0 = b["w0"][:, ci][:, None, None]
+            ox0 = (b["w0"][:, ci + 1] * (1 << (bd - 8)))[:, None, None]
+            wx1 = b["w1"][:, ci][:, None, None]
+            ox1 = (b["w1"][:, ci + 1] * (1 << (bd - 8)))[:, None, None]
+            # weighted uni (identity weights reproduce the unweighted path)
+            shift_u = denom + (14 - bd)
+            srcu = jnp.where(is_l0, val0, val1)
+            wxu = jnp.where(is_l0, wx0, wx1)
+            oxu = jnp.where(is_l0, ox0, ox1)
+            uni = jnp.clip(((srcu * wxu + (1 << (shift_u - 1))) >> shift_u)
+                           + oxu, 0, maxv)
+            # weighted bi
+            log2wd = denom + (15 - bd) - 1
+            bi = jnp.clip((val0 * wx0 + val1 * wx1 +
+                           ((ox0 + ox1 + (1 << (bd - 8))) << log2wd >>
+                            (bd - 8))) >> (log2wd + 1), 0, maxv)
             vals = jnp.where((b["pf"] == 3)[:, None, None], bi, uni)
             planes[c] = _scatter_set(planes[c], xs, ys, vals, valid)
 

@@ -60,8 +60,14 @@ def compile_plan(plan: FramePlan):
             s1 = poc_slot(op.l1[0]) if op.l1 else 0
             mv0 = (op.l0[1], op.l0[2]) if op.l0 else (0, 0)
             mv1 = (op.l1[1], op.l1[2]) if op.l1 else (0, 0)
+            if op.weights is not None:
+                dy, dc, w0, w1 = op.weights
+                wrow = (dy, dc) + w0 + w1
+            else:
+                wrow = (0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0)
             inter_rows[(op.w, op.h)].append(
-                (op.x, op.y, pf, s0, mv0[0], mv0[1], s1, mv1[0], mv1[1]))
+                (op.x, op.y, pf, s0, mv0[0], mv0[1], s1, mv1[0], mv1[1])
+                + wrow)
             # inter writes land in wave 0; the W grids start at 0 already
         elif isinstance(op, IntraOp):
             g = W[op.c_idx]
@@ -112,7 +118,8 @@ def compile_plan(plan: FramePlan):
         cp.inter[(w, h)] = dict(
             xs=a[:, 0], ys=a[:, 1], pf=a[:, 2],
             s0=a[:, 3], mvx0=a[:, 4], mvy0=a[:, 5],
-            s1=a[:, 6], mvx1=a[:, 7], mvy1=a[:, 8])
+            s1=a[:, 6], mvx1=a[:, 7], mvy1=a[:, 8],
+            wden=a[:, 9:11], w0=a[:, 11:17], w1=a[:, 17:23])
     for key, rows in intra_rows.items():
         a = np.asarray(rows, np.int32)
         cp.intra[key] = dict(xs=a[:, 0], ys=a[:, 1], modes=a[:, 2],

@@ -80,3 +80,8 @@ def test_ctb64_inter():
 def test_intra_in_p():
     _run(EncoderConfig(width=64, height=64, qp=30, p_intra_in_inter=0.5,
                        rng_seed=14), "IPPP", seed=11)
+
+
+def test_weighted_pred():
+    _run(EncoderConfig(width=96, height=64, qp=30, weighted_pred=True,
+                       rng_seed=15), "IPPBB", seed=12)

@@ -94,3 +94,8 @@ def test_native_wpp():
 def test_native_tiles():
     _run(EncoderConfig(width=128, height=96, qp=30, tiles=(2, 2),
                        rng_seed=87), "IP", 7)
+
+
+def test_native_weighted_pred():
+    _run(EncoderConfig(width=96, height=64, qp=30, weighted_pred=True,
+                       rng_seed=88), "IPPB", 8)

@@ -65,3 +65,13 @@ def test_tpu_inter_tmvp():
 def test_tpu_nxn_heavy():
     _run(EncoderConfig(width=64, height=64, qp=26, p_split=0.9, p_nxn=0.9,
                        rng_seed=38), "IP", seed=8)
+
+
+def test_tpu_weighted_pred():
+    _run(EncoderConfig(width=64, height=64, qp=30, weighted_pred=True,
+                       rng_seed=39), "IPB", seed=9)
+
+
+def test_tpu_wpp_tiles_streams():
+    _run(EncoderConfig(width=96, height=64, qp=30, wpp=True, rng_seed=40),
+         "IP", seed=10)
