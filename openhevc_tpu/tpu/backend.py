@@ -19,23 +19,19 @@ from .sao import build_sao_maps
 
 
 def _canonical_pu_sizes(ctb):
-    """All PU sizes the part modes can produce for CB sizes 8..ctb."""
-    sizes = set()
-    cb = 8
-    while cb <= ctb:
-        q = cb >> 2
-        for (gw, gh) in ((4, 4), (4, 2), (2, 4), (2, 2),
-                         (4, 1), (4, 3), (1, 4), (3, 4)):
-            w, h = gw * q, gh * q
-            if w >= 4 and h >= 4 and not (w == 4 and h == 4):
-                sizes.add((w, h))
-        cb <<= 1
-    return tuple(sorted(sizes))
+    """MC tile buckets (PUs are decomposed by plan_compile._tile_pu)."""
+    from .plan_compile import TILE_SIZES
+    return TILE_SIZES
 
 
 class TpuBackend:
     def __init__(self, ctb_log2=None):
         self.ctb_log2 = ctb_log2
+        # sticky capacities: profiles grow monotonically, so the fused
+        # program recompiles only when a batch outgrows its previous bound
+        self._slot_caps = {}
+        self._inter_caps = {}
+        self._slot_T = {}
 
     def decode_frame(self, plan: FramePlan, dpb):
         args = self.prepare(plan, dpb)
@@ -72,6 +68,13 @@ class TpuBackend:
                     valid = np.zeros(8, bool)
                 else:
                     b, valid = pad_batch(batch)
+                    tgt = max(len(valid), self._inter_caps.get((w, h), 8))
+                    if tgt > len(valid):
+                        pad = tgt - len(valid)
+                        b = {k: np.concatenate(
+                            [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in b.items()}
+                        valid = np.concatenate([valid, np.zeros(pad, bool)])
+                    self._inter_caps[(w, h)] = len(valid)
                 b["valid"] = valid
                 inter[(w, h)] = {k: jnp.asarray(v) for k, v in b.items()}
                 inter_sizes.append((w, h))
@@ -80,7 +83,20 @@ class TpuBackend:
             refs = [jnp.zeros((1, 8, 8), jnp.int32) for _ in range(3)]
 
         # ---- wavefront slots ----
-        T, caps, data = schedule_slots(plan)
+        T, caps, data = schedule_slots(plan, min_caps=self._slot_caps)
+        self._slot_caps = dict(caps)
+        # sticky T per bucket class (pad with empty slots)
+        tkey = "T"
+        tmin = self._slot_T.get(tkey, 1)
+        if T < tmin:
+            pad = tmin - T
+            for k in data:
+                for kk in data[k]:
+                    d = data[k][kk]
+                    data[k][kk] = np.concatenate(
+                        [d, np.zeros((pad,) + d.shape[1:], d.dtype)])
+            T = tmin
+        self._slot_T[tkey] = T
         slot_keys = tuple(sorted(data.keys()))
         slots = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
                  for k, v in data.items()}

@@ -65,9 +65,12 @@ def compile_plan(plan: FramePlan):
                 wrow = (dy, dc) + w0 + w1
             else:
                 wrow = (0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0)
-            inter_rows[(op.w, op.h)].append(
-                (op.x, op.y, pf, s0, mv0[0], mv0[1], s1, mv1[0], mv1[1])
-                + wrow)
+            # decompose the PU into fixed tile sizes (MC is per-pixel
+            # independent, so tiles share the PU's motion/weights)
+            for (tx, ty, tw, th) in _tile_pu(op.x, op.y, op.w, op.h):
+                inter_rows[(tw, th)].append(
+                    (tx, ty, pf, s0, mv0[0], mv0[1], s1, mv1[0], mv1[1])
+                    + wrow)
             # inter writes land in wave 0; the W grids start at 0 already
         elif isinstance(op, IntraOp):
             g = W[op.c_idx]
@@ -133,6 +136,27 @@ def compile_plan(plan: FramePlan):
         levels = np.stack([r[4] for r in rows]).astype(np.int32)
         cp.residual[key] = dict(xs=xs, ys=ys, qp=qp, kind=kind, levels=levels)
     return cp
+
+
+TILE_SIZES = ((16, 16), (16, 4), (4, 16), (4, 4))
+
+
+def _tile_pu(x, y, w, h):
+    """Cover a (w, h) PU (dims multiples of 4) with fixed tile sizes."""
+    out = []
+    y16 = h - h % 16
+    x16 = w - w % 16
+    for ty in range(0, y16, 16):
+        for tx in range(0, x16, 16):
+            out.append((x + tx, y + ty, 16, 16))
+        for tx in range(x16, w, 4):
+            out.append((x + tx, y + ty, 4, 16))
+    for ty in range(y16, h, 4):
+        for tx in range(0, x16, 16):
+            out.append((x + tx, y + ty, 16, 4))
+        for tx in range(x16, w, 4):
+            out.append((x + tx, y + ty, 4, 4))
+    return out
 
 
 def pad_batch(arrs: dict, pad_to_pow2=True):

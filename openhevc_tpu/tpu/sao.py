@@ -29,11 +29,10 @@ def sao_plane(src, type_map, band_pos_map, eo_map, offset_map, bit_depth=8):
 
     # band: offset index = (src >> shift) - band_pos mod 32, in [0, 4) else 0
     band_idx = ((src >> shift) - band_pos_map) & 31
-    band_off = jnp.where(band_idx < 4,
-                         jnp.take_along_axis(
-                             offset_map, jnp.clip(band_idx + 1, 1, 4)[..., None],
-                             axis=2)[..., 0],
-                         0)
+    band_off = jnp.zeros_like(src)
+    for k in range(4):
+        band_off = band_off + jnp.where(band_idx == k,
+                                        offset_map[..., k + 1], 0)
     band_out = jnp.clip(src + band_off, 0, maxv)
 
     # edge: compare with the two neighbors per class
@@ -51,7 +50,9 @@ def sao_plane(src, type_map, band_pos_map, eo_map, offset_map, bit_depth=8):
         diff0 = jnp.sign(src - n0)
         diff1 = jnp.sign(src - n1)
         idx = _EDGE_IDX[diff0 + diff1 + 2]
-        off = jnp.take_along_axis(offset_map, idx[..., None], axis=2)[..., 0]
+        off = jnp.zeros_like(src)
+        for k in range(1, 5):
+            off = off + jnp.where(idx == k, offset_map[..., k], 0)
         filt = jnp.clip(src + off, 0, maxv)
         # picture borders copy (spec: offset 0 outside; reference borders[])
         if cls != 1:        # not vertical: left/right borders copy

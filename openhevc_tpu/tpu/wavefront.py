@@ -42,13 +42,14 @@ def canonical_keys(chroma_format_idc):
     return tuple(sorted(keys))
 
 
-def schedule_slots(plan):
+def schedule_slots(plan, min_caps=None):
     """Pack intra/residual ops into balanced dependency slots.
 
     Returns (T, caps, data) where data[(phase, c, n)] is a dict of numpy
     arrays with leading dims (T, C) over the canonical key set (empty keys
     get capacity-8 all-invalid batches).  T is padded to a power of two.
-    Inter ops are not included (wave 0, handled separately).
+    min_caps: sticky per-key capacity floor (stabilizes the jit profile
+    across frames).  Inter ops are not included (wave 0 elsewhere).
     """
     hs = 1 if plan.chroma_format_idc in (1, 2) else 0
     vs = 1 if plan.chroma_format_idc == 1 else 0
@@ -92,6 +93,9 @@ def schedule_slots(plan):
         nat_waves = max(nat_waves, wave + 1)
 
     caps = {k: _pow2(max(8, -(-v // nat_waves) * 2)) for k, v in counts.items()}
+    if min_caps:
+        for k, v in min_caps.items():
+            caps[k] = max(caps.get(k, 8), v)
 
     # second pass: greedy slot packing with capacity limits
     for g in W:
