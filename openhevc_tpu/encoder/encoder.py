@@ -49,6 +49,7 @@ class EncoderConfig:
     wpp: bool = False
     tiles: tuple = None          # (num_cols, num_rows) or None
     weighted_pred: bool = False
+    cu_qp_delta: bool = False
     strong_intra_smoothing: bool = True
     rng_seed: int = 1234
     # probability knobs for syntax coverage
@@ -99,6 +100,9 @@ class Encoder:
         if cfg.weighted_pred:
             self.pps.weighted_pred = 1
             self.pps.weighted_bipred = 1
+        if cfg.cu_qp_delta:
+            self.pps.cu_qp_delta_enabled = 1
+            self.pps.diff_cu_qp_delta_depth = self.rng.randrange(0, 3)
         if not cfg.deblock:
             self.pps.deblocking_filter_control_present = 1
             self.pps.deblocking_filter_disabled = 1
@@ -305,7 +309,10 @@ class Encoder:
     def _plan_cu(self, x0, y0, log2) -> CUData:
         cfg, sps, rng = self.cfg, self.sps, self.rng
         if self._slice_type != I_SLICE:
-            return self._plan_inter_cu(x0, y0, log2)
+            cu = self._plan_inter_cu(x0, y0, log2)
+            if cfg.cu_qp_delta:
+                cu.cu_qp_delta = rng.choice([0, 0, 1, -1, 3, -4])
+            return cu
         cu = CUData(pred_mode=MODE_INTRA)
         nxn = (log2 == sps.log2_min_cb_size and rng.random() < cfg.p_nxn)
         cu.part_mode = PART_NxN if nxn else PART_2Nx2N
@@ -327,6 +334,8 @@ class Encoder:
         else:
             cu.intra_mode_c = cu.intra_modes[0]
         cu.tt = self._plan_tt(log2, 0, intra_split=nxn)
+        if cfg.cu_qp_delta:
+            cu.cu_qp_delta = rng.choice([0, 0, 1, -1, 3, -4])
         return cu
 
     def _pick_luma_mode(self):

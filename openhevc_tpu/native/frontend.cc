@@ -148,7 +148,8 @@ struct Ctx {
     int ctb_left, ctb_up, ctb_upleft, ctb_upright;
     int end_of_tiles_x, end_of_tiles_y;
     int boundary_up, boundary_left; // slice|tile<<1
-    int qp_y;
+    int qp_y, qp_y_pred, first_qp_group, is_cu_qp_delta_coded, cu_qp_delta;
+    int cur_cu_x0, cur_cu_y0;
     int ct_depth_cur;
     int min_cb_w, min_cb_h, w4, h4, w8, h8;
     int err;
@@ -176,9 +177,13 @@ static void decode_neighbour(Ctx &c, int x_ctb, int y_ctb, int ctb_ts) {
     int in_slice = rs - p->slice_addr;
     c.slice_addr_tab[rs] = p->slice_addr;
 
-    if (p->entropy_coding_sync) c.end_of_tiles_x = p->width;
+    if (p->entropy_coding_sync) {
+        if (x_ctb == 0) c.first_qp_group = 1;
+        c.end_of_tiles_x = p->width;
+    }
     else if (p->tiles_enabled) {
         if (ctb_ts && c.tile_id[ctb_ts] != c.tile_id[ctb_ts - 1]) {
+            c.first_qp_group = 1;
             // find the tile column width: walk right until tile id changes
             int cx = x_ctb >> p->log2_ctb;
             int wcols = 0;
@@ -1233,6 +1238,56 @@ static void emit_resid_op(Ctx &c, int c_idx, int x, int y, int log2n, int qp,
 // transform tree / unit (syntax/ctu.py)
 // ---------------------------------------------------------------------------
 
+static int get_qpy_pred(Ctx &c, int x_base, int y_base) {
+    const SliceParams *p = c.p;
+    int ctb_mask = (1 << p->log2_ctb) - 1;
+    int qg_mask = (1 << (p->log2_ctb - p->diff_cu_qp_delta_depth)) - 1;
+    int xqg = x_base - (x_base & qg_mask);
+    int yqg = y_base - (y_base & qg_mask);
+    int x_cb = xqg >> p->log2_min_cb;
+    int y_cb = yqg >> p->log2_min_cb;
+    int avail_a = (x_base & ctb_mask) && (xqg & ctb_mask);
+    int avail_b = (y_base & ctb_mask) && (yqg & ctb_mask);
+    int pred;
+    if (c.first_qp_group || (!xqg && !yqg)) {
+        c.first_qp_group = !c.is_cu_qp_delta_coded;
+        pred = p->slice_qp;
+    } else pred = c.qp_y_pred;
+    int qp_a = avail_a ? c.qp_y_tab[(int64_t)y_cb * c.min_cb_w + x_cb - 1] : pred;
+    int qp_b = avail_b ? c.qp_y_tab[(int64_t)(y_cb - 1) * c.min_cb_w + x_cb] : pred;
+    return (qp_a + qp_b + 1) >> 1;
+}
+
+static void set_qpy(Ctx &c, int x_base, int y_base, int delta) {
+    int pred = get_qpy_pred(c, x_base, y_base);
+    int off = c.p->qp_bd_offset;
+    if (delta) {
+        int m = 52 + off;
+        int v = (pred + delta + 52 + 2 * off) % m;
+        c.qp_y = v - off;
+    } else c.qp_y = pred;
+}
+
+static void decode_cu_qp_delta(Ctx &c, CuInfo &cu) {
+    Cabac &cc = c.cc;
+    int prefix = 0;
+    int inc = 0;
+    while (prefix < 5 && cc.decode_bin(CTX_CU_QP_DELTA + inc)) {
+        prefix++;
+        inc = 1;
+    }
+    int val;
+    if (prefix >= 5) {
+        int k = 0;
+        while (k < 31 && cc.bypass()) k++;
+        val = (1 << k) + 4 + (int)cc.bypass_bits(k);
+    } else val = prefix;
+    if (val && cc.bypass()) val = -val;
+    c.cu_qp_delta = val;
+    c.is_cu_qp_delta_coded = 1;
+    set_qpy(c, c.cur_cu_x0, c.cur_cu_y0, val);
+}
+
 static void code_transform_unit(Ctx &c, CuInfo &cu, int x0, int y0,
                                 int x_base, int y_base, int log2_tt,
                                 int depth, int blk_idx, int cbf_luma,
@@ -1262,7 +1317,8 @@ static void code_transform_unit(Ctx &c, CuInfo &cu, int x0, int y0,
     }
 
     if (any_cbf) {
-        // (cu_qp_delta unsupported in native path for now)
+        if (p->cu_qp_delta_enabled && !c.is_cu_qp_delta_coded)
+            decode_cu_qp_delta(c, cu);
         int qp_y = c.qp_y + p->qp_bd_offset;
         if (cbf_luma) {
             int tskip = decode_residual(c, 0, log2_tt, scan_idx,
@@ -1496,6 +1552,7 @@ static void code_cu(Ctx &c, int x0, int y0, int log2_cb, int depth) {
     CuInfo cu;
     memset(&cu, 0, sizeof(cu));
     cu.x0 = x0; cu.y0 = y0; cu.log2 = log2_cb;
+    c.cur_cu_x0 = x0; c.cur_cu_y0 = y0;
     cu.pred_mode = 1;
     cu.rqt_root_cbf = 1;
 
@@ -1561,11 +1618,16 @@ static void code_cu(Ctx &c, int x0, int y0, int log2_cb, int depth) {
             compute_bs(c, x0, y0, log2_cb);
         }
     }
+    if (p->cu_qp_delta_enabled && !c.is_cu_qp_delta_coded)
+        set_qpy(c, x0, y0, 0);
     for (int y = y_cb; y < y_cb + length; y++)
         for (int x = x_cb; x < x_cb + length; x++) {
             c.qp_y_tab[(int64_t)y * c.min_cb_w + x] = (int8_t)c.qp_y;
             c.ct_depth[(int64_t)y * c.min_cb_w + x] = (uint8_t)depth;
         }
+    int qg_mask = (1 << (p->log2_ctb - p->diff_cu_qp_delta_depth)) - 1;
+    if (((x0 + cb_size) & qg_mask) == 0 && ((y0 + cb_size) & qg_mask) == 0)
+        c.qp_y_pred = c.qp_y;
 }
 
 static void code_quadtree(Ctx &c, int x0, int y0, int log2_cb, int depth) {
@@ -1574,6 +1636,11 @@ static void code_quadtree(Ctx &c, int x0, int y0, int log2_cb, int depth) {
     int can_split = log2_cb > p->log2_min_cb;
     int inside = x0 + (1 << log2_cb) <= p->width &&
                  y0 + (1 << log2_cb) <= p->height;
+    if (p->cu_qp_delta_enabled &&
+        log2_cb >= p->log2_ctb - p->diff_cu_qp_delta_depth) {
+        c.is_cu_qp_delta_coded = 0;
+        c.cu_qp_delta = 0;
+    }
     int split;
     if (inside && can_split) {
         int mask = (1 << p->log2_ctb) - 1;
@@ -1699,6 +1766,8 @@ extern "C" int64_t decode_slice_data(
     c.w4 = p->width >> 2; c.h4 = p->height >> 2;
     c.w8 = p->width >> 3; c.h8 = p->height >> 3;
     c.qp_y = p->slice_qp;
+    c.qp_y_pred = p->slice_qp;
+    c.first_qp_group = p->init_state ? 1 : 0;
     c.end_of_tiles_x = p->width;
     c.end_of_tiles_y = p->height;
 

@@ -147,6 +147,8 @@ class FrameState:
         self.qp_y = sh.slice_qp
         self.qp_y_pred = sh.slice_qp
         self.is_cu_qp_delta_coded = 0
+        self.cu_qp_delta = 0
+        self.first_qp_group = 1
         # motion field at 4x4 granularity (TEST_MV_POC layout)
         h4, w4 = h >> 2, w >> 2
         self.mvf_mv = np.zeros((h4, w4, 2, 2), np.int32)
@@ -182,9 +184,12 @@ class FrameState:
         self.tab_slice_address[ctb_addr_rs] = self.sh.slice_addr
 
         if pps.entropy_coding_sync_enabled:
+            if x_ctb == 0:
+                self.first_qp_group = 1
             self.end_of_tiles_x = sps.width
         elif pps.tiles_enabled:
             if ctb_addr_ts and pps.tile_id[ctb_addr_ts] != pps.tile_id[ctb_addr_ts - 1]:
+                self.first_qp_group = 1
                 idx = int(np.searchsorted(pps.col_bd, x_ctb >> sps.log2_ctb_size,
                                           side="right")) - 1
                 self.end_of_tiles_x = x_ctb + (pps._col_width[idx] << sps.log2_ctb_size)
@@ -437,6 +442,11 @@ def code_quadtree(io: CabacIO, st: FrameState, x0, y0, log2_cb, depth,
         node.split = 0
         split = 0
 
+    if st.pps.cu_qp_delta_enabled and \
+            log2_cb >= sps.log2_ctb_size - st.pps.diff_cu_qp_delta_depth:
+        st.is_cu_qp_delta_coded = 0
+        st.cu_qp_delta = 0
+
     if split:
         if node.children is None:
             node.children = [CQTNode() for _ in range(4)]
@@ -456,6 +466,7 @@ def code_quadtree(io: CabacIO, st: FrameState, x0, y0, log2_cb, depth,
 
 def code_cu(io: CabacIO, st: FrameState, x0, y0, log2_cb, depth, cu: CUData):
     sps, pps, sh = st.sps, st.pps, st.sh
+    cu.x0, cu.y0 = x0, y0
     cb_size = 1 << log2_cb
     x_cb = x0 >> sps.log2_min_cb_size
     y_cb = y0 >> sps.log2_min_cb_size
@@ -528,8 +539,13 @@ def code_cu(io: CabacIO, st: FrameState, x0, y0, log2_cb, depth, cu: CUData):
             else:
                 _mark_cu_edges(st, x0, y0, cb_size)
 
+    if pps.cu_qp_delta_enabled and not st.is_cu_qp_delta_coded:
+        set_qpy(st, x0, y0, 0)
     st.qp_y_tab[y_cb:y_cb + length, x_cb:x_cb + length] = st.qp_y
     st.ct_depth[y_cb:y_cb + length, x_cb:x_cb + length] = depth
+    qg_mask = (1 << (sps.log2_ctb_size - pps.diff_cu_qp_delta_depth)) - 1
+    if ((x0 + cb_size) & qg_mask) == 0 and ((y0 + cb_size) & qg_mask) == 0:
+        st.qp_y_pred = st.qp_y
 
 
 def _code_part_mode(io: CabacIO, st: FrameState, cu: CUData, log2_cb) -> int:
@@ -1028,6 +1044,37 @@ def _code_residual(io: CabacIO, st: FrameState, cu: CUData, c_idx, log2_size,
     return supply_levels, bool(supply_tskip)
 
 
+def get_qpy_pred(st: FrameState, x_base, y_base):
+    """spec 8.6.1 / reference get_qPy_pred (hevc_filter.c:91)."""
+    sps, pps = st.sps, st.pps
+    ctb_mask = sps.ctb_size - 1
+    qg_mask = (1 << (sps.log2_ctb_size - pps.diff_cu_qp_delta_depth)) - 1
+    xqg = x_base - (x_base & qg_mask)
+    yqg = y_base - (y_base & qg_mask)
+    x_cb = xqg >> sps.log2_min_cb_size
+    y_cb = yqg >> sps.log2_min_cb_size
+    avail_a = (x_base & ctb_mask) and (xqg & ctb_mask)
+    avail_b = (y_base & ctb_mask) and (yqg & ctb_mask)
+    if st.first_qp_group or (not xqg and not yqg):
+        st.first_qp_group = int(not st.is_cu_qp_delta_coded)
+        pred = st.sh.slice_qp
+    else:
+        pred = st.qp_y_pred
+    qp_a = int(st.qp_y_tab[y_cb, x_cb - 1]) if avail_a else pred
+    qp_b = int(st.qp_y_tab[y_cb - 1, x_cb]) if avail_b else pred
+    return (qp_a + qp_b + 1) >> 1
+
+
+def set_qpy(st: FrameState, x_base, y_base, delta):
+    """reference ff_hevc_set_qPy (hevc_filter.c:131)."""
+    pred = get_qpy_pred(st, x_base, y_base)
+    off = st.sps.qp_bd_offset
+    if delta:
+        st.qp_y = ((pred + delta + 52 + 2 * off) % (52 + off)) - off
+    else:
+        st.qp_y = pred
+
+
 def _code_cu_qp_delta(io: CabacIO, st: FrameState, cu: CUData):
     supply = not io.decoding
     want = cu.cu_qp_delta if supply else None
@@ -1056,8 +1103,7 @@ def _code_cu_qp_delta(io: CabacIO, st: FrameState, cu: CUData):
         val = -val if sign else val
     cu.cu_qp_delta = val
     st.is_cu_qp_delta_coded = 1
-    # qp prediction update (simplified: previous qp in decode order)
-    st.qp_y = st.qp_y_pred + val
+    set_qpy(st, cu.x0, cu.y0, val)
     return val
 
 

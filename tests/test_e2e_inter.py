@@ -85,3 +85,8 @@ def test_intra_in_p():
 def test_weighted_pred():
     _run(EncoderConfig(width=96, height=64, qp=30, weighted_pred=True,
                        rng_seed=15), "IPPBB", seed=12)
+
+
+def test_cu_qp_delta():
+    _run(EncoderConfig(width=96, height=64, qp=30, cu_qp_delta=True,
+                       rng_seed=16), "IPPB", seed=13)

@@ -99,3 +99,13 @@ def test_native_tiles():
 def test_native_weighted_pred():
     _run(EncoderConfig(width=96, height=64, qp=30, weighted_pred=True,
                        rng_seed=88), "IPPB", 8)
+
+
+def test_native_cu_qp_delta():
+    _run(EncoderConfig(width=96, height=64, qp=30, cu_qp_delta=True,
+                       rng_seed=89), "IPP", 9)
+
+
+def test_native_cu_qp_delta_wpp():
+    _run(EncoderConfig(width=96, height=96, qp=33, cu_qp_delta=True, wpp=True,
+                       rng_seed=90), "IP", 10)
