@@ -163,6 +163,8 @@ class OpenHevcDecoder:
         if self._output_queue[self._out_idx:]:
             self._current = self._output_queue[self._out_idx]
             self._out_idx += 1
+            if self._check_md5:
+                self._verify_md5(self._current)
             return 1
         return 0
 
