@@ -104,20 +104,30 @@ class OpenHevcDecoder:
         if not data:
             return self._flush_one()
         got = 0
+
+        def emit(plan):
+            frame = self._reconstruct(plan)
+            self.dpb.add(frame)
+            self._reorder.append(frame)
+            return 1
+
         for nal in split_annexb(data):
             if nalmod.is_vcl(nal.type):
                 if nal.temporal_id > self._temporal_layer_id:
                     continue
-                if nalmod.is_idr(nal.type):
-                    self._drain_reorder()
-                    self.dpb.clear()
+                if nal.rbsp[0] >> 7:            # first slice of a picture
+                    plan = self.fe.end_picture()
+                    if plan is not None:
+                        got = emit(plan)
+                    if nalmod.is_idr(nal.type):
+                        self._drain_reorder()
+                        self.dpb.clear()
             plan = self.fe.decode_nal(nal)
-            if plan is None:
-                continue
-            frame = self._reconstruct(plan)
-            self.dpb.add(frame)
-            self._reorder.append(frame)
-            got = 1
+            if plan is not None:
+                got = emit(plan)
+        plan = self.fe.end_picture()
+        if plan is not None:
+            got = emit(plan)
         if got:
             self._bump()
         if self._output_queue[self._out_idx:]:

@@ -84,16 +84,45 @@ class CabacDecoder:
         """Bytes consumed so far (rounded up), for entry-point bookkeeping."""
         return (self.bitpos + 7) >> 3
 
+    # -- PCM (spec 7.3.8.7 pcm_sample / 9.3.1 re-initialization) ------------
+    #
+    # After pcm_flag decodes as 1 (terminate bin, no renorm), the PCM payload
+    # starts at the next byte boundary: the encoder's flush (terminate-1 shift
+    # + remaining low bits + stop bit + alignment zeros) writes exactly
+    # ceil(consumed_bits/8)*8 bits, because encoder renorm output and decoder
+    # renorm consumption track the same range trajectory.  Mirrors the
+    # reference's skip_bytes() position recovery (cabac_functions.h).
+
+    def pcm_align(self):
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def read_raw(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self._bit()
+        return v
+
+    def pcm_reinit(self):
+        """Byte-align past the PCM payload and re-init the arithmetic engine
+        (contexts are NOT reset; spec 9.3.1)."""
+        self.pcm_align()
+        self.init_engine()
+
 
 class CabacEncoder:
     """Arithmetic encoder producing a byte-aligned CABAC payload."""
 
     __slots__ = ("low", "range", "bits_left", "num_buffered", "buffered_byte",
-                 "out", "ctx")
+                 "out", "ctx", "_rawacc", "_rawn")
 
     def __init__(self, ctx: ContextSet = None):
         self.ctx = ctx
         self.out = bytearray()
+        self._rawacc = 0
+        self._rawn = 0
+        self._reset_engine()
+
+    def _reset_engine(self):
         self.low = 0
         self.range = 510
         self.bits_left = 23
@@ -178,6 +207,32 @@ class CabacEncoder:
         Caller must have encoded end_of_slice terminate bin = 1 immediately
         before (spec 9.3.4.4.5 then rbsp stop bit handled by caller's writer).
         """
+        self._flush_stop_align()
+        return bytes(self.out)
+
+    # -- PCM -----------------------------------------------------------------
+
+    def pcm_begin(self):
+        """Flush the arithmetic coder to a byte boundary after pcm_flag was
+        encoded as terminate-1 (HM encodePCMAlignBits: finish + stop bit +
+        zero alignment), keeping contexts for the post-PCM restart."""
+        self._flush_stop_align()
+        self._reset_engine()
+
+    def write_raw(self, value: int, n: int):
+        self._rawacc = (self._rawacc << n) | (value & ((1 << n) - 1))
+        self._rawn += n
+        while self._rawn >= 8:
+            self._rawn -= 8
+            self.out.append((self._rawacc >> self._rawn) & 0xFF)
+        self._rawacc &= (1 << self._rawn) - 1
+
+    def pcm_end(self):
+        if self._rawn:
+            self.out.append((self._rawacc << (8 - self._rawn)) & 0xFF)
+            self._rawacc = self._rawn = 0
+
+    def _flush_stop_align(self):
         if (self.low >> (32 - self.bits_left)) != 0:
             self.out.append((self.buffered_byte + 1) & 0xFF)
             for _ in range(self.num_buffered - 1):
@@ -205,4 +260,3 @@ class CabacEncoder:
             for j in range(8):
                 b = (b << 1) | bitbuf[i + j]
             self.out.append(b)
-        return bytes(self.out)

@@ -34,6 +34,7 @@ class Frontend:
         self.pps = None
         self.dpb = dpb
         self.sei_picture_hash = None
+        self._cur = None            # open (partially decoded) picture
 
     def decode_bytes(self, data: bytes):
         """Decode a whole annex-B stream -> list of FramePlan."""
@@ -42,6 +43,9 @@ class Frontend:
             plan = self.decode_nal(nal)
             if plan is not None:
                 plans.append(plan)
+        plan = self.end_picture()
+        if plan is not None:
+            plans.append(plan)
         return plans
 
     def decode_nal(self, nal):
@@ -60,7 +64,10 @@ class Frontend:
             try:
                 for kind, payload in parse_sei(nal.rbsp, t):
                     if kind == "picture_hash":
-                        self.sei_picture_hash = payload
+                        if self._cur is not None:       # suffix SEI
+                            self._cur["md5"] = payload
+                        else:                           # prefix SEI
+                            self.sei_picture_hash = payload
             except Exception:
                 pass        # non-hash SEIs are display metadata; ignore
         elif t in (nalmod.NAL_AUD, nalmod.NAL_EOS_NUT, nalmod.NAL_EOB_NUT,
@@ -87,7 +94,8 @@ class Frontend:
 
         sh = parse_slice_header(r, nal.type, sps, pps)
         if not sh.first_slice_in_pic:
-            raise NotImplementedError("multi-slice frames")
+            return self._continue_slice(nal, r, sps, pps, sh)
+        done = self.end_picture()       # emit the previous picture, if any
         poc = self._compute_poc(nal.type, sh, sps)
 
         plan = FramePlan(poc=poc, width=sps.width, height=sps.height,
@@ -105,7 +113,16 @@ class Frontend:
         elif sh.slice_type == B_SLICE:
             init_type = 1 if sh.cabac_init_flag else 2
 
-        st = FrameState(sps, pps, sh, plan, init_type=init_type)
+        # sticky pcm/bypass map (reference is_pcm is only cleared on SPS
+        # (re)activation, never per frame — see FrameState docstring)
+        if getattr(self, "_pcm_sps", None) is not sps:
+            self._pcm_sticky = np.zeros((sps.height >> 2, sps.width >> 2),
+                                        np.uint8)
+            self._pcm_sps = sps
+        st = FrameState(sps, pps, sh, plan, init_type=init_type,
+                        pcm_map=self._pcm_sticky)
+        if sps.scaling_list_enabled:
+            plan.scaling = self._scaling_factors(sps, pps)
         st.level_provider = None
         st.cur_poc = poc
         if sh.slice_type != I_SLICE:
@@ -122,63 +139,178 @@ class Frontend:
         assert r.byte_aligned()
         payload = nal.rbsp[r.pos >> 3:]
 
+        self._cur = dict(plan=plan, st=st, sps=sps, pps=pps, sh0=sh,
+                         sh_last=sh, init_type=init_type, native_pic=None,
+                         ctx_cont=None, md5=self.sei_picture_hash, next_ts=0)
+        self.sei_picture_hash = None
+        plan.slice_type = sh.slice_type
+        self.nal_type = nal.type
+        self._decode_slice_ctbs(sh, payload, init_type)
+        return done
+
+    def _continue_slice(self, nal, r, sps, pps, sh):
+        """Non-first slice segment of the current picture."""
+        cur = self._cur
+        assert cur is not None, "non-first slice without an open picture"
+        if sh.dependent_slice_segment:
+            # dependent segment: inherit everything but the segment address
+            # from the previous slice header (spec 7.4.7.1); CABAC contexts
+            # carry over (reference ff_hevc_cabac_init skips init_state)
+            import copy as _copy
+            prev = cur["sh_last"]
+            full = _copy.copy(prev)
+            full.first_slice_in_pic = 0
+            full.dependent_slice_segment = 1
+            full.slice_segment_addr = sh.slice_segment_addr
+            full.slice_addr = prev.slice_addr
+            full.num_entry_point_offsets = sh.num_entry_point_offsets
+            full.entry_point_offsets = sh.entry_point_offsets
+            sh = full
+        st = cur["st"]
+        assert sps is cur["sps"] and pps is cur["pps"], \
+            "parameter sets changed mid-picture"
+        # per-slice state reset (reference hls_slice_header side effects)
+        st.sh = sh
+        st.qp_y = sh.slice_qp
+        st.qp_y_pred = sh.slice_qp
+        st.first_qp_group = 1
+        st.is_cu_qp_delta_coded = 0
+        st.cu_qp_delta = 0
+        if sh.slice_type != I_SLICE:
+            st.rpl = construct_rpl(sh, cur["plan"].poc)
+            st.rpl_lt = [[False] * len(st.rpl[0]), [False] * len(st.rpl[1])]
+            if sh.temporal_mvp_enabled and self.dpb is not None and \
+                    st.rpl[sh.collocated_list]:
+                st.collocated_frame = self.dpb.get(
+                    st.rpl[sh.collocated_list][sh.collocated_ref_idx])
+        init_type = 0
+        if sh.slice_type == P_SLICE:
+            init_type = 2 if sh.cabac_init_flag else 1
+        elif sh.slice_type == B_SLICE:
+            init_type = 1 if sh.cabac_init_flag else 2
+        cur["sh_last"] = sh
+        assert r.byte_aligned()
+        payload = nal.rbsp[r.pos >> 3:]
+        self._decode_slice_ctbs(sh, payload, init_type)
+        return None
+
+    def _decode_slice_ctbs(self, sh, payload, init_type):
+        """Decode one slice segment's CTBs into the open picture."""
+        cur = self._cur
+        sps, pps, st = cur["sps"], cur["pps"], cur["st"]
+        ts0 = int(pps.ctb_addr_rs_to_ts[sh.slice_segment_addr])
+        assert ts0 == cur["next_ts"], \
+            f"slice starts at ts {ts0}, expected {cur['next_ts']}"
         if self.use_native:
-            self._decode_slice_native(nal, sps, pps, sh, poc, init_type,
-                                      payload, plan, st)
-        else:
-            from ..encoder.encoder import _substream_bounds
+            cur["next_ts"] = self._decode_slice_native(
+                sh, sps, pps, init_type, payload, cur) + 1
+            return
+        from ..encoder.encoder import _substream_bounds
+        nctbs = sps.pic_size_in_ctbs
+        if sh.entry_point_offsets:
             bounds = _substream_bounds(sps, pps)
             offsets = [0]
             for epo in sh.entry_point_offsets:
                 offsets.append(offsets[-1] + epo)
             offsets.append(len(payload))
             assert len(offsets) == len(bounds) + 1, "entry point count mismatch"
-            nctbs = sps.pic_size_in_ctbs
-            saved_ctx = None
-            for si, (ts0, ts1) in enumerate(bounds):
+        else:
+            bounds = [(ts0, nctbs - 1)]
+            offsets = [0, len(payload)]
+        saved_ctx = None
+        for si, (b0, b1) in enumerate(bounds):
+            if si == 0 and sh.dependent_slice_segment and \
+                    cur["ctx_cont"] is not None:
+                ctx = cur["ctx_cont"]       # contexts carry over
+            else:
                 ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
-                if si > 0 and pps.entropy_coding_sync_enabled and \
-                        sps.ctb_width > 1 and saved_ctx is not None:
-                    ctx.load(saved_ctx)
-                dec = CabacDecoder(payload[offsets[si]:offsets[si + 1]], ctx)
-                io = CabacIO(dec=dec)
-                for ts in range(ts0, ts1 + 1):
-                    rs = int(pps.ctb_addr_ts_to_rs[ts])
-                    x_ctb = (rs % sps.ctb_width) << sps.log2_ctb_size
-                    y_ctb = (rs // sps.ctb_width) << sps.log2_ctb_size
-                    code_ctu(io, st, x_ctb, y_ctb, ts)
-                    eos = io.terminate()
-                    if eos and ts != nctbs - 1:
+            if si > 0 and pps.entropy_coding_sync_enabled and \
+                    sps.ctb_width > 1 and saved_ctx is not None:
+                ctx.load(saved_ctx)
+            cur["ctx_cont"] = ctx
+            dec = CabacDecoder(payload[offsets[si]:offsets[si + 1]], ctx)
+            io = CabacIO(dec=dec)
+            for ts in range(b0, b1 + 1):
+                rs = int(pps.ctb_addr_ts_to_rs[ts])
+                x_ctb = (rs % sps.ctb_width) << sps.log2_ctb_size
+                y_ctb = (rs // sps.ctb_width) << sps.log2_ctb_size
+                code_ctu(io, st, x_ctb, y_ctb, ts)
+                eos = io.terminate()
+                if eos:
+                    if si != len(bounds) - 1 and ts != b1:
                         raise ValueError(f"premature end_of_slice at {ts}")
-                    if pps.entropy_coding_sync_enabled and ts == ts0 + 1:
-                        saved_ctx = ctx.save()
-            plan.qp_map = expand_qp_map(st, sps)
-            plan.vertical_bs = st.vertical_bs
-            plan.horizontal_bs = st.horizontal_bs
-            plan.sao = st.sao_ctbs if (sh.sao_luma or sh.sao_chroma) else None
-            plan.no_filter_map = st.is_pcm_or_bypass
-            plan.mvf_mv = st.mvf_mv
-            plan.mvf_poc = st.mvf_poc
-            plan.mvf_pred = st.mvf_pred
-            plan.mvf_ref_idx = st.mvf_ref_idx
-        plan.slice_type = sh.slice_type
-        self.nal_type = nal.type
+                    cur["next_ts"] = ts + 1
+                    return
+                if pps.entropy_coding_sync_enabled and ts == b0 + 1:
+                    saved_ctx = ctx.save()
+        raise ValueError("missing end_of_slice flag")
+
+    def end_picture(self):
+        """Finalize and return the open picture's FramePlan (or None)."""
+        cur = self._cur
+        if cur is None:
+            return None
+        self._cur = None
+        plan, st, sps = cur["plan"], cur["st"], cur["sps"]
+        sh0 = cur["sh0"]
+        plan.md5 = cur["md5"]
+        if cur["native_pic"] is not None:
+            self._finish_native(plan, sps, cur)
+            return plan
+        plan.qp_map = expand_qp_map(st, sps)
+        plan.vertical_bs = st.vertical_bs
+        plan.horizontal_bs = st.horizontal_bs
+        plan.sao = st.sao_ctbs if (sh0.sao_luma or sh0.sao_chroma) else None
+        plan.no_filter_map = st.is_pcm_or_bypass.copy()
+        plan.mvf_mv = st.mvf_mv
+        plan.mvf_poc = st.mvf_poc
+        plan.mvf_pred = st.mvf_pred
+        plan.mvf_ref_idx = st.mvf_ref_idx
         return plan
 
-    def _decode_slice_native(self, nal, sps, pps, sh, poc, init_type,
-                             payload, plan, st):
-        from ..native import decode_slice_native, ops_to_plan_ops
-        from .plan import CtbFilterParams
+    def _scaling_factors(self, sps, pps):
+        """Active ScalingFactor matrices (PPS lists override SPS; absent
+        explicit data means the spec default lists — hevc_cabac.c:1485)."""
+        key = (id(sps), id(pps))
+        if getattr(self, "_sf_key", None) != key:
+            from ..ps.scaling import ScalingList, build_scaling_factors
+            if pps.scaling_list_data_present and pps.scaling_list is not None:
+                sl = pps.scaling_list
+            elif sps.scaling_list is not None:
+                sl = sps.scaling_list
+            else:
+                sl = ScalingList()
+            self._sf = build_scaling_factors(sl)
+            self._sf_key = key
+        return self._sf
+
+    def _decode_slice_native(self, sh, sps, pps, init_type, payload, cur):
+        """One slice segment through the C front-end; returns last CTB ts."""
+        from ..native import decode_slice_native, alloc_pic_buffers
+        st, plan = cur["st"], cur["plan"]
         collocated = None
         if sh.temporal_mvp_enabled and self.dpb is not None and st.rpl and \
                 st.rpl[sh.collocated_list]:
             collocated = self.dpb.get(
                 st.rpl[sh.collocated_list][sh.collocated_ref_idx])
-        out = decode_slice_native(sps, pps, sh, nal.type, payload, poc,
-                                  st.rpl, collocated, init_type, 0,
-                                  sps.pic_size_in_ctbs - 1)
+        if cur["native_pic"] is None:
+            cur["native_pic"] = alloc_pic_buffers(sps, pps, sh,
+                                                  pcm_map=self._pcm_sticky)
+        ts0 = int(pps.ctb_addr_rs_to_ts[sh.slice_segment_addr])
+        out = decode_slice_native(sps, pps, sh, self.nal_type, payload,
+                                  plan.poc, st.rpl, collocated, init_type,
+                                  ts0, sps.pic_size_in_ctbs - 1,
+                                  pic=cur["native_pic"])
+        cur["native_out"] = out
+        return out["last_ts"]
+
+    def _finish_native(self, plan, sps, cur):
+        from ..native import ops_to_plan_ops
+        from .plan import CtbFilterParams
+        out = cur["native_out"]
+        sh0 = cur["sh0"]
         plan.ops = ops_to_plan_ops(out["ops"], out["levels"], sps,
-                                   has_wp=sh.wp is not None)
+                                   has_wp=sh0.wp is not None)
         rep = 1 << (sps.log2_min_cb_size - 3)
         qpm = out["qp_y_tab"].astype(np.int32)
         if rep > 1:
@@ -186,12 +318,12 @@ class Frontend:
         plan.qp_map = qpm
         plan.vertical_bs = out["vbs"]
         plan.horizontal_bs = out["hbs"]
-        plan.no_filter_map = out["pcm_map"]
+        plan.no_filter_map = out["pcm_map"].copy()
         plan.mvf_mv = out["mvf_mv"]
         plan.mvf_poc = out["mvf_poc"]
         plan.mvf_pred = out["mvf_pred"]
         plan.mvf_ref_idx = out["mvf_ref_idx"]
-        if sh.sao_luma or sh.sao_chroma:
+        if sh0.sao_luma or sh0.sao_chroma:
             sao = {}
             for rs in range(sps.pic_size_in_ctbs):
                 row = out["sao"][rs]
@@ -249,22 +381,28 @@ class Decoder:
         from ..bitstream.nal import split_annexb
         from ..bitstream import nal as nalmod
         out = []
-        last = None
         for nal in split_annexb(data):
-            if nalmod.is_vcl(nal.type) and nalmod.is_idr(nal.type):
-                self.dpb.clear()
-            plan = self.fe.decode_nal(nal)
-            if plan is not None:
-                frame = self._reconstruct(plan)
-                out.append(frame)
-                self.dpb.add(frame)
-                last = frame
-            if self.fe.sei_picture_hash is not None and last is not None:
-                if self.check_md5:
-                    self._verify_md5(last, self.fe.sei_picture_hash)
-                self.fe.sei_picture_hash = None
+            if nalmod.is_vcl(nal.type) and (nal.rbsp[0] >> 7):
+                # first slice of a new picture: emit the pending one first
+                # (its reconstruction may read refs an IDR clear would drop)
+                plan = self.fe.end_picture()
+                if plan is not None:
+                    out.append(self._emit(plan))
+                if nalmod.is_idr(nal.type):
+                    self.dpb.clear()
+            self.fe.decode_nal(nal)
+        plan = self.fe.end_picture()
+        if plan is not None:
+            out.append(self._emit(plan))
         out.sort(key=lambda f: f.poc)
         return out
+
+    def _emit(self, plan):
+        frame = self._reconstruct(plan)
+        self.dpb.add(frame)
+        if self.check_md5 and plan.md5 is not None:
+            self._verify_md5(frame, plan.md5)
+        return frame
 
     def _verify_md5(self, frame, expected):
         from .sei import plane_md5

@@ -59,6 +59,7 @@ class ResidualOp:
     use_dst: bool = False       # 4x4 intra luma DST-VII
     transquant_bypass: bool = False
     rdpcm_dir: int = -1         # -1 none, 0 horizontal, 1 vertical
+    matrix_id: int = -1         # scaling-list matrix id, -1 = flat (16)
 
 
 @dataclass
@@ -104,6 +105,8 @@ class FramePlan:
     tc_offset: int = 0
     # transquant-bypass / pcm pixels excluded from SAO when pcm_loop_filter_disabled
     no_filter_map: Optional[np.ndarray] = None    # (h/4, w/4) bool
+    # scaling-list factor matrices {(log2n, matrix_id): (n, n) int32} or None
+    scaling: Optional[dict] = None
     cu_transquant_bypass_map: Optional[np.ndarray] = None
     slice_type: int = 2
     # motion field snapshot for DPB storage (TMVP of later frames)
@@ -113,3 +116,5 @@ class FramePlan:
     mvf_ref_idx: Optional[np.ndarray] = None
     rpl: Optional[list] = None
     rpl_lt: Optional[list] = None
+    # decoded-picture-hash SEI captured for this picture (list of 3 digests)
+    md5: Optional[list] = None

@@ -47,7 +47,13 @@ def execute_plan(plan: FramePlan, planes=None, dpb=None):
             if op.transquant_bypass:
                 res = op.levels
             else:
-                deq = tr.dequant(op.levels, op.qp, op.log2_size, bd)
+                sm = None
+                if plan.scaling is not None and op.matrix_id >= 0:
+                    sm = plan.scaling[(op.log2_size, op.matrix_id)]
+                deq = tr.dequant(op.levels, op.qp, op.log2_size, bd,
+                                 scale_matrix=sm,
+                                 dc_scale=int(sm[0, 0]) if sm is not None
+                                 else 16)
                 if op.transform_skip:
                     res = tr.transform_skip(deq, op.log2_size, bd)
                 elif op.use_dst:

@@ -12,6 +12,7 @@ during the CABAC walk from the true (recon-based) prediction, via
 FrameState.level_provider.
 """
 
+import copy
 import random
 from dataclasses import dataclass
 
@@ -64,6 +65,12 @@ class EncoderConfig:
     mv_range: int = 32          # quarter-pel units
     max_refs: int = 3
     temporal_mvp: bool = False
+    p_pcm: float = 0.0          # PCM probability for eligible intra CUs
+    pcm_loop_filter_disabled: bool = False
+    pcm_bit_depth: int = 0      # 0 -> same as bit_depth
+    scaling_lists: str = ""     # "" | "default" | "custom" | "pps"
+    slices: int = 1             # slice segments per frame
+    dependent_slices: bool = False  # segments >0 are dependent segments
 
 
 class Encoder:
@@ -88,6 +95,34 @@ class Encoder:
                        strong_intra_smoothing_enabled=1 if cfg.strong_intra_smoothing else 0)
         if cfg.bit_depth > 8:
             self.sps.ptl.profile_idc = 2
+        if cfg.scaling_lists:
+            self.sps.scaling_list_enabled = 1
+            if cfg.scaling_lists in ("custom", "pps"):
+                from ..ps.scaling import ScalingList
+                sl = ScalingList()
+                rng2 = random.Random(cfg.rng_seed + 17)
+                for size_id in range(4):
+                    for m in range(0, 6, 3 if size_id == 3 else 1):
+                        n = 16 if size_id == 0 else 64
+                        pert = np.array([rng2.randrange(-4, 5)
+                                         for _ in range(n)], np.int32)
+                        sl.sl[size_id][m] = np.clip(
+                            sl.sl[size_id][m] + pert, 1, 255)
+                        if size_id > 1:
+                            sl.sl_dc[size_id - 2][m] = rng2.randrange(8, 40)
+                if cfg.scaling_lists == "pps":
+                    self._pps_sl = sl       # applied after PPS construction
+                else:
+                    self.sps.scaling_list = sl
+        if cfg.p_pcm > 0:
+            self.sps.pcm_enabled = 1
+            pbd = cfg.pcm_bit_depth or cfg.bit_depth
+            self.sps.pcm_bit_depth = pbd
+            self.sps.pcm_bit_depth_chroma = pbd
+            self.sps.pcm_log2_min_size = 3
+            self.sps.pcm_log2_max_size = min(cfg.log2_ctb, 5)
+            self.sps.pcm_loop_filter_disabled = \
+                1 if cfg.pcm_loop_filter_disabled else 0
         self.pps = PPS(sign_data_hiding=1 if cfg.sign_data_hiding else 0,
                        transform_skip_enabled=1 if cfg.transform_skip else 0,
                        init_qp=26)
@@ -106,6 +141,15 @@ class Encoder:
         if not cfg.deblock:
             self.pps.deblocking_filter_control_present = 1
             self.pps.deblocking_filter_disabled = 1
+        if cfg.slices > 1:
+            # whole-frame filtering requires filtering across slice
+            # boundaries (slice-boundary BS masking is a next-round item)
+            self.pps.loop_filter_across_slices_enabled = 1
+            if cfg.dependent_slices:
+                self.pps.dependent_slice_segments_enabled = 1
+        if getattr(self, "_pps_sl", None) is not None:
+            self.pps.scaling_list_data_present = 1
+            self.pps.scaling_list = self._pps_sl
         self.pps.finalize(self.sps)
 
     # ------------------------------------------------------------------ ps
@@ -130,7 +174,9 @@ class Encoder:
         stype = {"I": I_SLICE, "P": P_SLICE, "B": B_SLICE}[slice_type]
         sh = SliceHeader(slice_type=stype, slice_qp=cfg.qp,
                          sao_luma=1 if cfg.sao else 0,
-                         sao_chroma=1 if cfg.sao else 0)
+                         sao_chroma=1 if cfg.sao else 0,
+                         loop_filter_across_slices=(
+                             self.pps.loop_filter_across_slices_enabled))
         if stype == I_SLICE:
             nal_type = nalmod.NAL_IDR_W_RADL
         else:
@@ -167,7 +213,18 @@ class Encoder:
             init_type = 2 if sh.cabac_init_flag else 1
         elif stype == B_SLICE:
             init_type = 1 if sh.cabac_init_flag else 2
-        st = FrameState(sps, pps, sh, plan, init_type=init_type)
+        if not hasattr(self, "_pcm_sticky"):
+            self._pcm_sticky = np.zeros((sps.height >> 2, sps.width >> 2),
+                                        np.uint8)
+        st = FrameState(sps, pps, sh, plan, init_type=init_type,
+                        pcm_map=self._pcm_sticky)
+        if sps.scaling_list_enabled:
+            if not hasattr(self, "_sf"):
+                from ..ps.scaling import ScalingList, build_scaling_factors
+                sl = (pps.scaling_list if pps.scaling_list_data_present
+                      else (sps.scaling_list or ScalingList()))
+                self._sf = build_scaling_factors(sl)
+            plan.scaling = self._sf
         st.cur_poc = self.poc
         if stype != I_SLICE:
             st.rpl = construct_rpl(sh, self.poc)
@@ -189,36 +246,72 @@ class Encoder:
         self._plan = plan
 
         nctbs = sps.pic_size_in_ctbs
-        bounds = _substream_bounds(sps, pps)
-        payload = b""
-        entry_points = []
-        saved_ctx = None
-        prev_sub = b""
-        for si, (ts0, ts1) in enumerate(bounds):
-            ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
-            if si > 0 and pps.entropy_coding_sync_enabled and \
-                    sps.ctb_width > 1 and saved_ctx is not None:
-                ctx.load(saved_ctx)
-            enc = CabacEncoder(ctx)
-            io = CabacIO(enc=enc)
-            for ts in range(ts0, ts1 + 1):
-                rs = int(pps.ctb_addr_ts_to_rs[ts])
-                x_ctb = (rs % sps.ctb_width) << sps.log2_ctb_size
-                y_ctb = (rs // sps.ctb_width) << sps.log2_ctb_size
-                ctb = self._plan_ctb(st, x_ctb, y_ctb)
-                code_ctu(io, st, x_ctb, y_ctb, ts, ctb)
-                io.terminate(1 if ts == nctbs - 1 else 0)
-                if pps.entropy_coding_sync_enabled and ts == ts0 + 1:
-                    saved_ctx = ctx.save()
-            if ts1 != nctbs - 1:
-                io.terminate(1)          # end_of_subset_one_bit
-            sub = enc.finish()
-            if si > 0:
-                entry_points.append(len(prev_sub))
-            prev_sub = sub
-            payload += sub
-        sh.num_entry_point_offsets = len(bounds) - 1
-        sh.entry_point_offsets = entry_points
+        if cfg.slices > 1:
+            assert not cfg.wpp and not cfg.tiles, \
+                "multi-slice + wpp/tiles not supported yet"
+            cuts = [round(i * nctbs / cfg.slices)
+                    for i in range(cfg.slices + 1)]
+            slice_ranges = [(cuts[i], cuts[i + 1] - 1)
+                            for i in range(cfg.slices) if cuts[i] < cuts[i + 1]]
+        else:
+            slice_ranges = [(0, nctbs - 1)]
+        slice_nals = []
+        cont_ctx = None
+        for sli, (sl0, sl1) in enumerate(slice_ranges):
+            sh_k = sh if sli == 0 else copy.copy(sh)
+            if sli > 0:
+                # per-slice state reset mirrors the decoder's
+                sh_k.first_slice_in_pic = 0
+                sh_k.slice_segment_addr = sl0       # rs == ts (no tiles)
+                if cfg.dependent_slices:
+                    sh_k.dependent_slice_segment = 1
+                    sh_k.slice_addr = sh.slice_addr  # containing slice
+                else:
+                    sh_k.slice_addr = sl0
+                st.sh = sh_k
+                st.qp_y = sh_k.slice_qp
+                st.qp_y_pred = sh_k.slice_qp
+                st.first_qp_group = 1
+                st.is_cu_qp_delta_coded = 0
+                st.cu_qp_delta = 0
+            bounds = (_substream_bounds(sps, pps) if cfg.slices == 1
+                      else [(sl0, sl1)])
+            payload = b""
+            entry_points = []
+            saved_ctx = None
+            prev_sub = b""
+            for si, (ts0, ts1) in enumerate(bounds):
+                if si == 0 and sli > 0 and cfg.dependent_slices and \
+                        cont_ctx is not None:
+                    ctx = cont_ctx          # contexts carry over (dependent)
+                else:
+                    ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
+                if si > 0 and pps.entropy_coding_sync_enabled and \
+                        sps.ctb_width > 1 and saved_ctx is not None:
+                    ctx.load(saved_ctx)
+                cont_ctx = ctx
+                enc = CabacEncoder(ctx)
+                io = CabacIO(enc=enc)
+                for ts in range(ts0, ts1 + 1):
+                    rs = int(pps.ctb_addr_ts_to_rs[ts])
+                    x_ctb = (rs % sps.ctb_width) << sps.log2_ctb_size
+                    y_ctb = (rs // sps.ctb_width) << sps.log2_ctb_size
+                    ctb = self._plan_ctb(st, x_ctb, y_ctb)
+                    code_ctu(io, st, x_ctb, y_ctb, ts, ctb)
+                    io.terminate(1 if ts == sl1 else 0)
+                    if pps.entropy_coding_sync_enabled and ts == ts0 + 1:
+                        saved_ctx = ctx.save()
+                if ts1 != nctbs - 1 and cfg.slices == 1:
+                    io.terminate(1)          # end_of_subset_one_bit
+                sub = enc.finish()
+                if si > 0:
+                    entry_points.append(len(prev_sub))
+                prev_sub = sub
+                payload += sub
+            sh_k.num_entry_point_offsets = len(bounds) - 1
+            sh_k.entry_point_offsets = entry_points
+            w = write_slice_header(sh_k, nal_type, sps, pps)
+            slice_nals.append(write_nal(nal_type, w.get_bytes() + payload))
 
         # catch up remaining recon ops
         self._execute_pending()
@@ -226,7 +319,7 @@ class Encoder:
         plan.vertical_bs = st.vertical_bs
         plan.horizontal_bs = st.horizontal_bs
         plan.sao = st.sao_ctbs if cfg.sao else None
-        plan.no_filter_map = st.is_pcm_or_bypass
+        plan.no_filter_map = st.is_pcm_or_bypass.copy()
 
         recon_np.deblock_frame(plan, self.recon)
         self.recon = recon_np.sao_frame(plan, self.recon, sps.ctb_size)
@@ -240,9 +333,7 @@ class Encoder:
         if sh.slice_rps is not None:
             self.dpb.apply_rps(self.poc, sh.slice_rps)
 
-        w = write_slice_header(sh, nal_type, sps, pps)
-        rbsp = w.get_bytes() + payload
-        nal = write_nal(nal_type, rbsp)
+        nal = b"".join(slice_nals)
         from ..decoder.sei import plane_md5, write_picture_hash_sei
         sei = write_nal(nalmod.NAL_SEI_SUFFIX,
                         write_picture_hash_sei(
@@ -314,6 +405,10 @@ class Encoder:
                 cu.cu_qp_delta = rng.choice([0, 0, 1, -1, 3, -4])
             return cu
         cu = CUData(pred_mode=MODE_INTRA)
+        if self._maybe_pcm(cu, x0, y0, log2):
+            if cfg.cu_qp_delta:
+                cu.cu_qp_delta = 0
+            return cu
         nxn = (log2 == sps.log2_min_cb_size and rng.random() < cfg.p_nxn)
         cu.part_mode = PART_NxN if nxn else PART_2Nx2N
         # luma modes chosen from source-pixel heuristic + randomness
@@ -456,10 +551,29 @@ class Encoder:
     def sh_refs(self):
         return sorted(self.dpb.frames, reverse=True)[:self.cfg.max_refs] or [0]
 
+    def _maybe_pcm(self, cu, x0, y0, log2) -> bool:
+        """Turn an intra CU into a PCM CU (verbatim source samples)."""
+        sps, cfg = self.sps, self.cfg
+        if not (sps.pcm_enabled and
+                sps.pcm_log2_min_size <= log2 <= sps.pcm_log2_max_size and
+                self.rng.random() < cfg.p_pcm):
+            return False
+        cu.pcm = 1
+        cu.part_mode = PART_2Nx2N
+        cu.tt = None
+        s = 1 << log2
+        cu.pcm_samples = [
+            self.src[0][y0:y0 + s, x0:x0 + s],
+            self.src[1][y0 >> 1:(y0 + s) >> 1, x0 >> 1:(x0 + s) >> 1],
+            self.src[2][y0 >> 1:(y0 + s) >> 1, x0 >> 1:(x0 + s) >> 1]]
+        return True
+
     def _plan_intra_cu_payload(self, x0, y0, log2) -> CUData:
         """Intra CU inside a P/B slice."""
         sps, rng, cfg = self.sps, self.rng, self.cfg
         cu = CUData(pred_mode=MODE_INTRA)
+        if self._maybe_pcm(cu, x0, y0, log2):
+            return cu
         nxn = (log2 == sps.log2_min_cb_size and rng.random() < cfg.p_nxn)
         cu.part_mode = PART_NxN if nxn else PART_2Nx2N
         npus = 4 if nxn else 1

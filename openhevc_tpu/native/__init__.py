@@ -24,6 +24,8 @@ _PARAM_FIELDS = [
     "log2_ctb", "log2_min_cb", "log2_min_tb", "log2_max_tb",
     "max_tt_depth_intra", "max_tt_depth_inter",
     "amp_enabled", "sao_enabled_sps", "strong_intra_smoothing", "pcm_enabled",
+    "pcm_log2_min", "pcm_log2_max", "pcm_bit_depth", "pcm_bit_depth_chroma",
+    "pcm_loop_filter_disabled", "scaling_list_enabled",
     "qp_bd_offset",
     "sign_data_hiding", "cabac_init_present", "cu_qp_delta_enabled",
     "diff_cu_qp_delta_depth",
@@ -38,7 +40,8 @@ _PARAM_FIELDS = [
     "slice_addr", "cur_poc", "init_type",
     "ctb_width", "ctb_height", "mtb_w", "mtb_h",
     "has_collocated", "col_poc", "first_ctb_ts", "last_ctb_ts",
-    "init_state", "ctx_load", "wpp_save_ctx",
+    "init_state", "slice_start", "stop_at_eos", "ctx_load", "wpp_save_ctx",
+    "save_ctx_end",
     "has_wp", "wp_denom_y", "wp_denom_c",
 ]
 
@@ -87,11 +90,43 @@ def _ptr(a, dtype):
     return a, a.ctypes.data_as(ctypes.c_void_p)
 
 
+def alloc_pic_buffers(sps, pps, sh, pcm_map=None):
+    """Per-picture output buffers, shared across the picture's slices."""
+    W, H = sps.width, sps.height
+    w4, h4 = W >> 2, H >> 2
+    w8, h8 = W >> 3, H >> 3
+    mcw, mch = sps.min_cb_width, sps.min_cb_height
+    mth = sps.min_tb_height
+    nctb = sps.pic_size_in_ctbs
+    ops_cap = 64 * 1024 * 64
+    lv_cap = 64 * 1024 * 256
+    return dict(
+        ops=np.zeros(ops_cap, np.int32), ops_cap=ops_cap, ops_total=0,
+        levels=np.zeros(lv_cap, np.int32), lv_cap=lv_cap, lv_total=0,
+        mvf_mv=np.zeros((h4, w4, 2, 2), np.int32),
+        mvf_poc=np.zeros((h4, w4, 2), np.int32),
+        mvf_pred=np.zeros((h4, w4), np.uint8),
+        mvf_ref_idx=np.zeros((h4, w4, 2), np.int8),
+        vbs=np.zeros((h4, w8), np.uint8),
+        hbs=np.zeros((h8, w4), np.uint8),
+        qp_y_tab=np.full((mch, mcw), sh.slice_qp, np.int8),
+        pcm_map=(pcm_map if pcm_map is not None
+                 else np.zeros((h4, w4), np.uint8)),
+        sao_out=np.zeros((nctb, 24), np.int32),
+        cbf_luma=np.zeros((mth, pps.min_tb_addr_zs.shape[1]), np.uint8),
+        scratch=np.zeros(mcw * mch * 2 + w4 * h4 + nctb * 4 + 64, np.uint8),
+        ctx_io=np.zeros(2 * 256, np.uint8), first_slice=True, last_ts=-1)
+
+
 def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
-                        rpl, collocated, init_type, first_ts, last_ts):
+                        rpl, collocated, init_type, first_ts, last_ts,
+                        pcm_map=None, pic=None, stop_at_eos=False):
     """Run the native CTU walk; returns raw output arrays.
 
-    -> dict with ops, levels, mvf_*, vbs, hbs, qp_y_tab, pcm_map, sao, err
+    -> dict with ops, levels, mvf_*, vbs, hbs, qp_y_tab, pcm_map, sao, err,
+    last_ts.  Pass `pic` (from alloc_pic_buffers) to accumulate several
+    slices of one picture; `stop_at_eos` decodes until the end_of_slice flag
+    instead of a fixed CTB range (multi-slice pictures).
     """
     lib = get_lib()
     p = SliceParams()
@@ -108,6 +143,12 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
     p.sao_enabled_sps = sps.sao_enabled
     p.strong_intra_smoothing = sps.strong_intra_smoothing_enabled
     p.pcm_enabled = sps.pcm_enabled
+    p.pcm_log2_min = sps.pcm_log2_min_size
+    p.pcm_log2_max = sps.pcm_log2_max_size
+    p.pcm_bit_depth = sps.pcm_bit_depth
+    p.pcm_bit_depth_chroma = sps.pcm_bit_depth_chroma
+    p.pcm_loop_filter_disabled = sps.pcm_loop_filter_disabled
+    p.scaling_list_enabled = sps.scaling_list_enabled
     p.qp_bd_offset = sps.qp_bd_offset
     p.sign_data_hiding = pps.sign_data_hiding
     p.cabac_init_present = pps.cabac_init_present
@@ -153,29 +194,17 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
     zs = pps.min_tb_addr_zs
     p.mtb_h, p.mtb_w = zs.shape
 
-    W, H = sps.width, sps.height
-    w4, h4 = W >> 2, H >> 2
-    w8, h8 = W >> 3, H >> 3
-    mcw, mch = sps.min_cb_width, sps.min_cb_height
-    mtw, mth = sps.min_tb_width, sps.min_tb_height
     nctb = sps.pic_size_in_ctbs
-
-    ops_cap = 64 * 1024 * 64
-    lv_cap = 64 * 1024 * 256
-    ops = np.zeros(ops_cap, np.int32)
-    levels = np.zeros(lv_cap, np.int32)
-    mvf_mv = np.zeros((h4, w4, 2, 2), np.int32)
-    mvf_poc = np.zeros((h4, w4, 2), np.int32)
-    mvf_pred = np.zeros((h4, w4), np.uint8)
-    mvf_ref_idx = np.zeros((h4, w4, 2), np.int8)
-    vbs = np.zeros((h4, w8), np.uint8)
-    hbs = np.zeros((h8, w4), np.uint8)
-    qp_y_tab = np.full((mch, mcw), sh.slice_qp, np.int8)
-    pcm_map = np.zeros((h4, w4), np.uint8)
-    sao_out = np.zeros((nctb, 24), np.int32)
-    cbf_luma = np.zeros((mth, p.mtb_w), np.uint8)
-    scratch = np.zeros(mcw * mch * 2 + w4 * h4 + nctb * 4 + 64, np.uint8)
-    out_sizes = np.zeros(3, np.int64)
+    if pic is None:
+        pic = alloc_pic_buffers(sps, pps, sh, pcm_map=pcm_map)
+    ops, levels = pic["ops"], pic["levels"]
+    ops_cap, lv_cap = pic["ops_cap"], pic["lv_cap"]
+    mvf_mv, mvf_poc = pic["mvf_mv"], pic["mvf_poc"]
+    mvf_pred, mvf_ref_idx = pic["mvf_pred"], pic["mvf_ref_idx"]
+    vbs, hbs, qp_y_tab = pic["vbs"], pic["hbs"], pic["qp_y_tab"]
+    pcm_map, sao_out = pic["pcm_map"], pic["sao_out"]
+    cbf_luma, scratch = pic["cbf_luma"], pic["scratch"]
+    out_sizes = np.zeros(4, np.int64)
 
     rpl0 = np.zeros(16, np.int32)
     rpl1 = np.zeros(16, np.int32)
@@ -213,25 +242,39 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
     ts2rs = np.ascontiguousarray(pps.ctb_addr_ts_to_rs, np.int32)
     tid = np.ascontiguousarray(pps.tile_id, np.int32)
     zsc = np.ascontiguousarray(zs, np.int32)
-    ctx_io = np.zeros(2 * 256, np.uint8)
+    ctx_io = pic["ctx_io"]
 
-    # substream layout (WPP rows / tiles / single)
-    from ..encoder.encoder import _substream_bounds
-    bounds = _substream_bounds(sps, pps)
-    offsets = [0]
-    for epo in sh.entry_point_offsets:
-        offsets.append(offsets[-1] + epo)
-    offsets.append(len(payload))
-    assert len(offsets) == len(bounds) + 1, "entry point mismatch"
+    # substream layout (WPP rows / tiles / single / open-ended slice)
+    if not sh.entry_point_offsets:
+        # open-ended: decode until the end_of_slice flag (single- and
+        # multi-slice pictures alike)
+        bounds = [(first_ts, nctb - 1)]
+        offsets = [0, len(payload)]
+        p.stop_at_eos = 1
+    else:
+        from ..encoder.encoder import _substream_bounds
+        bounds = _substream_bounds(sps, pps)
+        offsets = [0]
+        for epo in sh.entry_point_offsets:
+            offsets.append(offsets[-1] + epo)
+        offsets.append(len(payload))
+        assert len(offsets) == len(bounds) + 1, "entry point mismatch"
+        p.stop_at_eos = 0
 
-    ops_total = 0
-    lv_total = 0
+    first_slice = pic["first_slice"]
+    pic["first_slice"] = False
+    ops_total = pic["ops_total"]
+    lv_total = pic["lv_total"]
     for si, (ts0, ts1) in enumerate(bounds):
         p.first_ctb_ts, p.last_ctb_ts = ts0, ts1
-        p.init_state = 1 if si == 0 else 0
-        p.ctx_load = 1 if (si > 0 and pps.entropy_coding_sync_enabled and
-                           sps.ctb_width > 1) else 0
+        p.init_state = 1 if (si == 0 and first_slice) else 0
+        p.slice_start = 1 if si == 0 else 0
+        p.ctx_load = 1 if ((si > 0 and pps.entropy_coding_sync_enabled and
+                            sps.ctb_width > 1) or
+                           (si == 0 and sh.dependent_slice_segment)) else 0
         p.wpp_save_ctx = 1 if pps.entropy_coding_sync_enabled else 0
+        p.save_ctx_end = 1 if (pps.dependent_slice_segments_enabled and
+                               not pps.entropy_coding_sync_enabled) else 0
         seg = payload[offsets[si]:offsets[si + 1]]
         err = get_lib().decode_slice_data(
             ctypes.byref(p), seg, ctypes.c_int64(len(seg)),
@@ -252,10 +295,14 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
                            has_wp=bool(p.has_wp))
         ops_total += out_sizes[0]
         lv_total += out_sizes[1]
+        pic["last_ts"] = int(out_sizes[3])
+    pic["ops_total"] = ops_total
+    pic["lv_total"] = lv_total
     return dict(ops=ops[:ops_total], levels=levels[:lv_total],
                 mvf_mv=mvf_mv, mvf_poc=mvf_poc, mvf_pred=mvf_pred,
                 mvf_ref_idx=mvf_ref_idx, vbs=vbs, hbs=hbs,
-                qp_y_tab=qp_y_tab, pcm_map=pcm_map, sao=sao_out)
+                qp_y_tab=qp_y_tab, pcm_map=pcm_map, sao=sao_out,
+                last_ts=pic["last_ts"])
 
 
 def _rebase_levels(ops, delta, has_wp=False):
@@ -276,7 +323,7 @@ def _rebase_levels(ops, delta, has_wp=False):
 
 def ops_to_plan_ops(raw_ops, raw_levels, sps, has_wp=False):
     """Convert the flat native op stream to plan op objects."""
-    from ..decoder.plan import IntraOp, ResidualOp, InterOp
+    from ..decoder.plan import IntraOp, ResidualOp, InterOp, PcmOp
     out = []
     i = 0
     n = len(raw_ops)
@@ -309,11 +356,14 @@ def ops_to_plan_ops(raw_ops, raw_levels, sps, has_wp=False):
                 int(o[i+5]), int(o[i+6]), int(o[i+7]))
             nn = 1 << log2n
             lv = raw_levels[off:off + nn * nn].reshape(nn, nn)
+            mid = (kind >> 3) - 1           # packed matrix id, -1 = flat
+            kind &= 7
             out.append(ResidualOp(c_idx=c_idx, x=x, y=y, log2_size=log2n,
                                   levels=lv, qp=qp,
                                   transform_skip=(kind == 2),
                                   use_dst=(kind == 1),
-                                  transquant_bypass=(kind == 3)))
+                                  transquant_bypass=(kind == 3),
+                                  matrix_id=mid))
             i += 8
         elif t == 3:
             x, y, w, h, pf = (int(o[i+1]), int(o[i+2]), int(o[i+3]),
@@ -330,6 +380,16 @@ def ops_to_plan_ops(raw_ops, raw_levels, sps, has_wp=False):
                 i += 14
             out.append(InterOp(c_idx=-1, x=x, y=y, w=w, h=h, l0=l0, l1=l1,
                                weights=weights))
+        elif t == 4:
+            c_idx, x, y, size, off = (int(o[i+1]), int(o[i+2]), int(o[i+3]),
+                                      int(o[i+4]), int(o[i+5]))
+            vs = 1 if (c_idx and sps.chroma_format_idc == 1) else 0
+            hs = 1 if (c_idx and sps.chroma_format_idc != 3) else 0
+            h = (size << hs) >> vs      # square except 4:2:2 chroma
+            samples = raw_levels[off:off + size * h].reshape(h, size)
+            out.append(PcmOp(c_idx=c_idx, x=x, y=y, size=size,
+                             samples=samples))
+            i += 6
         else:
             raise ValueError(f"bad op tag {t} at {i}")
     return out

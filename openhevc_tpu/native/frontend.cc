@@ -80,6 +80,19 @@ struct Cabac {
         while (range < 256) { range <<= 1; offset = (offset << 1) | bit(); }
         return 0;
     }
+    // PCM: byte-align, raw fixed-length reads, then engine re-init with
+    // contexts preserved (spec 9.3.1; cabac/engine.py pcm_reinit)
+    inline void pcm_align() { bitpos = (bitpos + 7) & ~(int64_t)7; }
+    inline uint32_t read_raw(int n) {
+        uint32_t v = 0;
+        for (int i = 0; i < n; i++) v = (v << 1) | bit();
+        return v;
+    }
+    inline void pcm_reinit() {
+        pcm_align();
+        range = 510; offset = 0;
+        for (int i = 0; i < 9; i++) offset = (offset << 1) | bit();
+    }
 };
 
 // ---------------------------------------------------------------------------
@@ -91,6 +104,9 @@ struct SliceParams {                 // keep in sync with native/__init__.py
     int32_t log2_ctb, log2_min_cb, log2_min_tb, log2_max_tb;
     int32_t max_tt_depth_intra, max_tt_depth_inter;
     int32_t amp_enabled, sao_enabled_sps, strong_intra_smoothing, pcm_enabled;
+    int32_t pcm_log2_min, pcm_log2_max, pcm_bit_depth, pcm_bit_depth_chroma,
+        pcm_loop_filter_disabled;
+    int32_t scaling_list_enabled;
     int32_t qp_bd_offset;
     int32_t sign_data_hiding, cabac_init_present, cu_qp_delta_enabled,
         diff_cu_qp_delta_depth;
@@ -108,8 +124,12 @@ struct SliceParams {                 // keep in sync with native/__init__.py
     int32_t has_collocated, col_poc;
     int32_t first_ctb_ts, last_ctb_ts;   // substream CTB range (inclusive)
     int32_t init_state;                  // 1 = clear persistent syntax state
+    int32_t slice_start;                 // 1 = first substream of a slice
+    int32_t stop_at_eos;                 // 1 = stop at end_of_slice flag
     int32_t ctx_load;                    // 1 = load contexts from ctx_io
     int32_t wpp_save_ctx;                // 1 = save ctx after 2nd CTB
+    int32_t save_ctx_end;                // 1 = save ctx at end of segment
+                                         //     (dependent slice segments)
     int32_t has_wp, wp_denom_y, wp_denom_c;
     int32_t wp_w[2][16][3];              // [list][ref][y/cb/cr] weights
     int32_t wp_o[2][16][3];              // offsets
@@ -646,7 +666,7 @@ static const int L0L1[12][2] = {{0,1},{1,0},{0,2},{2,0},{1,2},{2,1},
 
 struct CuInfo {
     int x0, y0, log2, part_mode, pred_mode, tq_bypass, skip, intra_split;
-    int rqt_root_cbf, merge_flag0;
+    int rqt_root_cbf, merge_flag0, pcm;
     int intra_modes[4], intra_mode_c, chroma_mode;
 };
 
@@ -1224,6 +1244,16 @@ static void emit_intra_op(Ctx &c, int x0, int y0, int log2n, int c_idx,
     emit(c, fl[4]);
 }
 
+// scaling-list matrix id packed into the kind field at bit 3 (mid+1)
+// (syntax/ctu.py _scaling_mid; reference hevc_cabac.c:1484-1494)
+static inline int pack_mid(const SliceParams *p, int pred_mode, int c_idx,
+                           int tq_bypass, int tskip, int log2n, int kind) {
+    if (!p->scaling_list_enabled || tq_bypass || (tskip && log2n > 2))
+        return kind;
+    int mid = 3 * (pred_mode == 1 ? 0 : 1) + c_idx;
+    return kind | ((mid + 1) << 3);
+}
+
 static void emit_resid_op(Ctx &c, int c_idx, int x, int y, int log2n, int qp,
                           int kind, const int32_t *lv) {
     int n = 1 << log2n;
@@ -1325,6 +1355,8 @@ static void code_transform_unit(Ctx &c, CuInfo &cu, int x0, int y0,
                                         cu.tq_bypass, lv);
             int kind = cu.tq_bypass ? 3 : (tskip ? 2 :
                        (cu.pred_mode == 1 && log2_tt == 2 ? 1 : 0));
+            kind = pack_mid(p, cu.pred_mode, 0, cu.tq_bypass, tskip,
+                            log2_tt, kind);
             emit_resid_op(c, 0, x0, y0, log2_tt, qp_y, kind, lv);
         }
         if (log2_tt > 2 || p->chroma_format_idc == 3) {
@@ -1339,6 +1371,8 @@ static void code_transform_unit(Ctx &c, CuInfo &cu, int x0, int y0,
                     int tskip = decode_residual(c, ci, log2_tt_c, scan_idx_c,
                                                 cu.tq_bypass, lv);
                     int kind = cu.tq_bypass ? 3 : (tskip ? 2 : 0);
+                    kind = pack_mid(p, cu.pred_mode, ci, cu.tq_bypass, tskip,
+                                    log2_tt_c, kind);
                     emit_resid_op(c, ci, x0 >> hs1, y0 >> vs1, log2_tt_c,
                                   chroma_qp(c, c.qp_y, ci), kind, lv);
                 }
@@ -1355,6 +1389,8 @@ static void code_transform_unit(Ctx &c, CuInfo &cu, int x0, int y0,
                     int tskip = decode_residual(c, ci, log2_tt, scan_idx_c,
                                                 cu.tq_bypass, lv);
                     int kind = cu.tq_bypass ? 3 : (tskip ? 2 : 0);
+                    kind = pack_mid(p, cu.pred_mode, ci, cu.tq_bypass, tskip,
+                                    log2_tt, kind);
                     emit_resid_op(c, ci, x_base >> hs1, y_base >> vs1,
                                   log2_tt, chroma_qp(c, c.qp_y, ci), kind, lv);
                 }
@@ -1543,6 +1579,34 @@ static void code_intra_pred_info(Ctx &c, CuInfo &cu, int x0, int y0,
     cu.intra_mode_c = mode_c;
 }
 
+// pcm_sample (syntax/ctu.py _code_pcm; reference hls_pcm_sample hevc.c:1587)
+static void code_pcm(Ctx &c, CuInfo &cu, int x0, int y0, int log2_cb) {
+    const SliceParams *p = c.p;
+    int cb_size = 1 << log2_cb;
+    intra_default(c, cu, x0, y0, cb_size);
+    compute_bs(c, x0, y0, log2_cb);
+    if (p->pcm_loop_filter_disabled) set_pcm_or_bypass(c, x0, y0, cb_size);
+    c.cc.pcm_align();
+    int hs = p->chroma_format_idc == 3 ? 0 : 1;
+    int vs = p->chroma_format_idc >= 2 ? 0 : 1;
+    for (int ci = 0; ci < 3; ci++) {
+        int pbd = ci ? p->pcm_bit_depth_chroma : p->pcm_bit_depth;
+        int shift = p->bit_depth - pbd;
+        int w = ci ? (cb_size >> hs) : cb_size;
+        int h = ci ? (cb_size >> vs) : cb_size;
+        emit(c, 4); emit(c, ci);
+        emit(c, ci ? (x0 >> hs) : x0); emit(c, ci ? (y0 >> vs) : y0);
+        emit(c, w); emit(c, (int32_t)c.lv_pos);
+        for (int yy = 0; yy < h; yy++)
+            for (int xx = 0; xx < w; xx++) {
+                int32_t v = (int32_t)c.cc.read_raw(pbd) << shift;
+                if (c.lv_pos < c.lv_cap) c.levels[c.lv_pos] = v;
+                c.lv_pos++;
+            }
+    }
+    c.cc.pcm_reinit();
+}
+
 static void code_cu(Ctx &c, int x0, int y0, int log2_cb, int depth) {
     const SliceParams *p = c.p;
     Cabac &cc = c.cc;
@@ -1590,11 +1654,13 @@ static void code_cu(Ctx &c, int x0, int y0, int log2_cb, int depth) {
         cu.intra_split = cu.part_mode == 3 && cu.pred_mode == 1;
 
         if (cu.pred_mode == 1) {
-            if (cu.part_mode == 0 && p->pcm_enabled) {
-                c.err = 2;           // PCM unsupported in native path (yet)
-                return;
-            }
-            code_intra_pred_info(c, cu, x0, y0, log2_cb);
+            if (cu.part_mode == 0 && p->pcm_enabled &&
+                log2_cb >= p->pcm_log2_min && log2_cb <= p->pcm_log2_max)
+                cu.pcm = cc.terminate();
+            if (cu.pcm)
+                code_pcm(c, cu, x0, y0, log2_cb);
+            else
+                code_intra_pred_info(c, cu, x0, y0, log2_cb);
         } else {
             intra_default(c, cu, x0, y0, cb_size);
             int q = cb_size >> 2;
@@ -1607,7 +1673,9 @@ static void code_cu(Ctx &c, int x0, int y0, int log2_cb, int depth) {
         if (cu.pred_mode != 1 &&
             !(cu.part_mode == 0 && cu.merge_flag0))
             cu.rqt_root_cbf = cc.decode_bin(CTX_NO_RESIDUAL_DATA_FLAG);
-        if (cu.rqt_root_cbf) {
+        if (cu.pcm) {
+            // edges + samples handled in code_pcm
+        } else if (cu.rqt_root_cbf) {
             int max_depth = cu.pred_mode == 1
                 ? p->max_tt_depth_intra + (cu.intra_split ? 1 : 0)
                 : p->max_tt_depth_inter;
@@ -1743,7 +1811,7 @@ extern "C" int64_t decode_slice_data(
     int32_t *mvf_mv, int32_t *mvf_poc, uint8_t *mvf_pred, int8_t *mvf_ref_idx,
     uint8_t *vbs, uint8_t *hbs, int8_t *qp_y_tab, uint8_t *is_pcm_or_bypass,
     int32_t *sao_out, uint8_t *cbf_luma_buf, uint8_t *scratch,
-    uint8_t *ctx_io, int64_t *out_sizes /* [ops, levels, err] */)
+    uint8_t *ctx_io, int64_t *out_sizes /* [ops, levels, err, last_ts] */)
 {
     Ctx c;
     memset(&c, 0, sizeof(c));
@@ -1767,7 +1835,7 @@ extern "C" int64_t decode_slice_data(
     c.w8 = p->width >> 3; c.h8 = p->height >> 3;
     c.qp_y = p->slice_qp;
     c.qp_y_pred = p->slice_qp;
-    c.first_qp_group = p->init_state ? 1 : 0;
+    c.first_qp_group = (p->init_state || p->slice_start) ? 1 : 0;
     c.end_of_tiles_x = p->width;
     c.end_of_tiles_y = p->height;
 
@@ -1793,6 +1861,7 @@ extern "C" int64_t decode_slice_data(
         c.cc.init_contexts(p->init_type, av_clip(p->slice_qp, 0, 51));
     }
 
+    int64_t last_ts = p->first_ctb_ts - 1;
     for (int ts = p->first_ctb_ts; ts <= p->last_ctb_ts && !c.err; ts++) {
         int rs = ts_to_rs[ts];
         int x_ctb = (rs % p->ctb_width) << p->log2_ctb;
@@ -1800,15 +1869,25 @@ extern "C" int64_t decode_slice_data(
         decode_neighbour(c, x_ctb, y_ctb, ts);
         code_sao(c, x_ctb >> p->log2_ctb, y_ctb >> p->log2_ctb);
         code_quadtree(c, x_ctb, y_ctb, p->log2_ctb, 0);
+        last_ts = ts;
         int eos = c.cc.terminate();
-        if (eos && ts != p->last_ctb_ts) c.err = 3;
         if (p->wpp_save_ctx && ts == p->first_ctb_ts + 1) {
             memcpy(ctx_io, c.cc.state, NUM_CONTEXTS);
             memcpy(ctx_io + NUM_CONTEXTS, c.cc.mps, NUM_CONTEXTS);
         }
+        if (eos) {
+            if (!p->stop_at_eos && ts != p->last_ctb_ts) c.err = 3;
+            break;
+        }
+        if (p->stop_at_eos && ts == p->last_ctb_ts) c.err = 4;  // missing eos
+    }
+    if (p->save_ctx_end) {
+        memcpy(ctx_io, c.cc.state, NUM_CONTEXTS);
+        memcpy(ctx_io + NUM_CONTEXTS, c.cc.mps, NUM_CONTEXTS);
     }
     out_sizes[0] = c.ops_pos;
     out_sizes[1] = c.lv_pos;
     out_sizes[2] = c.err;
+    out_sizes[3] = last_ts;
     return c.err;
 }

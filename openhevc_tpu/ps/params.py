@@ -414,7 +414,7 @@ def parse_sps(rbsp: bytes) -> SPS:
     if s.scaling_list_enabled:
         if r.u1():                          # sps_scaling_list_data_present_flag
             from .scaling import parse_scaling_list
-            s.scaling_list = parse_scaling_list(r)
+            s.scaling_list = parse_scaling_list(r, s.chroma_format_idc)
         else:
             s.scaling_list = None           # default lists
     s.amp_enabled = r.u1()
@@ -477,7 +477,12 @@ def write_sps(s: SPS) -> bytes:
     w.ue(s.max_transform_hierarchy_depth_intra)
     w.u1(s.scaling_list_enabled)
     if s.scaling_list_enabled:
-        w.u1(0)                             # use default scaling lists
+        if s.scaling_list is not None:
+            w.u1(1)
+            from .scaling import write_scaling_list
+            write_scaling_list(w, s.scaling_list)
+        else:
+            w.u1(0)                         # use default scaling lists
     w.u1(s.amp_enabled)
     w.u1(s.sao_enabled)
     w.u1(s.pcm_enabled)
@@ -730,7 +735,12 @@ def write_pps(p: PPS, sps: SPS) -> bytes:
         if not p.deblocking_filter_disabled:
             w.se(p.beta_offset // 2)
             w.se(p.tc_offset // 2)
-    w.u1(0)                                 # pps_scaling_list_data_present
+    if p.scaling_list_data_present and p.scaling_list is not None:
+        w.u1(1)
+        from .scaling import write_scaling_list
+        write_scaling_list(w, p.scaling_list)
+    else:
+        w.u1(0)                             # pps_scaling_list_data_present
     w.u1(p.lists_modification_present)
     w.ue(p.log2_parallel_merge_level - 2)
     w.u1(p.slice_header_extension_present)

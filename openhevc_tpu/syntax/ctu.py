@@ -13,7 +13,8 @@ from typing import List, Optional
 import numpy as np
 
 from ..cabac.contexts import CTX_OFFSET
-from ..decoder.plan import IntraOp, ResidualOp, CtbFilterParams, FramePlan
+from ..decoder.plan import (IntraOp, ResidualOp, PcmOp, CtbFilterParams,
+                            FramePlan)
 from .io import CabacIO
 from .residual import RCParams, decode_residual, encode_residual
 from .scans import SCAN_DIAG, SCAN_HORIZ, SCAN_VERT
@@ -98,6 +99,7 @@ class CUData:
     chroma_mode: int = 4        # raw coded value 0..4 (4 = derived)
     # inter
     pus: Optional[list] = None
+    pcm_samples: Optional[list] = None   # encoder-supplied [Y, U, V] blocks
     rqt_root_cbf: int = 1
     tt: Optional[TTNode] = None
     cu_qp_delta: int = 0
@@ -126,7 +128,8 @@ class CtbData:
 # ---------------------------------------------------------------------------
 
 class FrameState:
-    def __init__(self, sps, pps, sh, plan: FramePlan, init_type: int = 0):
+    def __init__(self, sps, pps, sh, plan: FramePlan, init_type: int = 0,
+                 pcm_map: np.ndarray = None):
         self.sps = sps
         self.pps = pps
         self.sh = sh
@@ -139,7 +142,11 @@ class FrameState:
         self.cbf_luma = np.zeros((sps.min_tb_height, sps.min_tb_width), np.uint8)
         self.qp_y_tab = np.full((sps.min_cb_height, sps.min_cb_width),
                                 sh.slice_qp, np.int8)
-        self.is_pcm_or_bypass = np.zeros((h >> 2, w >> 2), np.uint8)
+        # pcm/bypass no-filter map: the reference never clears is_pcm between
+        # frames (hevc.c:3207-3210 resets bs/cbf tables only), so the map is
+        # sticky across the sequence; callers pass a persistent buffer.
+        self.is_pcm_or_bypass = (pcm_map if pcm_map is not None
+                                 else np.zeros((h >> 2, w >> 2), np.uint8))
         # deblock edge maps at 4-sample granularity
         self.vertical_bs = np.zeros((h >> 2, w >> 3), np.uint8) if w >= 8 else None
         self.horizontal_bs = np.zeros((h >> 3, w >> 2), np.uint8)
@@ -488,7 +495,12 @@ def code_cu(io: CabacIO, st: FrameState, x0, y0, log2_cb, depth, cu: CUData):
             inc += int(st.skip_flag[y_cb - 1, x_cb])
         cu.skip = io.bin(_SKIP + inc, cu.skip if supply else None)
         st.skip_flag[y_cb:y_cb + length, x_cb:x_cb + length] = cu.skip
-        cu.pred_mode = MODE_SKIP if cu.skip else MODE_INTER
+        if cu.skip:
+            cu.pred_mode = MODE_SKIP
+        elif not supply:
+            cu.pred_mode = MODE_INTER
+        # (in encode mode the planner's INTRA/INTER choice is kept for the
+        # pred_mode bin below)
     else:
         st.skip_flag[y_cb:y_cb + length, x_cb:x_cb + length] = 0
         cu.skip = 0
@@ -515,8 +527,9 @@ def code_cu(io: CabacIO, st: FrameState, x0, y0, log2_cb, depth, cu: CUData):
                     sps.pcm_log2_min_size <= log2_cb <= sps.pcm_log2_max_size):
                 cu.pcm = io.terminate(cu.pcm if supply else None)
             if cu.pcm:
-                raise NotImplementedError("PCM samples")
-            _code_intra_pred_info(io, st, cu, x0, y0, log2_cb)
+                _code_pcm(io, st, cu, x0, y0, cb_size)
+            else:
+                _code_intra_pred_info(io, st, cu, x0, y0, log2_cb)
         else:
             _intra_default(st, cu, x0, y0, cb_size)
             from .pu import code_prediction_units
@@ -593,6 +606,40 @@ def _intra_default(st: FrameState, cu: CUData, x0, y0, cb_size):
     st.tab_ipm[yp:yp + n, xp:xp + n] = INTRA_DC
     if cu.pred_mode == MODE_INTRA:
         st.is_intra[yp:yp + n, xp:xp + n] = 1
+
+
+def _code_pcm(io: CabacIO, st: FrameState, cu: CUData, x0, y0, cb_size):
+    """pcm_sample (spec 7.3.8.7; reference hls_pcm_sample, hevc.c:1587).
+
+    The arithmetic engine flushes to a byte boundary, raw samples follow,
+    then the engine re-initializes with contexts preserved (spec 9.3.1)."""
+    sps = st.sps
+    supply = not io.decoding
+    _intra_default(st, cu, x0, y0, cb_size)
+    _mark_cu_edges(st, x0, y0, cb_size)
+    if sps.pcm_loop_filter_disabled:
+        _set_pcm_or_bypass(st, x0, y0, cb_size)
+    io.pcm_begin()
+    hs = 0 if sps.chroma_format_idc == 3 else 1
+    vs = 0 if sps.chroma_format_idc >= 2 else 1
+    geom = [(0, sps.pcm_bit_depth, sps.bit_depth, cb_size, cb_size),
+            (1, sps.pcm_bit_depth_chroma, sps.bit_depth_chroma,
+             cb_size >> hs, cb_size >> vs),
+            (2, sps.pcm_bit_depth_chroma, sps.bit_depth_chroma,
+             cb_size >> hs, cb_size >> vs)]
+    for c_idx, pbd, bd, w, h in geom:
+        shift = bd - pbd
+        want = cu.pcm_samples[c_idx] if supply else None
+        blk = np.zeros((h, w), np.int32)
+        for yy in range(h):
+            for xx in range(w):
+                v = io.pcm_bits(
+                    pbd, (int(want[yy, xx]) >> shift) if supply else None)
+                blk[yy, xx] = v << shift
+        st.plan.ops.append(PcmOp(
+            c_idx=c_idx, x=x0 >> (hs if c_idx else 0),
+            y=y0 >> (vs if c_idx else 0), size=w, samples=blk))
+    io.pcm_end()
 
 
 def _set_pcm_or_bypass(st: FrameState, x0, y0, cb_size):
@@ -964,7 +1011,8 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
                 c_idx=0, x=x0, y=y0, log2_size=log2_tt, levels=levels,
                 qp=qp_y, transform_skip=tskip,
                 use_dst=(cu.pred_mode == MODE_INTRA and log2_tt == 2),
-                transquant_bypass=bool(cu.tq_bypass)))
+                transquant_bypass=bool(cu.tq_bypass),
+                matrix_id=_scaling_mid(st, cu, 0, tskip, log2_tt)))
 
         if log2_tt > 2 or sps.chroma_format_idc == 3:
             tsz_h = 1 << (log2_tt_c + sps.hshift[1])
@@ -986,7 +1034,9 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
                         c_idx=c_idx, x=x0 >> sps.hshift[1], y=y0 >> sps.vshift[1],
                         log2_size=log2_tt_c, levels=levels,
                         qp=st.chroma_qp(st.qp_y, c_idx), transform_skip=tskip,
-                        transquant_bypass=bool(cu.tq_bypass)))
+                        transquant_bypass=bool(cu.tq_bypass),
+                        matrix_id=_scaling_mid(st, cu, c_idx, tskip,
+                                               log2_tt_c)))
         elif blk_idx == 3:
             # chroma for the four 4x4 luma TUs, at the parent location
             tsz_h = 1 << (log2_tt + 1)
@@ -1009,7 +1059,9 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
                         y=y_base >> sps.vshift[1], log2_size=log2_tt,
                         levels=levels, qp=st.chroma_qp(st.qp_y, c_idx),
                         transform_skip=tskip,
-                        transquant_bypass=bool(cu.tq_bypass)))
+                        transquant_bypass=bool(cu.tq_bypass),
+                        matrix_id=_scaling_mid(st, cu, c_idx, tskip,
+                                               log2_tt)))
     elif cu.pred_mode == MODE_INTRA:
         if log2_tt > 2 or sps.chroma_format_idc == 3:
             tsz_h = 1 << (log2_tt_c + sps.hshift[1])
@@ -1023,6 +1075,14 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
                                       tsz_h, tsz_v))
             plan.ops.append(_intra_op(st, x_base, y_base, log2_tt, 2, mode_c,
                                       tsz_h, tsz_v))
+
+
+def _scaling_mid(st: FrameState, cu: CUData, c_idx, tskip, log2) -> int:
+    """Scaling-list matrix id (reference hevc_cabac.c:1484-1494); -1 = flat."""
+    if (not st.sps.scaling_list_enabled or cu.tq_bypass or
+            (tskip and log2 > 2)):
+        return -1
+    return 3 * (0 if cu.pred_mode == MODE_INTRA else 1) + c_idx
 
 
 def _code_residual(io: CabacIO, st: FrameState, cu: CUData, c_idx, log2_size,

@@ -42,6 +42,24 @@ class CabacIO:
         self.enc.encode_terminate(value)
         return value
 
+    def pcm_begin(self):
+        if self.dec is not None:
+            self.dec.pcm_align()
+        else:
+            self.enc.pcm_begin()
+
+    def pcm_bits(self, n: int, value=None) -> int:
+        if self.dec is not None:
+            return self.dec.read_raw(n)
+        self.enc.write_raw(value, n)
+        return value
+
+    def pcm_end(self):
+        if self.dec is not None:
+            self.dec.pcm_reinit()
+        else:
+            self.enc.pcm_end()
+
     def tr_unary(self, cmax: int, ctx_fn, value=None) -> int:
         """Truncated-unary with per-bin context index from ctx_fn(i)."""
         if self.dec is not None:

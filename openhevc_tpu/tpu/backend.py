@@ -143,8 +143,31 @@ class TpuBackend:
                                  jnp.asarray(em), jnp.asarray(om), restore))
             sao_maps = tuple(sao_maps)
 
+        # ---- PCM base canvas (verbatim samples precede the wavefront) ----
+        from ..decoder.plan import PcmOp
+        pcm_ops = [op for op in plan.ops if isinstance(op, PcmOp)]
+        base = None
+        if pcm_ops:
+            shapes = [(plan.height, plan.width),
+                      (plan.height >> vs, plan.width >> hs),
+                      (plan.height >> vs, plan.width >> hs)]
+            base_np = [np.zeros(s, np.int32) for s in shapes]
+            for op in pcm_ops:
+                s = op.samples
+                base_np[op.c_idx][op.y:op.y + s.shape[0],
+                                  op.x:op.x + s.shape[1]] = s
+            base = tuple(jnp.asarray(b) for b in base_np)
+
+        # ---- scaling-list factor stacks per transform size ----
+        scalemats = None
+        if plan.scaling is not None:
+            scalemats = {
+                n: jnp.asarray(np.stack([plan.scaling[(l2, m)]
+                                         for m in range(6)]), jnp.int32)
+                for l2, n in ((2, 4), (3, 8), (4, 16), (5, 32))}
+
         prof = (bd, bool(plan.strong_intra_smoothing), cfmt, plan.height,
                 plan.width, tuple(inter_sizes), slot_keys, deblock_on, sao_on,
                 plan.beta_offset, plan.tc_offset, plan.cb_qp_offset,
                 plan.cr_qp_offset)
-        return (refs, inter, slots, maps, sao_maps, prof)
+        return (refs, inter, slots, maps, sao_maps, prof, base, scalemats)

@@ -49,7 +49,8 @@ def _scatter_add_clip(plane, xs, ys, res, valid, bit_depth):
 
 
 @partial(jax.jit, static_argnames=("prof",))
-def frame_step(refs, inter, slots, maps, sao_maps, prof):
+def frame_step(refs, inter, slots, maps, sao_maps, prof, base=None,
+               scalemats=None):
     """One fused frame reconstruction.
 
     prof: (bd, strong, chroma_fmt, H, W, inter_sizes, slot_keys, deblock_on,
@@ -57,13 +58,17 @@ def frame_step(refs, inter, slots, maps, sao_maps, prof):
     refs: [3 stacked ref tensors] or None
     inter: {(w,h): dict arrays}; slots: {key: dict arrays (T, C, ...)}
     maps: (vbs, hbs, qp_map, nfm) padded; sao_maps: per-plane tuples or None
+    base: optional [3 planes] initial canvas carrying PCM samples
     """
     (bd, strong, cfmt, H, W, inter_sizes, slot_keys, deblock_on, sao_on,
      beta_off, tc_off, cb_off, cr_off) = prof
     hs = 1 if cfmt in (1, 2) else 0
     vs = 1 if cfmt == 1 else 0
     shapes = [(H, W), (H >> vs, W >> hs), (H >> vs, W >> hs)]
-    planes = [jnp.zeros(s, jnp.int32) for s in shapes]
+    if base is not None:
+        planes = [jnp.asarray(b, jnp.int32) for b in base]
+    else:
+        planes = [jnp.zeros(s, jnp.int32) for s in shapes]
 
     # ---- motion compensation ----
     for (w, h) in inter_sizes:
@@ -117,7 +122,12 @@ def frame_step(refs, inter, slots, maps, sao_maps, prof):
                 phase, c, n = key
                 d = xs[key]
                 if phase == "resid":
-                    res = residual_batch(d["levels"], d["qp"], d["kind"], n, bd)
+                    if scalemats is not None:
+                        res = residual_batch(d["levels"], d["qp"], d["kind"],
+                                             n, bd, d["mid"], scalemats[n])
+                    else:
+                        res = residual_batch(d["levels"], d["qp"], d["kind"],
+                                             n, bd)
                     pl[c] = _scatter_add_clip(pl[c], d["xs"], d["ys"], res,
                                               d["valid"], bd)
             return tuple(pl), None

@@ -112,6 +112,8 @@ def compile_plan(plan: FramePlan):
                 kind = KIND_DCT
             resid_rows[(wave, op.c_idx, n)].append(
                 (op.x, op.y, op.qp, kind, op.levels))
+        elif type(op).__name__ == "PcmOp":
+            pass        # PCM samples go into the base canvas (tpu/backend.py)
         else:
             raise NotImplementedError(f"op {type(op)}")
 

@@ -38,20 +38,34 @@ def _inv_stage(mat, coeffs, shift):
 
 
 @partial(jax.jit, static_argnames=("n", "bit_depth"))
-def residual_batch(levels, qp, kind, n, bit_depth=8):
+def residual_batch(levels, qp, kind, n, bit_depth=8, mids=None, smats=None):
     """levels (N, n, n) int32, qp (N,) int32, kind (N,) int32 -> residuals.
 
-    dequant: clip16((lv * levelScale[qp%6] << (qp/6) * 16 + add) >> shift)
-    then per-kind inverse transform.
+    dequant: clip16((lv * m * levelScale[qp%6] << (qp/6) + add) >> shift)
+    with m = 16 (flat) or the scaling-list factor; then per-kind inverse
+    transform.  mids (N,) selects into smats (6, n, n); mid -1 = flat.
     """
-    # dequant in pure int32: fold the x16 into the shift
-    # (lv*scale*16 + 1<<(shift-1)) >> shift == (lv*scale + 1<<(shift-5)) >> (shift-4)
-    # clamp lv so lv*scale stays < 2^30; clamped values saturate identically
     shift = bit_depth + (n.bit_length() - 1) - 5
     scale = (_LEVEL_SCALE[qp % 6] << (qp // 6))[:, None, None]
-    lim = (1 << 30) // scale
-    lv = jnp.clip(levels, -lim, lim)
-    deq = _clip16((lv * scale + (1 << (shift - 5))) >> (shift - 4)).astype(jnp.int32)
+    if smats is not None:
+        # two-stage int32-exact: a = lv*m (< 2^31), then clamp a so a*scale
+        # stays < 2^30 — clamped values saturate to +/-32767 identically
+        m = jnp.where((mids >= 0)[:, None, None],
+                      smats[jnp.clip(mids, 0, 5)], 16)
+        a = jnp.clip(levels, -(1 << 17), 1 << 17) * m
+        lim = (1 << 30) // scale
+        a = jnp.clip(a, -lim, lim)
+        deq = _clip16((a * scale + (1 << (shift - 1))) >> shift).astype(jnp.int32)
+    else:
+        # dequant in pure int32: fold the x16 into the shift
+        # (lv*scale*16 + 1<<(shift-1)) >> shift
+        #     == (lv*scale + 1<<(shift-5)) >> (shift-4)
+        # clamp lv so lv*scale stays < 2^30; clamps saturate identically
+        scale16 = scale
+        lim = (1 << 30) // scale16
+        lv = jnp.clip(levels, -lim, lim)
+        deq = _clip16((lv * scale16 + (1 << (shift - 5)))
+                      >> (shift - 4)).astype(jnp.int32)
 
     mat = _T[n]
     # stage 1 on columns, stage 2 on rows (transposed application)

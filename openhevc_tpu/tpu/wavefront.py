@@ -59,7 +59,9 @@ def schedule_slots(plan, min_caps=None):
     W = [np.zeros(((h + 3) // 4, (w + 3) // 4), np.int32) for h, w in shapes]
 
     # first pass: natural wave assignment to size the capacities
-    ops = [op for op in plan.ops if not isinstance(op, InterOp)]
+    # (PcmOps are wave -1: their pixels land in the base canvas up front)
+    from ..decoder.plan import PcmOp
+    ops = [op for op in plan.ops if not isinstance(op, (InterOp, PcmOp))]
     natural = []
     counts = {}
     nat_waves = 1
@@ -172,6 +174,7 @@ def schedule_slots(plan, min_caps=None):
         else:
             qp = np.zeros((T, C), np.int32)
             kind = np.zeros((T, C), np.int32)
+            mid = np.full((T, C), -1, np.int32)
             levels = np.zeros((T, C, n, n), np.int32)
             for slot, op in items:
                 i = fill.get(slot, 0)
@@ -179,6 +182,7 @@ def schedule_slots(plan, min_caps=None):
                 xs[slot, i] = op.x
                 ys[slot, i] = op.y
                 qp[slot, i] = op.qp
+                mid[slot, i] = op.matrix_id
                 if op.transquant_bypass:
                     kind[slot, i] = KIND_BYPASS
                 elif op.transform_skip:
@@ -189,8 +193,8 @@ def schedule_slots(plan, min_caps=None):
                     kind[slot, i] = KIND_DCT
                 levels[slot, i] = op.levels
                 valid[slot, i] = True
-            data[key] = dict(xs=xs, ys=ys, qp=qp, kind=kind, levels=levels,
-                             valid=valid)
+            data[key] = dict(xs=xs, ys=ys, qp=qp, kind=kind, mid=mid,
+                             levels=levels, valid=valid)
     return T, caps, data
 
 

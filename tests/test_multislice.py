@@ -1,0 +1,103 @@
+"""Multi-slice pictures: several independent slice segments per frame.
+
+Covers open-ended slice CTB ranges (end_of_slice_segment_flag driven),
+per-slice CABAC/QP state resets, slice-boundary neighbor availability
+(reference hls_slice_data / hls_decode_entry, hevc.c:3017/2644), and the
+deferred picture emission in the frontend (a picture completes only when
+all its slices are in).
+"""
+
+import numpy as np
+import pytest
+
+from openhevc_tpu.encoder import Encoder, EncoderConfig
+from openhevc_tpu.decoder.frontend import Decoder
+from tests.util_e2e import make_source, my_decode, oracle_decode, \
+    assert_frames_equal
+
+
+def _encode(slices, seed=11, w=64, h=64, **kw):
+    rng = np.random.default_rng(5)
+    enc = Encoder(EncoderConfig(width=w, height=h, qp=30, rng_seed=seed,
+                                slices=slices, p_intra_in_inter=0.2, **kw))
+    stream = b"".join(enc.parameter_set_nals())
+    recons = []
+    base = make_source(rng, w, h)
+    for i, t in enumerate("IPB"):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, recon, _ = enc.encode_frame(src, t)
+        stream += nal
+        recons.append([np.asarray(p).copy() for p in recon])
+    return stream, recons
+
+
+@pytest.mark.parametrize("slices", [2, 3])
+def test_multislice_vs_oracle(slices):
+    stream, recons = _encode(slices)
+    mine = my_decode(stream)
+    assert len(mine) == 3
+    for f, want in zip(mine, recons):
+        for p, q in zip(f, want):
+            np.testing.assert_array_equal(np.asarray(p), q)
+    oracle = oracle_decode(stream, 64, 64)
+    assert_frames_equal(recons, oracle, tag=f"slices={slices}")
+
+
+def test_multislice_qp_delta_sao():
+    stream, recons = _encode(3, seed=77, w=96, h=64, cu_qp_delta=True,
+                             sao=True)
+    mine = my_decode(stream)
+    for f, want in zip(mine, recons):
+        for p, q in zip(f, want):
+            np.testing.assert_array_equal(np.asarray(p), q)
+    oracle = oracle_decode(stream, 96, 64)
+    assert_frames_equal(recons, oracle, tag="slices+qpd+sao")
+
+
+def test_multislice_native():
+    stream, recons = _encode(3, seed=77, w=96, h=64, sao=True)
+    dec = Decoder(backend=None, check_md5=True)
+    dec.fe.use_native = True
+    frames = [f.planes for f in dec.decode_stream(stream)]
+    for f, want in zip(frames, recons):
+        for p, q in zip(f, want):
+            np.testing.assert_array_equal(np.asarray(p), q)
+
+
+def test_multislice_tpu_backend():
+    from openhevc_tpu.tpu import TpuBackend
+    stream, recons = _encode(2)
+    dec = Decoder(backend=TpuBackend(ctb_log2=5), check_md5=True)
+    frames = [f.planes for f in dec.decode_stream(stream)]
+    for f, want in zip(frames, recons):
+        for p, q in zip(f, want):
+            np.testing.assert_array_equal(np.asarray(p), q)
+
+
+def test_dependent_slices():
+    """Dependent slice segments: header inheritance + CABAC context
+    carry-over (reference ff_hevc_cabac_init, hevc_cabac.c:606)."""
+    rng = np.random.default_rng(5)
+    enc = Encoder(EncoderConfig(width=96, height=64, qp=30, rng_seed=21,
+                                slices=3, dependent_slices=True,
+                                p_intra_in_inter=0.2, sao=True))
+    stream = b"".join(enc.parameter_set_nals())
+    recons = []
+    base = make_source(rng, 96, 64)
+    for i, t in enumerate("IPB"):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, recon, _ = enc.encode_frame(src, t)
+        stream += nal
+        recons.append([np.asarray(p).copy() for p in recon])
+    mine = my_decode(stream)
+    for f, want in zip(mine, recons):
+        for p, q in zip(f, want):
+            np.testing.assert_array_equal(np.asarray(p), q)
+    oracle = oracle_decode(stream, 96, 64)
+    assert_frames_equal(recons, oracle, tag="dependent slices")
+    dec = Decoder(backend=None, check_md5=True)
+    dec.fe.use_native = True
+    frames = [f.planes for f in dec.decode_stream(stream)]
+    for f, want in zip(frames, recons):
+        for p, q in zip(f, want):
+            np.testing.assert_array_equal(np.asarray(p), q)

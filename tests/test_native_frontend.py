@@ -13,8 +13,10 @@ def _plans(stream, native, with_dpb_frames=None):
     fe = Frontend(dpb=DPB(), use_native=native)
     plans = []
     from openhevc_tpu.bitstream.nal import split_annexb
-    for nal in split_annexb(stream):
-        plan = fe.decode_nal(nal)
+    from openhevc_tpu.bitstream import nal as nalmod
+
+    def finish():
+        plan = fe.end_picture()
         if plan is not None:
             plans.append(plan)
             # register a stub frame so TMVP has collocated motion
@@ -23,6 +25,12 @@ def _plans(stream, native, with_dpb_frames=None):
                              mvf_pred=plan.mvf_pred,
                              mvf_ref_idx=plan.mvf_ref_idx,
                              rpl=plan.rpl, rpl_lt=plan.rpl_lt))
+
+    for nal in split_annexb(stream):
+        if nalmod.is_vcl(nal.type) and (nal.rbsp[0] >> 7):
+            finish()            # complete the previous picture first
+        fe.decode_nal(nal)
+    finish()
     return plans
 
 
