@@ -1,0 +1,72 @@
+"""MP4/ISO-BMFF demux (and test muxer) round trips.
+
+Parity target: the reference's libavformat mov demuxer (SURVEY.md §2.4).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from openhevc_tpu.encoder import Encoder, EncoderConfig
+from openhevc_tpu.formats import mux_mp4, demux_mp4, probe_mp4
+from openhevc_tpu.formats.mp4 import parse_hvcc, build_hvcc
+from tests.util_e2e import make_source, my_decode
+
+
+def _stream():
+    rng = np.random.default_rng(5)
+    enc = Encoder(EncoderConfig(width=64, height=64, qp=30, rng_seed=9))
+    stream = b"".join(enc.parameter_set_nals())
+    recons = []
+    base = make_source(rng, 64, 64)
+    for i, t in enumerate("IPP"):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, recon, _ = enc.encode_frame(src, t)
+        stream += nal
+        recons.append([np.asarray(p).copy() for p in recon])
+    return stream, recons, enc.sps
+
+
+def test_mp4_round_trip():
+    stream, recons, sps = _stream()
+    mp4 = mux_mp4(stream, 64, 64, sps_obj=sps)
+    assert probe_mp4(mp4) and not probe_mp4(stream)
+    annexb = demux_mp4(mp4)
+    frames = my_decode(annexb)
+    assert len(frames) == 3
+    for f, want in zip(frames, recons):
+        for p, q in zip(f, want):
+            np.testing.assert_array_equal(np.asarray(p), q)
+
+
+def test_hvcc_round_trip():
+    stream, _, sps = _stream()
+    from openhevc_tpu.bitstream.nal import split_annexb, write_nal
+    raw = {n.type: write_nal(n.type, n.rbsp)[4:] for n in split_annexb(stream)
+           if n.type in (32, 33, 34)}
+    cfg = build_hvcc(raw[32], raw[33], raw[34], sps)
+    length_size, ps = parse_hvcc(cfg)
+    assert length_size == 4
+    assert ps == [raw[32], raw[33], raw[34]]
+
+
+def test_cli_mp4_input(tmp_path):
+    stream, recons, sps = _stream()
+    mp4 = mux_mp4(stream, 64, 64, sps_obj=sps)
+    inp = tmp_path / "in.mp4"
+    outp = tmp_path / "out.yuv"
+    inp.write_bytes(mp4)
+    r = subprocess.run(
+        [sys.executable, "-m", "openhevc_tpu.cli", "-i", str(inp),
+         "-o", str(outp), "-n", "-b", "np"],
+        capture_output=True, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    assert "frame= 3" in r.stdout
+    data = np.fromfile(outp, np.uint8)
+    assert len(data) == 3 * 64 * 64 * 3 // 2
+    y0 = data[:64 * 64].reshape(64, 64)
+    np.testing.assert_array_equal(y0.astype(np.int32), recons[0][0])
