@@ -142,7 +142,7 @@ def measure_backend(ppath):
             assert d.max() == 0, f"TPU backend mismatch frame {i} plane {c}"
     log("bit-exactness verified")
 
-    reps = 3
+    reps = 2
     t0 = time.time()
     for _ in range(reps):
         run_sequence()
@@ -150,25 +150,26 @@ def measure_backend(ppath):
     e2e_fps = reps * len(plans) / dt
 
     # device-only throughput: inputs pre-staged, one dispatch per frame
+    # (subset of frames to bound HBM: staged args hold all plan tensors)
     from openhevc_tpu.tpu.frame_step import frame_step
     dpb = DPB()
     staged = []
-    for plan in plans:
+    for plan in plans[:4]:
         args = backend.prepare(plan, dpb)
         planes = frame_step(*args)
         dpb.add(Frame(poc=plan.poc, planes=list(planes)))
         staged.append(args)
+    dpb.clear()
     for args in staged:
-        frame_step(*args)            # ensure compiled
+        frame_step(*args)[0].block_until_ready()   # ensure compiled
     reps = 5
     t0 = time.time()
-    outs2 = []
+    last = None
     for _ in range(reps):
         for args in staged:
-            outs2.append(frame_step(*args))
-    for o in outs2:
-        o[0].block_until_ready()
-    dev_fps = reps * len(plans) / (time.time() - t0)
+            last = frame_step(*args)
+    last[0].block_until_ready()
+    dev_fps = reps * len(staged) / (time.time() - t0)
     log(f"device-only fps: {dev_fps:.2f}")
     return e2e_fps, dev_fps
 

@@ -1,8 +1,10 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware. Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware. Must be set before jax import; forced even
+# when the session env selects a TPU platform (tests must not contend with
+# benchmark runs for the single tunneled chip).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
