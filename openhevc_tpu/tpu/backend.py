@@ -76,7 +76,7 @@ class TpuBackend:
                         valid = np.concatenate([valid, np.zeros(pad, bool)])
                     self._inter_caps[(w, h)] = len(valid)
                 b["valid"] = valid
-                inter[(w, h)] = {k: jnp.asarray(v) for k, v in b.items()}
+                inter[(w, h)] = b           # numpy; one batched put below
                 inter_sizes.append((w, h))
         else:
             # dummy refs keep the pytree structure stable
@@ -98,8 +98,7 @@ class TpuBackend:
             T = tmin
         self._slot_T[tkey] = T
         slot_keys = tuple(sorted(data.keys()))
-        slots = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
-                 for k, v in data.items()}
+        slots = data                        # numpy; one batched put below
 
         # ---- filter maps ----
         deblock_on = not plan.deblock_disable
@@ -111,13 +110,10 @@ class TpuBackend:
 
         nfm0 = (plan.no_filter_map if plan.no_filter_map is not None
                 else np.zeros((plan.height // 4, plan.width // 4), np.int32))
-        maps = (jnp.asarray(padmap(plan.vertical_bs, ph // 4, pw // 8)
-                            .astype(np.int32)),
-                jnp.asarray(padmap(plan.horizontal_bs, ph // 8, pw // 4)
-                            .astype(np.int32)),
-                jnp.asarray(padmap(plan.qp_map, ph // 8, pw // 8)
-                            .astype(np.int32)),
-                jnp.asarray(padmap(nfm0, ph // 4, pw // 4).astype(np.int32)))
+        maps = (padmap(plan.vertical_bs, ph // 4, pw // 8).astype(np.int32),
+                padmap(plan.horizontal_bs, ph // 8, pw // 4).astype(np.int32),
+                padmap(plan.qp_map, ph // 8, pw // 8).astype(np.int32),
+                padmap(nfm0, ph // 4, pw // 4).astype(np.int32))
 
         # ---- SAO maps ----
         sao_on = plan.sao is not None and (plan.sao_luma or plan.sao_chroma)
@@ -137,10 +133,9 @@ class TpuBackend:
                     rep = 4 >> (1 if (c and cfmt == 1) else 0)
                     mask = np.repeat(np.repeat(np.asarray(plan.no_filter_map),
                                                rep, 0), rep, 1)
-                    restore = jnp.asarray(
-                        mask[:shape[0], :shape[1]].astype(bool))
-                sao_maps.append((jnp.asarray(tm), jnp.asarray(bm),
-                                 jnp.asarray(em), jnp.asarray(om), restore))
+                    restore = mask[:shape[0], :shape[1]].astype(bool)
+                sao_maps.append((np.asarray(tm), np.asarray(bm),
+                                 np.asarray(em), np.asarray(om), restore))
             sao_maps = tuple(sao_maps)
 
         # ---- PCM base canvas (verbatim samples precede the wavefront) ----
@@ -156,18 +151,22 @@ class TpuBackend:
                 s = op.samples
                 base_np[op.c_idx][op.y:op.y + s.shape[0],
                                   op.x:op.x + s.shape[1]] = s
-            base = tuple(jnp.asarray(b) for b in base_np)
+            base = tuple(base_np)
 
         # ---- scaling-list factor stacks per transform size ----
         scalemats = None
         if plan.scaling is not None:
             scalemats = {
-                n: jnp.asarray(np.stack([plan.scaling[(l2, m)]
-                                         for m in range(6)]), jnp.int32)
+                n: np.stack([plan.scaling[(l2, m)]
+                             for m in range(6)]).astype(np.int32)
                 for l2, n in ((2, 4), (3, 8), (4, 16), (5, 32))}
 
         prof = (bd, bool(plan.strong_intra_smoothing), cfmt, plan.height,
                 plan.width, tuple(inter_sizes), slot_keys, deblock_on, sao_on,
                 plan.beta_offset, plan.tc_offset, plan.cb_qp_offset,
                 plan.cr_qp_offset)
+        # one batched host->device transfer for all plan tensors (per-array
+        # puts cost ~0.9s each over the remote-TPU tunnel)
+        inter, slots, maps, sao_maps, base, scalemats = jax.device_put(
+            (inter, slots, maps, sao_maps, base, scalemats))
         return (refs, inter, slots, maps, sao_maps, prof, base, scalemats)
