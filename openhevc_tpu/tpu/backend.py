@@ -1,10 +1,11 @@
 """TPU back-end orchestrator: one fused jit dispatch per frame.
 
-Host side: compile the FramePlan into padded batch tensors + a static
-profile; device side: frame_step() runs MC, the intra/residual wavefront
-scan, deblocking and SAO in a single program (remote-TPU dispatch latency
-makes many small dispatches prohibitive).  Bit-exact with the NumPy scalar
-pipeline (recon_np); the tests enforce it.
+Host side: compile the FramePlan into a single packed int32 buffer + a
+static profile; device side: frame_step() runs MC, the intra/residual
+wavefront scan, deblocking and SAO in a single program (remote-TPU dispatch
+latency makes many small dispatches prohibitive, and per-array transfers
+cost ~1s each over the tunnel, so the whole plan ships as ONE device_put).
+Bit-exact with the NumPy scalar pipeline (recon_np); the tests enforce it.
 """
 
 import numpy as np
@@ -24,6 +25,13 @@ def _canonical_pu_sizes(ctb):
     return TILE_SIZES
 
 
+def _pow2(x):
+    p = 8
+    while p < x:
+        p *= 2
+    return p
+
+
 class TpuBackend:
     def __init__(self, ctb_log2=None):
         self.ctb_log2 = ctb_log2
@@ -32,6 +40,7 @@ class TpuBackend:
         self._slot_caps = {}
         self._inter_caps = {}
         self._slot_T = {}
+        self._flat_len = {}
 
     def decode_frame(self, plan: FramePlan, dpb):
         args = self.prepare(plan, dpb)
@@ -39,16 +48,19 @@ class TpuBackend:
 
     def prepare(self, plan: FramePlan, dpb):
         """Host-side plan compilation; returns the frame_step argument tuple
-        (everything staged on device, one dispatch to execute)."""
+        (refs on device, one packed plan buffer, static profile)."""
         bd = plan.bit_depth
         cfmt = plan.chroma_format_idc
         hs = 1 if cfmt in (1, 2) else 0
         vs = 1 if cfmt == 1 else 0
 
         cp = compile_plan(plan)
+        parts = []          # (path, int32 ndarray) in layout order
+
+        def add(path, arr):
+            parts.append((path, np.ascontiguousarray(arr, np.int32)))
 
         # ---- inter batches (padded, canonical size list) ----
-        inter = {}
         inter_sizes = []
         refs = None
         if cp.inter:
@@ -75,30 +87,42 @@ class TpuBackend:
                             [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in b.items()}
                         valid = np.concatenate([valid, np.zeros(pad, bool)])
                     self._inter_caps[(w, h)] = len(valid)
-                b["valid"] = valid
-                inter[(w, h)] = b           # numpy; one batched put below
+                b["valid"] = valid.astype(np.int32)
+                for f, v in b.items():
+                    add(("inter", w, h, f), v)
                 inter_sizes.append((w, h))
         else:
             # dummy refs keep the pytree structure stable
             refs = [jnp.zeros((1, 8, 8), jnp.int32) for _ in range(3)]
 
-        # ---- wavefront slots ----
+        # ---- wavefront slots (flat, slot-ordered layout) ----
         T, caps, data = schedule_slots(plan, min_caps=self._slot_caps)
         self._slot_caps = dict(caps)
-        # sticky T per bucket class (pad with empty slots)
-        tkey = "T"
-        tmin = self._slot_T.get(tkey, 1)
+        tmin = self._slot_T.get("T", 1)
         if T < tmin:
             pad = tmin - T
             for k in data:
-                for kk in data[k]:
-                    d = data[k][kk]
+                for kk in ("offs", "counts"):
                     data[k][kk] = np.concatenate(
-                        [d, np.zeros((pad,) + d.shape[1:], d.dtype)])
+                        [data[k][kk], np.zeros(pad, np.int32)])
             T = tmin
-        self._slot_T[tkey] = T
+        self._slot_T["T"] = T
         slot_keys = tuple(sorted(data.keys()))
-        slots = data                        # numpy; one batched put below
+        slot_caps = tuple(caps[k] for k in slot_keys)
+        for key in slot_keys:
+            d = data[key]
+            # sticky pow2 flat length so the packed layout stays monotone
+            n_rows = len(d["xs"])
+            tgt = max(_pow2(n_rows), self._flat_len.get(key, 8))
+            self._flat_len[key] = tgt
+            for f, v in d.items():
+                if f in ("offs", "counts"):
+                    add(("slot",) + key + (f,), v)
+                    continue
+                if len(v) < tgt:
+                    v = np.concatenate(
+                        [v, np.zeros((tgt - len(v),) + v.shape[1:], v.dtype)])
+                add(("slot",) + key + (f,), v)
 
         # ---- filter maps ----
         deblock_on = not plan.deblock_disable
@@ -110,17 +134,15 @@ class TpuBackend:
 
         nfm0 = (plan.no_filter_map if plan.no_filter_map is not None
                 else np.zeros((plan.height // 4, plan.width // 4), np.int32))
-        maps = (padmap(plan.vertical_bs, ph // 4, pw // 8).astype(np.int32),
-                padmap(plan.horizontal_bs, ph // 8, pw // 4).astype(np.int32),
-                padmap(plan.qp_map, ph // 8, pw // 8).astype(np.int32),
-                padmap(nfm0, ph // 4, pw // 4).astype(np.int32))
+        add(("map", "vbs"), padmap(plan.vertical_bs, ph // 4, pw // 8))
+        add(("map", "hbs"), padmap(plan.horizontal_bs, ph // 8, pw // 4))
+        add(("map", "qp"), padmap(plan.qp_map, ph // 8, pw // 8))
+        add(("map", "nfm"), padmap(nfm0, ph // 4, pw // 4))
 
         # ---- SAO maps ----
         sao_on = plan.sao is not None and (plan.sao_luma or plan.sao_chroma)
-        sao_maps = None
         if sao_on:
             ctb = 1 << (self.ctb_log2 or 6)
-            sao_maps = []
             restore_any = (plan.no_filter_map is not None and
                            np.asarray(plan.no_filter_map).any())
             for c in range(3):
@@ -128,21 +150,22 @@ class TpuBackend:
                 shape = (plan.height >> (vs if c else 0),
                          plan.width >> (hs if c else 0))
                 tm, bm, em, om = build_sao_maps(plan, c, cs, shape)
-                restore = None
+                add(("sao", c, "tm"), tm)
+                add(("sao", c, "bm"), bm)
+                add(("sao", c, "em"), em)
+                add(("sao", c, "om"), om)
                 if restore_any:
                     rep = 4 >> (1 if (c and cfmt == 1) else 0)
                     mask = np.repeat(np.repeat(np.asarray(plan.no_filter_map),
                                                rep, 0), rep, 1)
-                    restore = mask[:shape[0], :shape[1]].astype(bool)
-                sao_maps.append((np.asarray(tm), np.asarray(bm),
-                                 np.asarray(em), np.asarray(om), restore))
-            sao_maps = tuple(sao_maps)
+                    add(("sao", c, "restore"),
+                        mask[:shape[0], :shape[1]].astype(np.int32))
 
         # ---- PCM base canvas (verbatim samples precede the wavefront) ----
         from ..decoder.plan import PcmOp
         pcm_ops = [op for op in plan.ops if isinstance(op, PcmOp)]
-        base = None
-        if pcm_ops:
+        has_base = bool(pcm_ops)
+        if has_base:
             shapes = [(plan.height, plan.width),
                       (plan.height >> vs, plan.width >> hs),
                       (plan.height >> vs, plan.width >> hs)]
@@ -151,22 +174,30 @@ class TpuBackend:
                 s = op.samples
                 base_np[op.c_idx][op.y:op.y + s.shape[0],
                                   op.x:op.x + s.shape[1]] = s
-            base = tuple(base_np)
+            for c in range(3):
+                add(("base", c), base_np[c])
 
         # ---- scaling-list factor stacks per transform size ----
-        scalemats = None
-        if plan.scaling is not None:
-            scalemats = {
-                n: np.stack([plan.scaling[(l2, m)]
-                             for m in range(6)]).astype(np.int32)
-                for l2, n in ((2, 4), (3, 8), (4, 16), (5, 32))}
+        has_scaling = plan.scaling is not None
+        if has_scaling:
+            for l2, n in ((2, 4), (3, 8), (4, 16), (5, 32)):
+                add(("scale", n),
+                    np.stack([plan.scaling[(l2, m)] for m in range(6)]))
+
+        # ---- one packed buffer + static layout ----
+        layout = []
+        bufs = []
+        off = 0
+        for path, arr in parts:
+            layout.append((path, off, arr.shape))
+            bufs.append(arr.ravel())
+            off += arr.size
+        packed = jnp.asarray(np.concatenate(bufs) if bufs
+                             else np.zeros(1, np.int32))
 
         prof = (bd, bool(plan.strong_intra_smoothing), cfmt, plan.height,
-                plan.width, tuple(inter_sizes), slot_keys, deblock_on, sao_on,
-                plan.beta_offset, plan.tc_offset, plan.cb_qp_offset,
-                plan.cr_qp_offset)
-        # one batched host->device transfer for all plan tensors (per-array
-        # puts cost ~0.9s each over the remote-TPU tunnel)
-        inter, slots, maps, sao_maps, base, scalemats = jax.device_put(
-            (inter, slots, maps, sao_maps, base, scalemats))
-        return (refs, inter, slots, maps, sao_maps, prof, base, scalemats)
+                plan.width, tuple(inter_sizes), slot_keys, slot_caps,
+                deblock_on, sao_on, plan.beta_offset, plan.tc_offset,
+                plan.cb_qp_offset, plan.cr_qp_offset, has_base, has_scaling,
+                tuple(layout))
+        return (refs, packed, prof)

@@ -4,6 +4,13 @@ Remote-TPU dispatch latency dominates when a frame issues hundreds of small
 kernels, so MC, the intra/residual wavefront scan, deblocking and SAO are
 composed into one jitted program.  The static `prof` tuple captures every
 shape-determining property; identical profiles reuse the compiled program.
+
+All plan tensors arrive in ONE packed int32 buffer (a single host->device
+transfer; per-array puts cost ~1s each over a remote-TPU tunnel) and are
+unpacked here with static slices.  Slot batches use a flat, slot-ordered
+layout: the scan dynamic-slices a fixed `cap` rows per slot and masks by the
+slot's true count, so the shipped data scales with the real op count rather
+than slots*capacity.
 """
 
 from functools import partial
@@ -11,6 +18,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .mc import mc_batch
 from .intra import intra_batch
@@ -48,32 +56,46 @@ def _scatter_add_clip(plane, xs, ys, res, valid, bit_depth):
     return jnp.clip(out, 0, maxv)
 
 
+def _unpack(packed, layout):
+    """layout: tuple of (path, offset, shape); static slices into `packed`."""
+    out = {}
+    for path, off, shape in layout:
+        size = int(np.prod(shape)) if shape else 1
+        out[path] = packed[off:off + size].reshape(shape)
+    return out
+
+
 @partial(jax.jit, static_argnames=("prof",))
-def frame_step(refs, inter, slots, maps, sao_maps, prof, base=None,
-               scalemats=None):
+def frame_step(refs, packed, prof):
     """One fused frame reconstruction.
 
-    prof: (bd, strong, chroma_fmt, H, W, inter_sizes, slot_keys, deblock_on,
-           sao_on, beta_off, tc_off, cb_off, cr_off)
-    refs: [3 stacked ref tensors] or None
-    inter: {(w,h): dict arrays}; slots: {key: dict arrays (T, C, ...)}
-    maps: (vbs, hbs, qp_map, nfm) padded; sao_maps: per-plane tuples or None
-    base: optional [3 planes] initial canvas carrying PCM samples
+    prof: (bd, strong, chroma_fmt, H, W, inter_sizes, slot_keys, slot_caps,
+           deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
+           has_scaling, layout)
+    refs: [3 stacked ref tensors] (device); packed: flat int32 plan buffer.
     """
-    (bd, strong, cfmt, H, W, inter_sizes, slot_keys, deblock_on, sao_on,
-     beta_off, tc_off, cb_off, cr_off) = prof
+    (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, deblock_on,
+     sao_on, beta_off, tc_off, cb_off, cr_off, has_base, has_scaling,
+     layout) = prof
+    arrays = _unpack(packed, layout)
     hs = 1 if cfmt in (1, 2) else 0
     vs = 1 if cfmt == 1 else 0
     shapes = [(H, W), (H >> vs, W >> hs), (H >> vs, W >> hs)]
-    if base is not None:
-        planes = [jnp.asarray(b, jnp.int32) for b in base]
+    if has_base:
+        planes = [arrays[("base", c)] for c in range(3)]
     else:
         planes = [jnp.zeros(s, jnp.int32) for s in shapes]
 
+    scalemats = None
+    if has_scaling:
+        scalemats = {n: arrays[("scale", n)] for n in (4, 8, 16, 32)}
+
     # ---- motion compensation ----
     for (w, h) in inter_sizes:
-        b = inter[(w, h)]
-        valid = b["valid"]
+        b = {f: arrays[("inter", w, h, f)]
+             for f in ("xs", "ys", "pf", "s0", "mvx0", "mvy0", "s1", "mvx1",
+                       "mvy1", "wden", "w0", "w1", "valid")}
+        valid = b["valid"].astype(bool)
         for c in range(3):
             sh_, sv_ = (hs, vs) if c else (0, 0)
             xs = b["xs"] >> sh_
@@ -108,35 +130,65 @@ def frame_step(refs, inter, slots, maps, sao_maps, prof, base=None,
 
     # ---- intra/residual wavefront scan ----
     if slot_keys:
-        def body(pl, xs):
+        caps_map = dict(zip(slot_keys, slot_caps))
+        slotd = {}
+        for key in slot_keys:
+            fields = (("xs", "ys", "modes", "flags", "offs", "counts")
+                      if key[0] == "intra" else
+                      ("xs", "ys", "qp", "kind", "mid", "levels", "offs",
+                       "counts"))
+            slotd[key] = {f: arrays[("slot",) + key + (f,)] for f in fields}
+        scan_xs = {key: (slotd[key]["offs"], slotd[key]["counts"])
+                   for key in slot_keys}
+
+        def body(pl, x):
             pl = list(pl)
             for key in slot_keys:
                 phase, c, n = key
-                d = xs[key]
-                if phase == "intra":
-                    preds = intra_batch(pl[c], d["xs"], d["ys"], d["modes"],
-                                        d["flags"], n, min(c, 1), bd, strong)
-                    pl[c] = _scatter_set(pl[c], d["xs"], d["ys"], preds,
-                                         d["valid"])
+                if phase != "intra":
+                    continue
+                off, cnt = x[key]
+                C = caps_map[key]
+                d = slotd[key]
+                sxs = lax.dynamic_slice_in_dim(d["xs"], off, C)
+                sys_ = lax.dynamic_slice_in_dim(d["ys"], off, C)
+                smod = lax.dynamic_slice_in_dim(d["modes"], off, C)
+                sflg = lax.dynamic_slice_in_dim(d["flags"], off, C)
+                valid = jnp.arange(C) < cnt
+                preds = intra_batch(pl[c], sxs, sys_, smod, sflg, n,
+                                    min(c, 1), bd, strong)
+                pl[c] = _scatter_set(pl[c], sxs, sys_, preds, valid)
             for key in slot_keys:
                 phase, c, n = key
-                d = xs[key]
-                if phase == "resid":
-                    if scalemats is not None:
-                        res = residual_batch(d["levels"], d["qp"], d["kind"],
-                                             n, bd, d["mid"], scalemats[n])
-                    else:
-                        res = residual_batch(d["levels"], d["qp"], d["kind"],
-                                             n, bd)
-                    pl[c] = _scatter_add_clip(pl[c], d["xs"], d["ys"], res,
-                                              d["valid"], bd)
+                if phase != "resid":
+                    continue
+                off, cnt = x[key]
+                C = caps_map[key]
+                d = slotd[key]
+                sxs = lax.dynamic_slice_in_dim(d["xs"], off, C)
+                sys_ = lax.dynamic_slice_in_dim(d["ys"], off, C)
+                sqp = lax.dynamic_slice_in_dim(d["qp"], off, C)
+                skind = lax.dynamic_slice_in_dim(d["kind"], off, C)
+                slv = lax.dynamic_slice_in_dim(d["levels"], off, C)
+                valid = jnp.arange(C) < cnt
+                if scalemats is not None:
+                    smid = lax.dynamic_slice_in_dim(d["mid"], off, C)
+                    res = residual_batch(slv, sqp, skind, n, bd, smid,
+                                         scalemats[n])
+                else:
+                    res = residual_batch(slv, sqp, skind, n, bd)
+                pl[c] = _scatter_add_clip(pl[c], sxs, sys_, res, valid, bd)
             return tuple(pl), None
-        planes_t, _ = jax.lax.scan(body, tuple(planes), slots)
+
+        planes_t, _ = lax.scan(body, tuple(planes), scan_xs)
         planes = list(planes_t)
 
     # ---- deblock ----
     if deblock_on:
-        vbs, hbs, qp_map, nfm = maps
+        vbs = arrays[("map", "vbs")]
+        hbs = arrays[("map", "hbs")]
+        qp_map = arrays[("map", "qp")]
+        nfm = arrays[("map", "nfm")]
         ph = -H % 16
         pw = -W % 16
         luma = jnp.pad(planes[0], ((0, ph), (0, pw))) if (ph or pw) else planes[0]
@@ -162,10 +214,14 @@ def frame_step(refs, inter, slots, maps, sao_maps, prof, base=None,
         pre = planes
         out = []
         for c in range(3):
-            tm, bm, em, om, restore = sao_maps[c]
+            tm = arrays[("sao", c, "tm")]
+            bm = arrays[("sao", c, "bm")]
+            em = arrays[("sao", c, "em")]
+            om = arrays[("sao", c, "om")]
             filt = sao_plane(pre[c], tm, bm, em, om, bd)
-            if restore is not None:
-                filt = jnp.where(restore, pre[c], filt)
+            if ("sao", c, "restore") in arrays:
+                filt = jnp.where(arrays[("sao", c, "restore")].astype(bool),
+                                 pre[c], filt)
             out.append(filt)
         planes = out
     return tuple(planes)

@@ -147,93 +147,64 @@ def schedule_slots(plan, min_caps=None):
     # pad T to a power of two (empty trailing slots) for profile stability
     T = _pow2(T) if T > 1 else 1
 
-    # stack into (T, C, ...) tensors over the canonical key set
+    # flat slot-ordered layout: rows for slot t live at offs[t]..offs[t]+
+    # counts[t]; the device scan dynamic-slices a fixed C=caps[key] rows per
+    # slot (over-reads into the next slot are masked by the count).  This
+    # ships ~fill-factor less data than dense (T, C, ...) tensors, which
+    # dominates host->device time on a remote TPU.
     data = {}
     for key in canonical_keys(plan.chroma_format_idc):
         items = rows.get(key, [])
         caps.setdefault(key, 8)
         phase, c, n = key
         C = caps[key]
-        xs = np.zeros((T, C), np.int32)
-        ys = np.zeros((T, C), np.int32)
-        valid = np.zeros((T, C), bool)
-        fill = {}
+        items.sort(key=lambda so: so[0])
+        N = len(items) + C                     # C tail rows keep slices in-bounds
+        offs = np.zeros(T, np.int32)
+        counts = np.zeros(T, np.int32)
+        pos = 0
+        by_slot = {}
+        for slot, op in items:
+            by_slot.setdefault(slot, []).append(op)
+        order = []
+        for t in range(T):
+            offs[t] = pos
+            ops_t = by_slot.get(t, ())
+            counts[t] = len(ops_t)
+            order.extend(ops_t)
+            pos += len(ops_t)
+        xs = np.zeros(N, np.int32)
+        ys = np.zeros(N, np.int32)
         if phase == "intra":
-            modes = np.zeros((T, C), np.int32)
-            flags = np.zeros((T, C, 5), np.int32)
-            for slot, op in items:
-                i = fill.get(slot, 0)
-                fill[slot] = i + 1
-                xs[slot, i] = op.x
-                ys[slot, i] = op.y
-                modes[slot, i] = op.mode
-                flags[slot, i] = (op.cand_bottom_left, op.cand_left,
-                                  op.cand_up_left, op.cand_up, op.cand_up_right)
-                valid[slot, i] = True
-            data[key] = dict(xs=xs, ys=ys, modes=modes, flags=flags, valid=valid)
+            modes = np.zeros(N, np.int32)
+            flags = np.zeros((N, 5), np.int32)
+            for i, op in enumerate(order):
+                xs[i] = op.x
+                ys[i] = op.y
+                modes[i] = op.mode
+                flags[i] = (op.cand_bottom_left, op.cand_left,
+                            op.cand_up_left, op.cand_up, op.cand_up_right)
+            data[key] = dict(xs=xs, ys=ys, modes=modes, flags=flags,
+                             offs=offs, counts=counts)
         else:
-            qp = np.zeros((T, C), np.int32)
-            kind = np.zeros((T, C), np.int32)
-            mid = np.full((T, C), -1, np.int32)
-            levels = np.zeros((T, C, n, n), np.int32)
-            for slot, op in items:
-                i = fill.get(slot, 0)
-                fill[slot] = i + 1
-                xs[slot, i] = op.x
-                ys[slot, i] = op.y
-                qp[slot, i] = op.qp
-                mid[slot, i] = op.matrix_id
+            qp = np.zeros(N, np.int32)
+            kind = np.zeros(N, np.int32)
+            mid = np.full(N, -1, np.int32)
+            levels = np.zeros((N, n, n), np.int32)
+            for i, op in enumerate(order):
+                xs[i] = op.x
+                ys[i] = op.y
+                qp[i] = op.qp
+                mid[i] = op.matrix_id
                 if op.transquant_bypass:
-                    kind[slot, i] = KIND_BYPASS
+                    kind[i] = KIND_BYPASS
                 elif op.transform_skip:
-                    kind[slot, i] = KIND_SKIP
+                    kind[i] = KIND_SKIP
                 elif op.use_dst:
-                    kind[slot, i] = KIND_DST
+                    kind[i] = KIND_DST
                 else:
-                    kind[slot, i] = KIND_DCT
-                levels[slot, i] = op.levels
-                valid[slot, i] = True
+                    kind[i] = KIND_DCT
+                levels[i] = op.levels
             data[key] = dict(xs=xs, ys=ys, qp=qp, kind=kind, mid=mid,
-                             levels=levels, valid=valid)
+                             levels=levels, offs=offs, counts=counts)
     return T, caps, data
-
-
-def _scatter_set(plane, xs, ys, vals, valid):
-    n = vals.shape[1]
-    h, w = plane.shape
-    gy = ys[:, None, None] + jnp.arange(n)[None, :, None]
-    gx = xs[:, None, None] + jnp.arange(n)[None, None, :]
-    flat_idx = (gy * w + gx).reshape(-1)
-    flat = plane.reshape(-1)
-    cur = flat[flat_idx]
-    vmask = jnp.repeat(valid, n * n)
-    delta = jnp.where(vmask, vals.reshape(-1) - cur, 0)
-    return flat.at[flat_idx].add(delta).reshape(h, w)
-
-
-@partial(jax.jit, static_argnames=("keys", "bit_depth", "strong"))
-def run_slots(planes, data, keys, bit_depth=8, strong=False):
-    """Execute all slots in one scan. keys: sorted tuple of (phase, c, n)."""
-
-    def body(planes, xs):
-        planes = list(planes)
-        for key in keys:
-            phase, c, n = key
-            d = xs[key]
-            if phase == "intra":
-                preds = intra_batch(planes[c], d["xs"], d["ys"], d["modes"],
-                                    d["flags"], n, min(c, 1), bit_depth, strong)
-                planes[c] = _scatter_set(planes[c], d["xs"], d["ys"], preds,
-                                         d["valid"])
-        for key in keys:
-            phase, c, n = key
-            d = xs[key]
-            if phase == "resid":
-                res = residual_batch(d["levels"], d["qp"], d["kind"], n,
-                                     bit_depth)
-                planes[c] = scatter_add_residual(planes[c], d["xs"], d["ys"],
-                                                 res, d["valid"], bit_depth)
-        return tuple(planes), None
-
-    planes, _ = jax.lax.scan(body, tuple(planes), data)
-    return planes
