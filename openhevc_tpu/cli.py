@@ -55,9 +55,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     data = open(args.input, "rb").read()
-    from .formats import probe_mp4, demux_mp4
+    from .formats import probe_mp4, demux_mp4, probe_ts, demux_ts
     if probe_mp4(data):
         data = demux_mp4(data)      # mp4/mov -> annex B
+    elif probe_ts(data):
+        data = demux_ts(data)       # mpeg-ts -> annex B
     h = libOpenHevcInit(args.threads, args.thread_type)
     h._backend_kind = args.backend if args.backend != "np" else "none"
     libOpenHevcSetCheckMD5(h, 0 if args.no_md5 else 1)

@@ -1,5 +1,7 @@
 """Container formats: demuxers/muxers feeding the annex-B front-end."""
 
 from .mp4 import demux_mp4, mux_mp4, probe_mp4
+from .ts import demux_ts, mux_ts, probe_ts
 
-__all__ = ["demux_mp4", "mux_mp4", "probe_mp4"]
+__all__ = ["demux_mp4", "mux_mp4", "probe_mp4",
+           "demux_ts", "mux_ts", "probe_ts"]

@@ -70,3 +70,32 @@ def test_cli_mp4_input(tmp_path):
     assert len(data) == 3 * 64 * 64 * 3 // 2
     y0 = data[:64 * 64].reshape(64, 64)
     np.testing.assert_array_equal(y0.astype(np.int32), recons[0][0])
+
+
+def test_ts_round_trip():
+    """MPEG-TS demux (PAT/PMT/PES) round trip — reference mpegts.c parity."""
+    from openhevc_tpu.formats import mux_ts, demux_ts, probe_ts
+    stream, recons, _ = _stream()
+    ts = mux_ts(stream)
+    assert probe_ts(ts) and len(ts) % 188 == 0
+    assert not probe_ts(stream)
+    frames = my_decode(demux_ts(ts))
+    assert len(frames) == 3
+    for f, want in zip(frames, recons):
+        for p, q in zip(f, want):
+            np.testing.assert_array_equal(np.asarray(p), q)
+
+
+def test_cli_ts_input(tmp_path):
+    from openhevc_tpu.formats import mux_ts
+    stream, recons, _ = _stream()
+    inp = tmp_path / "in.ts"
+    inp.write_bytes(mux_ts(stream))
+    r = subprocess.run(
+        [sys.executable, "-m", "openhevc_tpu.cli", "-i", str(inp), "-n",
+         "-b", "np"],
+        capture_output=True, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    assert "frame= 3" in r.stdout
