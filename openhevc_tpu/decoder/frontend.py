@@ -18,7 +18,7 @@ from .slice import parse_slice_header, I_SLICE, P_SLICE, B_SLICE
 from .plan import FramePlan
 from ..syntax.ctu import FrameState, code_ctu, expand_qp_map
 from ..syntax.io import CabacIO
-from .refs import DPB, Frame, construct_rpl
+from .refs import DPB, Frame, construct_rpl, resolve_lt_pocs
 from . import recon_np
 
 
@@ -126,8 +126,10 @@ class Frontend:
         st.level_provider = None
         st.cur_poc = poc
         if sh.slice_type != I_SLICE:
-            st.rpl = construct_rpl(sh, poc)
-            st.rpl_lt = [[False] * len(st.rpl[0]), [False] * len(st.rpl[1])]
+            lt_pocs = resolve_lt_pocs(
+                sh, poc, 1 << sps.log2_max_poc_lsb,
+                sorted(self.dpb.frames) if self.dpb is not None else ())
+            st.rpl, st.rpl_lt = construct_rpl(sh, poc, lt_pocs)
             plan.rpl = st.rpl
             plan.rpl_lt = st.rpl_lt
             if sh.temporal_mvp_enabled and self.dpb is not None and \
@@ -177,8 +179,11 @@ class Frontend:
         st.is_cu_qp_delta_coded = 0
         st.cu_qp_delta = 0
         if sh.slice_type != I_SLICE:
-            st.rpl = construct_rpl(sh, cur["plan"].poc)
-            st.rpl_lt = [[False] * len(st.rpl[0]), [False] * len(st.rpl[1])]
+            poc0 = cur["plan"].poc
+            lt_pocs = resolve_lt_pocs(
+                sh, poc0, 1 << sps.log2_max_poc_lsb,
+                sorted(self.dpb.frames) if self.dpb is not None else ())
+            st.rpl, st.rpl_lt = construct_rpl(sh, poc0, lt_pocs)
             if sh.temporal_mvp_enabled and self.dpb is not None and \
                     st.rpl[sh.collocated_list]:
                 st.collocated_frame = self.dpb.get(
@@ -300,7 +305,7 @@ class Frontend:
         out = decode_slice_native(sps, pps, sh, self.nal_type, payload,
                                   plan.poc, st.rpl, collocated, init_type,
                                   ts0, sps.pic_size_in_ctbs - 1,
-                                  pic=cur["native_pic"])
+                                  pic=cur["native_pic"], rpl_lt=st.rpl_lt)
         cur["native_out"] = out
         return out["last_ts"]
 

@@ -67,26 +67,55 @@ def rps_sets(sh, cur_poc: int):
     return bef, aft, foll
 
 
-def construct_rpl(sh, cur_poc: int):
-    """Build RefPicList POCs for both lists (spec 8.3.4 / hevc_refs.c:430)."""
-    bef, aft, _ = rps_sets(sh, cur_poc)
-    lt = list(sh.lt_poc)   # already absolute? (slice stores lsb; resolved by caller)
-    cands = {0: bef + aft + lt, 1: aft + bef + lt}
+def resolve_lt_pocs(sh, cur_poc: int, max_poc_lsb: int, dpb_pocs=()):
+    """spec 8.3.2 PocLtCurr: resolve slice LT LSBs to absolute POCs.
+
+    Entries without the MSB cycle are matched against the DPB by LSB
+    (reference find_ref_idx, hevc_refs.c)."""
     out = []
+    cyc_acc = 0
+    for i in range(len(sh.lt_poc)):
+        lsb = sh.lt_poc[i]
+        if sh.lt_msb_present[i]:
+            cyc = sh.lt_delta_poc_msb_cycle[i] + (cyc_acc if i > 0 else 0)
+            cyc_acc = cyc
+            poc = (lsb + cur_poc - cyc * max_poc_lsb -
+                   (cur_poc & (max_poc_lsb - 1)))
+        else:
+            poc = lsb
+            for p in dpb_pocs:
+                if (p & (max_poc_lsb - 1)) == lsb:
+                    poc = p
+        out.append((poc, bool(sh.lt_used[i])))
+    return out
+
+
+def construct_rpl(sh, cur_poc: int, lt_pocs=None):
+    """Build RefPicList POCs + long-term flags for both lists
+    (spec 8.3.4 / hevc_refs.c:430).  -> (rpl, rpl_lt)."""
+    bef, aft, _ = rps_sets(sh, cur_poc)
+    lt = [p for p, used in (lt_pocs or ()) if used]
+    cands = {0: bef + aft + lt, 1: aft + bef + lt}
+    flags = {0: [False] * (len(bef) + len(aft)) + [True] * len(lt),
+             1: [False] * (len(aft) + len(bef)) + [True] * len(lt)}
+    out = []
+    out_lt = []
     for lx in range(2):
         n = sh.num_ref_idx[lx]
         cand = cands[lx]
+        fl = flags[lx]
         if not cand:
             out.append([])
+            out_lt.append([])
             continue
-        init = [cand[i % len(cand)] for i in range(max(n, len(cand)))]
         mod = sh.rpl_modification[lx]
         if mod:
-            lst = [cand[idx] for idx in mod]
+            idxs = list(mod)
         else:
-            lst = init[:n]
-        out.append(lst[:n])
-    return out
+            idxs = [i % len(cand) for i in range(n)]
+        out.append([cand[i] for i in idxs][:n])
+        out_lt.append([fl[i] for i in idxs][:n])
+    return out, out_lt
 
 
 def output_order(frames: List[Frame]) -> List[Frame]:

@@ -274,8 +274,14 @@ def write_slice_header(sh: SliceHeader, nal_type: int, sps: SPS, pps: PPS) -> Bi
                     w.u(sh.short_term_rps_idx, nbits)
             if sps.long_term_ref_pics_present:
                 if len(sps.lt_ref_poc_lsb):
-                    w.ue(0)
-                w.ue(0)                     # no long-term refs written yet
+                    w.ue(0)                 # num_long_term_sps
+                w.ue(len(sh.lt_poc))        # num_long_term_pics
+                for i in range(len(sh.lt_poc)):
+                    w.u(sh.lt_poc[i], sps.log2_max_poc_lsb)
+                    w.u1(sh.lt_used[i])
+                    w.u1(sh.lt_msb_present[i])
+                    if sh.lt_msb_present[i]:
+                        w.ue(sh.lt_delta_poc_msb_cycle[i])
             if sps.temporal_mvp_enabled:
                 w.u1(sh.temporal_mvp_enabled)
         if sps.sao_enabled:

@@ -27,7 +27,7 @@ from ..model import transforms as tr
 from ..model import intra as ipred
 from ..ps.params import VPS, SPS, PPS, write_vps, write_sps, write_pps
 from ..decoder.slice import SliceHeader, write_slice_header, I_SLICE, P_SLICE, B_SLICE
-from ..decoder.refs import DPB, Frame, construct_rpl
+from ..decoder.refs import DPB, Frame, construct_rpl, resolve_lt_pocs
 from ..ps.params import ShortTermRPS
 from ..syntax.ctu import (FrameState, CtbData, CQTNode, CUData, TTNode,
                           TUData, code_ctu, MODE_INTRA, MODE_INTER, PART_2Nx2N,
@@ -71,6 +71,7 @@ class EncoderConfig:
     scaling_lists: str = ""     # "" | "default" | "custom" | "pps"
     slices: int = 1             # slice segments per frame
     dependent_slices: bool = False  # segments >0 are dependent segments
+    long_term: bool = False     # keep POC 0 as a long-term reference
 
 
 class Encoder:
@@ -114,6 +115,8 @@ class Encoder:
                     self._pps_sl = sl       # applied after PPS construction
                 else:
                     self.sps.scaling_list = sl
+        if cfg.long_term:
+            self.sps.long_term_ref_pics_present = 1
         if cfg.p_pcm > 0:
             self.sps.pcm_enabled = 1
             pbd = cfg.pcm_bit_depth or cfg.bit_depth
@@ -182,7 +185,11 @@ class Encoder:
         else:
             nal_type = nalmod.NAL_TRAIL_R
             sh.pic_order_cnt_lsb = self.poc & ((1 << sps.log2_max_poc_lsb) - 1)
-            refs = sorted(self.dpb.frames, reverse=True)[:cfg.max_refs]
+            use_lt = cfg.long_term and self.poc >= 2 and 0 in self.dpb.frames
+            cand = sorted(self.dpb.frames, reverse=True)
+            if use_lt:
+                cand = [p for p in cand if p != 0]
+            refs = cand[:cfg.max_refs]
             rps = ShortTermRPS()
             for poc in refs:
                 rps.delta_poc.append(poc - self.poc)
@@ -190,7 +197,13 @@ class Encoder:
             rps.delta_poc.sort(reverse=True)    # closest first (all negative)
             rps.num_negative_pics = len(rps.delta_poc)
             sh.slice_rps = rps
-            nref = max(1, len(refs))
+            if use_lt:
+                # POC 0 as a slice-level long-term ref (lsb 0 + msb cycle)
+                sh.lt_poc = [0]
+                sh.lt_used = [1]
+                sh.lt_msb_present = [1]
+                sh.lt_delta_poc_msb_cycle = [self.poc >> sps.log2_max_poc_lsb]
+            nref = max(1, len(refs) + (1 if use_lt else 0))
             sh.num_ref_idx = [nref, nref if slice_type == "B" else 0]
             sh.max_num_merge_cand = 5
             if cfg.temporal_mvp:
@@ -227,8 +240,10 @@ class Encoder:
             plan.scaling = self._sf
         st.cur_poc = self.poc
         if stype != I_SLICE:
-            st.rpl = construct_rpl(sh, self.poc)
-            st.rpl_lt = [[False] * len(st.rpl[0]), [False] * len(st.rpl[1])]
+            lt_pocs = resolve_lt_pocs(sh, self.poc,
+                                      1 << sps.log2_max_poc_lsb,
+                                      sorted(self.dpb.frames))
+            st.rpl, st.rpl_lt = construct_rpl(sh, self.poc, lt_pocs)
             plan.rpl = st.rpl
             plan.rpl_lt = st.rpl_lt
             if sh.temporal_mvp_enabled and st.rpl[sh.collocated_list]:
@@ -331,7 +346,8 @@ class Encoder:
                            mvf_ref_idx=st.mvf_ref_idx.copy(),
                            rpl=st.rpl, rpl_lt=st.rpl_lt))
         if sh.slice_rps is not None:
-            self.dpb.apply_rps(self.poc, sh.slice_rps)
+            self.dpb.apply_rps(self.poc, sh.slice_rps,
+                               lt_pocs=(0,) if cfg.long_term else ())
 
         nal = b"".join(slice_nals)
         from ..decoder.sei import plane_md5, write_picture_hash_sei

@@ -49,7 +49,9 @@ _PARAM_FIELDS = [
 class SliceParams(ctypes.Structure):
     _fields_ = [(f, ctypes.c_int32) for f in _PARAM_FIELDS] + \
         [("wp_w", ctypes.c_int32 * 3 * 16 * 2),
-         ("wp_o", ctypes.c_int32 * 3 * 16 * 2)]
+         ("wp_o", ctypes.c_int32 * 3 * 16 * 2),
+         ("rpl_lt", ctypes.c_int32 * 16 * 2),
+         ("col_lt", ctypes.c_int32 * 16 * 2)]
 
 
 def _source_hash():
@@ -120,7 +122,8 @@ def alloc_pic_buffers(sps, pps, sh, pcm_map=None):
 
 def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
                         rpl, collocated, init_type, first_ts, last_ts,
-                        pcm_map=None, pic=None, stop_at_eos=False):
+                        pcm_map=None, pic=None, stop_at_eos=False,
+                        rpl_lt=None):
     """Run the native CTU walk; returns raw output arrays.
 
     -> dict with ops, levels, mvf_*, vbs, hbs, qp_y_tab, pcm_map, sao, err,
@@ -211,10 +214,18 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
     if rpl:
         rpl0[:len(rpl[0])] = rpl[0]
         rpl1[:len(rpl[1])] = rpl[1]
+    if rpl_lt:
+        for lst in range(2):
+            for i, f in enumerate(rpl_lt[lst][:16]):
+                p.rpl_lt[lst][i] = 1 if f else 0
 
     if collocated is not None:
         p.has_collocated = 1
         p.col_poc = collocated.poc
+        if getattr(collocated, "rpl_lt", None):
+            for lst in range(2):
+                for i, f in enumerate(collocated.rpl_lt[lst][:16]):
+                    p.col_lt[lst][i] = 1 if f else 0
         col_mv = np.ascontiguousarray(collocated.mvf_mv, np.int32)
         col_poc_a = np.ascontiguousarray(collocated.mvf_poc, np.int32)
         col_pred = np.ascontiguousarray(collocated.mvf_pred, np.uint8)

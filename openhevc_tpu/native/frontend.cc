@@ -133,6 +133,8 @@ struct SliceParams {                 // keep in sync with native/__init__.py
     int32_t has_wp, wp_denom_y, wp_denom_c;
     int32_t wp_w[2][16][3];              // [list][ref][y/cb/cr] weights
     int32_t wp_o[2][16][3];              // offsets
+    int32_t rpl_lt[2][16];               // long-term flag per (list, ref)
+    int32_t col_lt[2][16];               // same for the collocated frame
 };
 
 struct Ctx {
@@ -600,10 +602,15 @@ static int derive_temporal_mv(Ctx &c, const MvField &t, int ref_idx_lx, int X,
 
     auto check = [&](int lst) -> int {
         const int32_t *col_rpl = lst == 0 ? c.col_rpl0 : c.col_rpl1;
-        // long-term refs not yet supported: cur_lt == col_lt == false
+        int cur_lt = p->rpl_lt[X][ref_idx_lx];
+        int col_lt = p->col_lt[lst][t.ref_idx[lst]];
+        if (cur_lt != col_lt) {           // spec 8.5.3.1.8 / check_mvset
+            out[0] = 0; out[1] = 0;
+            return 0;
+        }
         int col_poc_diff = p->col_poc - col_rpl[t.ref_idx[lst]];
         int cur_poc_diff = p->cur_poc - rplx[ref_idx_lx];
-        if (col_poc_diff == cur_poc_diff || !col_poc_diff) {
+        if (cur_lt || col_poc_diff == cur_poc_diff || !col_poc_diff) {
             out[0] = t.mv[lst][0]; out[1] = t.mv[lst][1];
         } else {
             mv_scale(out, t.mv[lst], col_poc_diff, cur_poc_diff);
@@ -841,6 +848,7 @@ static void mvp_mode(Ctx &c, int x0, int y0, int w, int h, MvField &mv,
     int pf0 = LX, pf1 = 1 - LX;
     const int32_t *rplx = LX == 0 ? c.rpl0 : c.rpl1;
     int target_poc = rplx[ref_idx];
+    int target_lt = p->rpl_lt[LX][ref_idx];
 
     auto mp_mx = [&](const MvField &f, int idx, int32_t o[2]) -> int {
         if ((f.pred & (1 << idx)) && f.poc[idx] == target_poc) {
@@ -851,10 +859,11 @@ static void mvp_mode(Ctx &c, int x0, int y0, int w, int h, MvField &mv,
     };
     auto mp_mx_lt = [&](const MvField &f, int idx, int32_t o[2]) -> int {
         if (f.pred & (1 << idx)) {
-            // no long-term support: both short-term
+            int cand_lt = p->rpl_lt[idx][f.ref_idx[idx]];
+            if (cand_lt != target_lt) return 0;   // mv_mp_mode_mx_lt
             o[0] = f.mv[idx][0]; o[1] = f.mv[idx][1];
             int ref_poc_e = f.poc[idx];
-            if (ref_poc_e != target_poc) {
+            if (!target_lt && ref_poc_e != target_poc) {
                 int td = p->cur_poc - ref_poc_e;
                 if (td == 0) td = 1;
                 int32_t tmp[2] = {o[0], o[1]};
