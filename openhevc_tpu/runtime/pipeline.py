@@ -1,0 +1,128 @@
+"""Pipelined decode: the TPU-native equivalent of the reference's frame
+threads (pthread_frame.c; SURVEY.md §2.3).
+
+The reference clones the decoder context per worker and synchronizes on
+per-row progress counters.  Here the split is cleaner because the two-phase
+design already separates the sequential host work from the batched device
+work:
+
+  parser thread:  NAL demux + CABAC decode -> FramePlan queue.
+                  TMVP needs only the *motion field* of earlier frames,
+                  which the parse itself produces — so the parser runs
+                  ahead of reconstruction with a motion-only DPB.
+  main thread:    plan -> prepare() -> one fused frame_step dispatch.
+                  MC needs decoded *pixels*, so dispatch stays in order
+                  with its own pixel DPB.
+
+The C front-end releases the GIL during the CTU walk, so parse and the
+host-side prepare genuinely overlap.
+"""
+
+import queue
+import threading
+
+import numpy as np
+
+from ..bitstream import nal as nalmod
+from ..bitstream.nal import split_annexb
+from ..decoder.frontend import Frontend, Decoder
+from ..decoder.refs import DPB, Frame
+from ..decoder import recon_np
+
+
+class PipelinedDecoder:
+    """Two-stage pipelined decoder; same results as Decoder.decode_stream."""
+
+    def __init__(self, backend=None, check_md5=True, use_native=True,
+                 depth=4):
+        self.backend = backend
+        self.check_md5 = check_md5
+        self.use_native = use_native
+        self.depth = depth
+        self.dpb = DPB()                    # pixel DPB (reconstruction)
+        self.md5_ok = 0
+        self.md5_fail = 0
+
+    def decode_stream(self, data: bytes):
+        plans_q = queue.Queue(maxsize=self.depth)
+        parse_dpb = DPB()                   # motion-only DPB (parse-ahead)
+        fe = Frontend(dpb=parse_dpb, use_native=self.use_native)
+        err = []
+
+        def emit_plan(plan, idr):
+            # register a motion-only stub so later TMVP parses resolve
+            parse_dpb.add(Frame(poc=plan.poc, planes=None,
+                                mvf_mv=plan.mvf_mv, mvf_poc=plan.mvf_poc,
+                                mvf_pred=plan.mvf_pred,
+                                mvf_ref_idx=plan.mvf_ref_idx,
+                                rpl=plan.rpl, rpl_lt=plan.rpl_lt))
+            plans_q.put((plan, idr))
+
+        def parser():
+            try:
+                pending_idr = False
+                for nal in split_annexb(data):
+                    if nalmod.is_vcl(nal.type) and (nal.rbsp[0] >> 7):
+                        plan = fe.end_picture()
+                        if plan is not None:
+                            emit_plan(plan, pending_idr)
+                        pending_idr = nalmod.is_idr(nal.type)
+                        if pending_idr:
+                            parse_dpb.clear()
+                    fe.decode_nal(nal)
+                plan = fe.end_picture()
+                if plan is not None:
+                    emit_plan(plan, pending_idr)
+            except Exception as e:          # surfaced on the main thread
+                err.append(e)
+            finally:
+                plans_q.put(None)
+
+        t = threading.Thread(target=parser, daemon=True)
+        t.start()
+
+        out = []
+        while True:
+            item = plans_q.get()
+            if item is None:
+                break
+            plan, is_idr = item
+            if is_idr:
+                self.dpb.clear()
+            frame = self._reconstruct(plan, fe)
+            self.dpb.add(frame)
+            if self.check_md5 and plan.md5 is not None:
+                self._verify_md5(frame, plan.md5, fe)
+            out.append(frame)
+        t.join()
+        if err:
+            raise err[0]
+        out.sort(key=lambda f: f.poc)
+        return out
+
+    def _reconstruct(self, plan, fe) -> Frame:
+        if self.backend is not None:
+            if getattr(self.backend, "ctb_log2", None) is None and fe.sps:
+                self.backend.ctb_log2 = fe.sps.log2_ctb_size
+            planes = self.backend.decode_frame(plan, self.dpb)
+        else:
+            planes = recon_np.execute_plan(plan, dpb=self.dpb)
+            recon_np.deblock_frame(plan, planes)
+            planes = recon_np.sao_frame(plan, planes,
+                                        1 << fe.sps.log2_ctb_size)
+        return Frame(poc=plan.poc, planes=planes,
+                     mvf_mv=plan.mvf_mv, mvf_poc=plan.mvf_poc,
+                     mvf_pred=plan.mvf_pred, mvf_ref_idx=plan.mvf_ref_idx,
+                     rpl=plan.rpl, rpl_lt=plan.rpl_lt)
+
+    def _verify_md5(self, frame, expected, fe):
+        from ..decoder.sei import plane_md5
+        bd = fe.sps.bit_depth
+        for c in range(3):
+            got = plane_md5(np.asarray(frame.planes[c]), bd)
+            if got == expected[c]:
+                self.md5_ok += 1
+            else:
+                self.md5_fail += 1
+                raise AssertionError(
+                    f"MD5 mismatch poc {frame.poc} plane {c}")
