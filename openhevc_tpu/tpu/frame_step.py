@@ -91,6 +91,24 @@ def frame_step(refs, packed, prof):
         scalemats = {n: arrays[("scale", n)] for n in (4, 8, 16, 32)}
 
     # ---- motion compensation ----
+    # on TPU the per-tile Pallas DMA kernel replaces the XLA per-element
+    # gather (which lowers to a slow generic gather); both are bit-exact
+    use_pallas = jax.default_backend() not in ("cpu",)
+    if inter_sizes and use_pallas:
+        from .mc_pallas import (mc_batch_pallas, pad_refs as _pad_refs,
+                                clamp_starts as _clamp_starts)
+        _B = 32
+        refs_p = [_pad_refs(refs[c], _B) for c in range(3)]
+
+    def _mc(c, b, xs, ys, mvx, mvy, sel, wc, hc):
+        if use_pallas:
+            Hc, Wc = refs[c].shape[1], refs[c].shape[2]
+            sy, sx, ro, co, fx, fy = _clamp_starts(
+                xs, ys, mvx, mvy, wc, hc, Wc, Hc, c == 0, _B)
+            return mc_batch_pallas(refs_p[c], sel, sy, sx, ro, co, fx, fy,
+                                   wc, hc, c == 0, bd)
+        return mc_batch(refs[c], sel, xs, ys, mvx, mvy, wc, hc, c == 0, bd)
+
     for (w, h) in inter_sizes:
         b = {f: arrays[("inter", w, h, f)]
              for f in ("xs", "ys", "pf", "s0", "mvx0", "mvy0", "s1", "mvx1",
@@ -101,10 +119,8 @@ def frame_step(refs, packed, prof):
             xs = b["xs"] >> sh_
             ys = b["ys"] >> sv_
             wc, hc = w >> sh_, h >> sv_
-            val0 = mc_batch(refs[c], b["s0"], xs, ys, b["mvx0"], b["mvy0"],
-                            wc, hc, c == 0, bd)
-            val1 = mc_batch(refs[c], b["s1"], xs, ys, b["mvx1"], b["mvy1"],
-                            wc, hc, c == 0, bd)
+            val0 = _mc(c, b, xs, ys, b["mvx0"], b["mvy0"], b["s0"], wc, hc)
+            val1 = _mc(c, b, xs, ys, b["mvx1"], b["mvy1"], b["s1"], wc, hc)
             maxv = (1 << bd) - 1
             is_l0 = (b["pf"] == 1)[:, None, None]
             denom = b["wden"][:, 0 if c == 0 else 1][:, None, None]
@@ -129,6 +145,8 @@ def frame_step(refs, packed, prof):
             planes[c] = _scatter_set(planes[c], xs, ys, vals, valid)
 
     # ---- intra/residual wavefront scan ----
+    # flat slot-ordered arrays stay loop-invariant; each scan step
+    # dynamic-slices its fixed-cap batch and masks by the slot's count
     if slot_keys:
         caps_map = dict(zip(slot_keys, slot_caps))
         slotd = {}

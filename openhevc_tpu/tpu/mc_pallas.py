@@ -1,14 +1,18 @@
 """Pallas MC kernel: per-tile DMA of reference windows + separable FIR.
 
-Replaces the XLA per-element gather in mc.mc_batch: each grid step DMAs its
-(h+taps-1, w+taps-1) window from the HBM reference stack into VMEM (double
-buffering across grid steps comes free from the pipeline), applies the
-fractional-phase 8/4-tap filters on the VPU, and writes the 14-bit
-intermediate block.
+Replaces the XLA per-element gather in mc.mc_batch (which lowers to a slow
+generic gather on TPU): each grid step DMAs its reference window from the
+HBM reference stack into VMEM, applies the fractional-phase 8/4-tap filters
+on the VPU, and writes the 14-bit intermediate block.
 
-Edge handling: the caller passes a replicate-padded reference stack with
-border B (tpu/mc.py semantics); window start coordinates are pre-clamped on
-the host so every DMA is in-bounds and bit-exact with per-pixel clamping.
+Mosaic requires DMA slice shapes aligned to the (8, 128) tiling, so the
+window start is aligned down on both axes on the host (clamp_starts) and the
+kernel rotates the loaded window by the sub-tile offsets with pltpu.roll
+before the static-slice FIR taps.
+
+Edge handling: the caller passes a replicate-padded reference stack
+(pad_refs); window starts are pre-clamped so every DMA is in-bounds and
+bit-exact with per-pixel clamping.
 """
 
 from functools import partial
@@ -24,22 +28,33 @@ from ..model.mc import QPEL_FILTERS, EPEL_FILTERS
 _QPEL = np.vstack([[0, 0, 0, 64, 0, 0, 0, 0], QPEL_FILTERS]).astype(np.int32)
 _EPEL = np.vstack([[0, 64, 0, 0], EPEL_FILTERS]).astype(np.int32)
 
+# extra replicate padding past the border so aligned windows stay in-bounds
+TAIL_R = 48
+TAIL_C = 288
 
-def _mc_kernel(sel_ref, sy_ref, sx_ref, fx_ref, fy_ref,   # scalar prefetch
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+def _mc_kernel(sel_ref, sy_ref, sx_ref, ro_ref, co_ref, fx_ref, fy_ref,
                refs_ref, filt_ref, out_ref, win_ref, sem,
-               *, w, h, taps, bit_depth):
+               *, w, h, taps, bit_depth, WH, WW):
     i = pl.program_id(0)
-    ww = w + taps - 1
-    wh = h + taps - 1
+    # starts arrive pre-divided so Mosaic can prove tile alignment
     dma = pltpu.make_async_copy(
-        refs_ref.at[sel_ref[i], pl.ds(sy_ref[i], wh), pl.ds(sx_ref[i], ww)],
+        refs_ref.at[sel_ref[i], pl.ds(sy_ref[i] * 8, WH),
+                    pl.ds(sx_ref[i] * 128, WW)],
         win_ref, sem)
     dma.start()
     dma.wait()
     win = win_ref[...]
+    # rotate the sub-tile offsets out (shift = size - off == -off mod size)
+    win = pltpu.roll(win, WW - co_ref[i], 1)
+    win = pltpu.roll(win, WH - ro_ref[i], 0)
     hf = filt_ref[fx_ref[i]]
     vf = filt_ref[fy_ref[i]]
-    tmp = jnp.zeros((wh, w), jnp.int32)
+    tmp = jnp.zeros((WH, w), jnp.int32)
     for t in range(taps):
         tmp = tmp + hf[t] * win[:, t:t + w]
     tmp = tmp >> (bit_depth - 8)
@@ -51,46 +66,54 @@ def _mc_kernel(sel_ref, sy_ref, sx_ref, fx_ref, fy_ref,   # scalar prefetch
 
 @partial(jax.jit,
          static_argnames=("w", "h", "is_luma", "bit_depth", "interpret"))
-def mc_batch_pallas(refs_padded, sel, sy, sx, fx, fy, w, h, is_luma,
+def mc_batch_pallas(refs_padded, sel, sy, sx, ro, co, fx, fy, w, h, is_luma,
                     bit_depth=8, interpret=False):
     """refs_padded (R, Hp, Wp) int32 replicate-padded reference stack.
 
-    sel/sy/sx: per-block ref slot + clamped window start (padded coords).
-    fx/fy: fractional phases. Returns (N, h, w) int32 14-bit intermediates.
+    sel/sy/sx: per-block ref slot + tile-aligned window start divided by
+    the (8, 128) tile (padded coords); ro/co: sub-tile offsets; fx/fy:
+    fractional phases.
+    Returns (N, h, w) int32 14-bit intermediates.
     """
     n = sel.shape[0]
     taps = 8 if is_luma else 4
     table = jnp.asarray(_QPEL if is_luma else _EPEL)
     wh, ww = h + taps - 1, w + taps - 1
+    WH = _round_up(wh + 8, 8)
+    WW = _round_up(ww + 128, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=7,
         grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),        # refs (HBM)
                   pl.BlockSpec(memory_space=pltpu.VMEM)],      # filter table
         out_specs=pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((wh, ww), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((WH, WW), jnp.int32),
                         pltpu.SemaphoreType.DMA],
     )
-    kernel = partial(_mc_kernel, w=w, h=h, taps=taps, bit_depth=bit_depth)
+    kernel = partial(_mc_kernel, w=w, h=h, taps=taps, bit_depth=bit_depth,
+                     WH=WH, WW=WW)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.int32),
         interpret=interpret,
-    )(sel, sy, sx, fx, fy, refs_padded, table)
+    )(sel, sy, sx, ro, co, fx, fy, refs_padded, table)
     return out
 
 
 def pad_refs(refs, border):
-    """Replicate-pad a stacked (R, H, W) reference tensor."""
-    return jnp.pad(refs, ((0, 0), (border, border), (border, border)),
-                   mode="edge")
+    """Replicate-pad a stacked (R, H, W) reference tensor (+aligned tail)."""
+    return jnp.pad(refs, ((0, 0), (border, border + TAIL_R),
+                          (border, border + TAIL_C)), mode="edge")
 
 
 def clamp_starts(xs, ys, mvx, mvy, w, h, W, H, is_luma, border):
-    """Host/device helper: per-block clamped window starts in padded coords."""
+    """Per-block clamped, tile-aligned window starts in padded coords.
+
+    -> (sy_aligned, sx_aligned, row_off, col_off, frac_x, frac_y)
+    """
     before = 3 if is_luma else 1
     fbits = 2 if is_luma else 3
     taps = 8 if is_luma else 4
@@ -98,6 +121,9 @@ def clamp_starts(xs, ys, mvx, mvy, w, h, W, H, is_luma, border):
     by = ys + (mvy >> fbits) - before
     sx = jnp.clip(bx, -border, W + border - (w + taps - 1)) + border
     sy = jnp.clip(by, -border, H + border - (h + taps - 1)) + border
-    return sy.astype(jnp.int32), sx.astype(jnp.int32), \
-        (mvx & ((1 << fbits) - 1)).astype(jnp.int32), \
-        (mvy & ((1 << fbits) - 1)).astype(jnp.int32)
+    ro = sy & 7
+    co = sx & 127
+    return ((sy >> 3).astype(jnp.int32), (sx >> 7).astype(jnp.int32),
+            ro.astype(jnp.int32), co.astype(jnp.int32),
+            (mvx & ((1 << fbits) - 1)).astype(jnp.int32),
+            (mvy & ((1 << fbits) - 1)).astype(jnp.int32))
