@@ -96,9 +96,11 @@ def frame_step(refs, packed, prof):
     use_pallas = jax.default_backend() not in ("cpu",)
     if inter_sizes and use_pallas:
         from .mc_pallas import (mc_batch_pallas, pad_refs as _pad_refs,
-                                clamp_starts as _clamp_starts)
+                                clamp_starts as _clamp_starts,
+                                paint_cells, plane_to_cells, cells_to_plane)
         _B = 32
         refs_p = [_pad_refs(refs[c], _B) for c in range(3)]
+        cell_acc = {0: [], 1: [], 2: []}        # (cells, dst) per plane
 
     def _mc(c, b, xs, ys, mvx, mvy, sel, wc, hc):
         if use_pallas:
@@ -142,7 +144,32 @@ def frame_step(refs, packed, prof):
                            ((ox0 + ox1 + (1 << (bd - 8))) << log2wd >>
                             (bd - 8))) >> (log2wd + 1), 0, maxv)
             vals = jnp.where((b["pf"] == 3)[:, None, None], bi, uni)
-            planes[c] = _scatter_set(planes[c], xs, ys, vals, valid)
+            if use_pallas:
+                # decompose into paint cells (luma 4x4, chroma 2x2)
+                cs = 4 >> (sh_ if c else 0)
+                nh, nw = hc // cs, wc // cs
+                cells = vals.reshape(-1, nh, cs, nw, cs) \
+                    .transpose(0, 1, 3, 2, 4).reshape(-1, cs, cs)
+                Wc4 = planes[c].shape[1] // cs
+                S = (planes[c].shape[0] // cs) * Wc4 + 1
+                dy = (ys // cs)[:, None, None] + \
+                    jnp.arange(nh)[None, :, None]
+                dx = (xs // cs)[:, None, None] + \
+                    jnp.arange(nw)[None, None, :]
+                dst = jnp.where(valid[:, None, None], dy * Wc4 + dx, S - 1)
+                cell_acc[c].append((cells, dst.reshape(-1)))
+            else:
+                planes[c] = _scatter_set(planes[c], xs, ys, vals, valid)
+
+    if inter_sizes and use_pallas:
+        for c in range(3):
+            Hc, Wc = planes[c].shape
+            cs = 4 >> (hs if c else 0)
+            cv = plane_to_cells(planes[c], cs, cs)
+            cells = jnp.concatenate([a for a, _ in cell_acc[c]])
+            dst = jnp.concatenate([d for _, d in cell_acc[c]])
+            cv = paint_cells(cv, cells, dst.astype(jnp.int32), cs, cs)
+            planes[c] = cells_to_plane(cv, Hc, Wc, cs, cs)
 
     # ---- intra/residual wavefront scan ----
     # flat slot-ordered arrays stay loop-invariant; each scan step

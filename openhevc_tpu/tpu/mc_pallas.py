@@ -127,3 +127,52 @@ def clamp_starts(xs, ys, mvx, mvy, w, h, W, H, is_luma, border):
             ro.astype(jnp.int32), co.astype(jnp.int32),
             (mvx & ((1 << fbits) - 1)).astype(jnp.int32),
             (mvy & ((1 << fbits) - 1)).astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# cell paint: scatter MC tiles into the plane without a generic XLA scatter
+# ---------------------------------------------------------------------------
+
+def _paint_kernel(dst_ref, cells_ref, canvas_ref, out_ref):
+    del dst_ref, canvas_ref
+    out_ref[...] = cells_ref[...]
+
+
+@partial(jax.jit, static_argnames=("ch", "cw", "interpret"))
+def paint_cells(canvas_cells, cells, dst, ch=4, cw=4, interpret=False):
+    """Write (ch, cw) cells into a cell-major canvas copy.
+
+    canvas_cells (S, ch, cw); cells (M, ch, cw); dst (M,) target cell index
+    (invalid cells point at the reserved slot S-1).  The output aliases the
+    canvas, so untouched cells keep their contents; the sequential grid
+    makes duplicate dsts last-write-wins (valid cells are disjoint).
+    """
+    S = canvas_cells.shape[0]
+    M = cells.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M,),
+        in_specs=[pl.BlockSpec((1, ch, cw), lambda i, dst: (i, 0, 0)),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],       # canvas alias
+        out_specs=pl.BlockSpec((1, ch, cw), lambda i, dst: (dst[i], 0, 0)),
+    )
+    return pl.pallas_call(
+        _paint_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, ch, cw), canvas_cells.dtype),
+        input_output_aliases={2: 0},   # canvas (after the prefetch arg)
+        interpret=interpret,
+    )(dst, cells, canvas_cells)
+
+
+def plane_to_cells(plane, ch=4, cw=4):
+    """(H, W) -> (H/ch*W/cw + 1, ch, cw) cell-major (+1 reserved slot)."""
+    H, W = plane.shape
+    c = plane.reshape(H // ch, ch, W // cw, cw).transpose(0, 2, 1, 3)
+    c = c.reshape(-1, ch, cw)
+    return jnp.concatenate([c, jnp.zeros((1, ch, cw), plane.dtype)])
+
+
+def cells_to_plane(cells, H, W, ch=4, cw=4):
+    c = cells[:-1].reshape(H // ch, W // cw, ch, cw).transpose(0, 2, 1, 3)
+    return c.reshape(H, W)
