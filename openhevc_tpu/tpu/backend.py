@@ -37,10 +37,14 @@ class TpuBackend:
         self.ctb_log2 = ctb_log2
         # sticky capacities: profiles grow monotonically, so the fused
         # program recompiles only when a batch outgrows its previous bound
-        self._slot_caps = {}
+        # sticky state is kept per frame family: intra frames schedule
+        # many small slots (large T, small caps), inter frames few large
+        # ones (small T, large caps) — mixing the two families multiplies
+        # T(intra) by caps(inter) and explodes the scan cost
+        self._slot_caps = {"I": {}, "PB": {}}
         self._inter_caps = {}
-        self._slot_T = {}
-        self._flat_len = {}
+        self._slot_T = {"I": {}, "PB": {}}
+        self._flat_len = {"I": {}, "PB": {}}
 
     def decode_frame(self, plan: FramePlan, dpb):
         args = self.prepare(plan, dpb)
@@ -54,6 +58,7 @@ class TpuBackend:
         hs = 1 if cfmt in (1, 2) else 0
         vs = 1 if cfmt == 1 else 0
 
+        fam = "I" if plan.slice_type == 2 else "PB"
         cp = compile_plan(plan)
         parts = []          # (path, int32 ndarray) in layout order
 
@@ -96,9 +101,9 @@ class TpuBackend:
             refs = [jnp.zeros((1, 8, 8), jnp.int32) for _ in range(3)]
 
         # ---- wavefront slots (flat, slot-ordered layout) ----
-        T, caps, data = schedule_slots(plan, min_caps=self._slot_caps)
-        self._slot_caps = dict(caps)
-        tmin = self._slot_T.get("T", 1)
+        T, caps, data = schedule_slots(plan, min_caps=self._slot_caps[fam])
+        self._slot_caps[fam] = dict(caps)
+        tmin = self._slot_T[fam].get("T", 1)
         if T < tmin:
             pad = tmin - T
             for k in data:
@@ -106,15 +111,15 @@ class TpuBackend:
                     data[k][kk] = np.concatenate(
                         [data[k][kk], np.zeros(pad, np.int32)])
             T = tmin
-        self._slot_T["T"] = T
+        self._slot_T[fam]["T"] = T
         slot_keys = tuple(sorted(data.keys()))
         slot_caps = tuple(caps[k] for k in slot_keys)
         for key in slot_keys:
             d = data[key]
             # sticky pow2 flat length so the packed layout stays monotone
             n_rows = len(d["xs"])
-            tgt = max(_pow2(n_rows), self._flat_len.get(key, 8))
-            self._flat_len[key] = tgt
+            tgt = max(_pow2(n_rows), self._flat_len[fam].get(key, 8))
+            self._flat_len[fam][key] = tgt
             for f, v in d.items():
                 if f in ("offs", "counts"):
                     add(("slot",) + key + (f,), v)
