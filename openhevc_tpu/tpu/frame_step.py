@@ -188,6 +188,9 @@ def frame_step(refs, packed, prof):
 
         def body(pl, x):
             pl = list(pl)
+            # empty key-slots are skipped at runtime (lax.cond lowers to a
+            # real branch for non-trivial bodies on TPU): an intra-heavy
+            # slot typically populates only 1-3 of the ~20 canonical keys
             for key in slot_keys:
                 phase, c, n = key
                 if phase != "intra":
@@ -195,14 +198,18 @@ def frame_step(refs, packed, prof):
                 off, cnt = x[key]
                 C = caps_map[key]
                 d = slotd[key]
-                sxs = lax.dynamic_slice_in_dim(d["xs"], off, C)
-                sys_ = lax.dynamic_slice_in_dim(d["ys"], off, C)
-                smod = lax.dynamic_slice_in_dim(d["modes"], off, C)
-                sflg = lax.dynamic_slice_in_dim(d["flags"], off, C)
-                valid = jnp.arange(C) < cnt
-                preds = intra_batch(pl[c], sxs, sys_, smod, sflg, n,
-                                    min(c, 1), bd, strong)
-                pl[c] = _scatter_set(pl[c], sxs, sys_, preds, valid)
+
+                def do_intra(plane, off=off, cnt=cnt, d=d, C=C, c=c, n=n):
+                    sxs = lax.dynamic_slice_in_dim(d["xs"], off, C)
+                    sys_ = lax.dynamic_slice_in_dim(d["ys"], off, C)
+                    smod = lax.dynamic_slice_in_dim(d["modes"], off, C)
+                    sflg = lax.dynamic_slice_in_dim(d["flags"], off, C)
+                    valid = jnp.arange(C) < cnt
+                    preds = intra_batch(plane, sxs, sys_, smod, sflg, n,
+                                        min(c, 1), bd, strong)
+                    return _scatter_set(plane, sxs, sys_, preds, valid)
+
+                pl[c] = lax.cond(cnt > 0, do_intra, lambda p: p, pl[c])
             for key in slot_keys:
                 phase, c, n = key
                 if phase != "resid":
@@ -210,19 +217,23 @@ def frame_step(refs, packed, prof):
                 off, cnt = x[key]
                 C = caps_map[key]
                 d = slotd[key]
-                sxs = lax.dynamic_slice_in_dim(d["xs"], off, C)
-                sys_ = lax.dynamic_slice_in_dim(d["ys"], off, C)
-                sqp = lax.dynamic_slice_in_dim(d["qp"], off, C)
-                skind = lax.dynamic_slice_in_dim(d["kind"], off, C)
-                slv = lax.dynamic_slice_in_dim(d["levels"], off, C)
-                valid = jnp.arange(C) < cnt
-                if scalemats is not None:
-                    smid = lax.dynamic_slice_in_dim(d["mid"], off, C)
-                    res = residual_batch(slv, sqp, skind, n, bd, smid,
-                                         scalemats[n])
-                else:
-                    res = residual_batch(slv, sqp, skind, n, bd)
-                pl[c] = _scatter_add_clip(pl[c], sxs, sys_, res, valid, bd)
+
+                def do_resid(plane, off=off, cnt=cnt, d=d, C=C, c=c, n=n):
+                    sxs = lax.dynamic_slice_in_dim(d["xs"], off, C)
+                    sys_ = lax.dynamic_slice_in_dim(d["ys"], off, C)
+                    sqp = lax.dynamic_slice_in_dim(d["qp"], off, C)
+                    skind = lax.dynamic_slice_in_dim(d["kind"], off, C)
+                    slv = lax.dynamic_slice_in_dim(d["levels"], off, C)
+                    valid = jnp.arange(C) < cnt
+                    if scalemats is not None:
+                        smid = lax.dynamic_slice_in_dim(d["mid"], off, C)
+                        res = residual_batch(slv, sqp, skind, n, bd, smid,
+                                             scalemats[n])
+                    else:
+                        res = residual_batch(slv, sqp, skind, n, bd)
+                    return _scatter_add_clip(plane, sxs, sys_, res, valid, bd)
+
+                pl[c] = lax.cond(cnt > 0, do_resid, lambda p: p, pl[c])
             return tuple(pl), None
 
         planes_t, _ = lax.scan(body, tuple(planes), scan_xs)
