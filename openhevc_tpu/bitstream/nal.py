@@ -92,6 +92,71 @@ def extract_rbsp(data: bytes):
     return bytes(out), skipped
 
 
+def substream_rbsp_offsets(entry_point_offsets, data_start: int,
+                           skipped, payload_len: int):
+    """Convert slice-header entry points into RBSP substream offsets.
+
+    entry_point_offsets are escaped-NAL-byte substream lengths (spec 7.4.7.1);
+    the decoder splits the *unescaped* payload, so each offset must shrink by
+    the number of emulation-prevention bytes removed inside that substream's
+    span. Mirrors hls_slice_data's fixup (hevc.c:3030-3051); `skipped` holds
+    extract_rbsp's removed-EPB positions (rbsp index of the byte that
+    followed the removed 0x03), `data_start` is the rbsp byte offset of the
+    slice data. Returns payload-relative offsets [0, o1, .., on, payload_len].
+    """
+    offs = [0]
+    cur = data_start
+    for e in entry_point_offsets:
+        end = cur + e
+        for p in skipped:
+            if cur < p <= end:
+                end -= 1
+            elif p > end:
+                break
+        cur = end
+        offs.append(cur - data_start)
+    offs.append(payload_len)
+    return offs
+
+
+def escaped_entry_points(header_rbsp: bytes, payload: bytes, sub_lens):
+    """Encoder-side inverse of substream_rbsp_offsets.
+
+    Given the slice-header rbsp, the concatenated unescaped CABAC payload
+    and the unescaped byte length of each substream, return conformant
+    entry_point_offsets (escaped-byte substream lengths, one per substream
+    except the last) by simulating emulation-prevention insertion over the
+    whole NAL payload. An EPB whose following byte is the first byte of
+    substream i+1 is attributed to substream i, and one preceding the very
+    first payload byte to the header — matching substream_rbsp_offsets'
+    windowing (cur < p <= end).
+    """
+    esc_hdr = escape_rbsp(header_rbsp)
+    zeros = 0
+    for b in esc_hdr[-2:]:
+        zeros = zeros + 1 if b == 0 else 0
+    counts = [0] * len(sub_lens)
+    ends = []
+    acc = 0
+    for ln in sub_lens:
+        acc += ln
+        ends.append(acc)
+    si = 0
+    for idx, b in enumerate(payload):
+        while si < len(sub_lens) - 1 and idx >= ends[si]:
+            si += 1
+        if zeros >= 2 and b <= 3:
+            # EPB inserted before rbsp index idx; owner: substream j with
+            # start_j < idx <= end_j (idx == start of substream si means the
+            # previous substream, or the header when idx == 0)
+            j = si if idx != (ends[si - 1] if si else 0) else si - 1
+            if j >= 0:
+                counts[j] += 1
+            zeros = 0
+        zeros = zeros + 1 if b == 0 else 0
+    return [sub_lens[i] + counts[i] for i in range(len(sub_lens) - 1)]
+
+
 def escape_rbsp(rbsp: bytes) -> bytes:
     """Insert emulation-prevention bytes (inverse of extract_rbsp)."""
     out = bytearray()

@@ -139,7 +139,8 @@ class Frontend:
 
         # CABAC payload starts at the next byte after the slice header
         assert r.byte_aligned()
-        payload = nal.rbsp[r.pos >> 3:]
+        data_start = r.pos >> 3
+        payload = nal.rbsp[data_start:]
 
         self._cur = dict(plan=plan, st=st, sps=sps, pps=pps, sh0=sh,
                          sh_last=sh, init_type=init_type, native_pic=None,
@@ -147,7 +148,8 @@ class Frontend:
         self.sei_picture_hash = None
         plan.slice_type = sh.slice_type
         self.nal_type = nal.type
-        self._decode_slice_ctbs(sh, payload, init_type)
+        self._decode_slice_ctbs(sh, payload, init_type,
+                                data_start, nal.skipped_bytes)
         return done
 
     def _continue_slice(self, nal, r, sps, pps, sh):
@@ -195,11 +197,14 @@ class Frontend:
             init_type = 1 if sh.cabac_init_flag else 2
         cur["sh_last"] = sh
         assert r.byte_aligned()
-        payload = nal.rbsp[r.pos >> 3:]
-        self._decode_slice_ctbs(sh, payload, init_type)
+        data_start = r.pos >> 3
+        payload = nal.rbsp[data_start:]
+        self._decode_slice_ctbs(sh, payload, init_type,
+                                data_start, nal.skipped_bytes)
         return None
 
-    def _decode_slice_ctbs(self, sh, payload, init_type):
+    def _decode_slice_ctbs(self, sh, payload, init_type,
+                           data_start=0, skipped=()):
         """Decode one slice segment's CTBs into the open picture."""
         cur = self._cur
         sps, pps, st = cur["sps"], cur["pps"], cur["st"]
@@ -208,16 +213,15 @@ class Frontend:
             f"slice starts at ts {ts0}, expected {cur['next_ts']}"
         if self.use_native:
             cur["next_ts"] = self._decode_slice_native(
-                sh, sps, pps, init_type, payload, cur) + 1
+                sh, sps, pps, init_type, payload, cur,
+                data_start, skipped) + 1
             return
         from ..encoder.encoder import _substream_bounds
         nctbs = sps.pic_size_in_ctbs
         if sh.entry_point_offsets:
             bounds = _substream_bounds(sps, pps)
-            offsets = [0]
-            for epo in sh.entry_point_offsets:
-                offsets.append(offsets[-1] + epo)
-            offsets.append(len(payload))
+            offsets = nalmod.substream_rbsp_offsets(
+                sh.entry_point_offsets, data_start, skipped, len(payload))
             assert len(offsets) == len(bounds) + 1, "entry point count mismatch"
         else:
             bounds = [(ts0, nctbs - 1)]
@@ -289,7 +293,8 @@ class Frontend:
             self._sf_key = key
         return self._sf
 
-    def _decode_slice_native(self, sh, sps, pps, init_type, payload, cur):
+    def _decode_slice_native(self, sh, sps, pps, init_type, payload, cur,
+                             data_start=0, skipped=()):
         """One slice segment through the C front-end; returns last CTB ts."""
         from ..native import decode_slice_native, alloc_pic_buffers
         st, plan = cur["st"], cur["plan"]
@@ -305,7 +310,8 @@ class Frontend:
         out = decode_slice_native(sps, pps, sh, self.nal_type, payload,
                                   plan.poc, st.rpl, collocated, init_type,
                                   ts0, sps.pic_size_in_ctbs - 1,
-                                  pic=cur["native_pic"], rpl_lt=st.rpl_lt)
+                                  pic=cur["native_pic"], rpl_lt=st.rpl_lt,
+                                  data_start=data_start, skipped=skipped)
         cur["native_out"] = out
         return out["last_ts"]
 
@@ -373,9 +379,9 @@ class Decoder:
     (openhevc_tpu.tpu) plugs in behind the same FramePlan contract.
     """
 
-    def __init__(self, backend=None, check_md5=True):
+    def __init__(self, backend=None, check_md5=True, use_native=False):
         self.dpb = DPB()
-        self.fe = Frontend(dpb=self.dpb)
+        self.fe = Frontend(dpb=self.dpb, use_native=use_native)
         self.backend = backend
         self.check_md5 = check_md5
         self.md5_ok = 0

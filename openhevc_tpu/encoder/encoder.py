@@ -292,9 +292,8 @@ class Encoder:
             bounds = (_substream_bounds(sps, pps) if cfg.slices == 1
                       else [(sl0, sl1)])
             payload = b""
-            entry_points = []
+            entry_points = []       # unescaped substream lengths
             saved_ctx = None
-            prev_sub = b""
             for si, (ts0, ts1) in enumerate(bounds):
                 if si == 0 and sli > 0 and cfg.dependent_slices and \
                         cont_ctx is not None:
@@ -319,13 +318,28 @@ class Encoder:
                 if ts1 != nctbs - 1 and cfg.slices == 1:
                     io.terminate(1)          # end_of_subset_one_bit
                 sub = enc.finish()
-                if si > 0:
-                    entry_points.append(len(prev_sub))
-                prev_sub = sub
+                entry_points.append(len(sub))
                 payload += sub
+            # entry_point_offsets are in escaped-NAL-byte coordinates
+            # (spec 7.4.7.1; decoder fixup hevc.c:3030-3051): start from the
+            # unescaped substream lengths and iterate to a fixpoint, since
+            # the offsets live inside the header whose bytes feed the
+            # emulation-prevention state entering the payload.
+            sub_lens = entry_points
             sh_k.num_entry_point_offsets = len(bounds) - 1
-            sh_k.entry_point_offsets = entry_points
+            sh_k.entry_point_offsets = list(sub_lens[:-1])
             w = write_slice_header(sh_k, nal_type, sps, pps)
+            if sh_k.num_entry_point_offsets:
+                from ..bitstream.nal import escaped_entry_points
+                for _ in range(8):
+                    eps = escaped_entry_points(w.get_bytes(), payload,
+                                               sub_lens)
+                    if eps == sh_k.entry_point_offsets:
+                        break
+                    sh_k.entry_point_offsets = eps
+                    w = write_slice_header(sh_k, nal_type, sps, pps)
+                else:
+                    raise RuntimeError("entry-point fixpoint did not converge")
             slice_nals.append(write_nal(nal_type, w.get_bytes() + payload))
 
         # catch up remaining recon ops

@@ -123,7 +123,7 @@ def alloc_pic_buffers(sps, pps, sh, pcm_map=None):
 def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
                         rpl, collocated, init_type, first_ts, last_ts,
                         pcm_map=None, pic=None, stop_at_eos=False,
-                        rpl_lt=None):
+                        rpl_lt=None, data_start=0, skipped=()):
     """Run the native CTU walk; returns raw output arrays.
 
     -> dict with ops, levels, mvf_*, vbs, hbs, qp_y_tab, pcm_map, sao, err,
@@ -264,11 +264,10 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
         p.stop_at_eos = 1
     else:
         from ..encoder.encoder import _substream_bounds
+        from ..bitstream.nal import substream_rbsp_offsets
         bounds = _substream_bounds(sps, pps)
-        offsets = [0]
-        for epo in sh.entry_point_offsets:
-            offsets.append(offsets[-1] + epo)
-        offsets.append(len(payload))
+        offsets = substream_rbsp_offsets(
+            sh.entry_point_offsets, data_start, skipped, len(payload))
         assert len(offsets) == len(bounds) + 1, "entry point mismatch"
         p.stop_at_eos = 0
 
@@ -328,6 +327,9 @@ def _rebase_levels(ops, delta, has_wp=False):
             i += 8
         elif t == 3:
             i += 12 + (14 if has_wp else 0)
+        elif t == 4:                    # PCM: samples live in the level buffer
+            ops[i + 5] += delta
+            i += 6
         else:
             raise ValueError("bad op tag")
 

@@ -53,3 +53,58 @@ def test_tiles_3x1_sao():
 def test_tiles_1x3_main10():
     _run(EncoderConfig(width=64, height=96, qp=30, tiles=(1, 3),
                        bit_depth=10, rng_seed=106), "IP", 6)
+
+
+def _epb_stream(cfg, pattern="IPP"):
+    """Build a stream whose PCM zero-runs force emulation-prevention bytes
+    inside WPP/tile substreams (exercises the hevc.c:3030-3051 entry-point
+    fixup; CABAC output alone almost never contains 00 00 0x)."""
+    from openhevc_tpu.bitstream.nal import split_annexb, is_vcl
+    rng = np.random.default_rng(0)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    h, w = cfg.height, cfg.width
+    recons = []
+    for i, t in enumerate(pattern):
+        src = [np.zeros((h, w), np.uint8), np.zeros((h // 2, w // 2), np.uint8),
+               np.zeros((h // 2, w // 2), np.uint8)]
+        if i:
+            src = [(p + rng.integers(0, 20, p.shape).astype(np.uint8))
+                   for p in src]
+        nal, recon, _ = enc.encode_frame(src, t)
+        stream += nal
+        recons.append([np.asarray(p).copy() for p in recon])
+    epbs = sum(len(n.skipped_bytes) for n in split_annexb(stream)
+               if is_vcl(n.type))
+    assert epbs > 0, "stream must contain EPBs inside slice data"
+    return stream, recons
+
+
+def test_wpp_entry_points_with_epbs():
+    cfg = EncoderConfig(width=128, height=128, qp=30, rng_seed=0, wpp=True,
+                        p_pcm=0.5)
+    stream, recons = _epb_stream(cfg)
+    mine = my_decode(stream)
+    assert_frames_equal(mine, recons, "self")
+    oracle = oracle_decode(stream, cfg.width, cfg.height)
+    assert_frames_equal(mine, oracle, "oracle")
+
+
+def test_wpp_entry_points_with_epbs_native():
+    from openhevc_tpu.decoder.frontend import Decoder
+    cfg = EncoderConfig(width=128, height=128, qp=30, rng_seed=0, wpp=True,
+                        p_pcm=0.5)
+    stream, recons = _epb_stream(cfg)
+    dec = Decoder(use_native=True)
+    mine = [f.planes for f in dec.decode_stream(stream)]
+    assert_frames_equal(mine, recons, "native")
+
+
+def test_tiles_entry_points_with_epbs():
+    cfg = EncoderConfig(width=128, height=128, qp=30, rng_seed=0,
+                        tiles=(2, 2), p_pcm=0.5)
+    stream, recons = _epb_stream(cfg)
+    mine = my_decode(stream)
+    assert_frames_equal(mine, recons, "self")
+    oracle = oracle_decode(stream, cfg.width, cfg.height)
+    assert_frames_equal(mine, oracle, "oracle")
