@@ -12,7 +12,7 @@ module-level libOpenHevc* functions provide the exact legacy call shape
 (handle-based).  A C ABI shim over these lands with the native front-end.
 """
 
-import hashlib
+from collections import deque
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -66,13 +66,15 @@ class OpenHevcDecoder:
         self._started = False
         self._check_md5 = False
         self._temporal_layer_id = 7
-        self._output_queue: List[Frame] = []
-        self._out_idx = 0
+        self._output_queue = deque()        # bounded: consumed frames leave
         self._current: Optional[Frame] = None
         self._reorder: List[Frame] = []
         self.dpb = DPB()
         self.fe = Frontend(dpb=self.dpb)
         self.md5_log: List[tuple] = []
+        self.md5_ok = 0
+        self.md5_fail = 0
+        self.error_count = 0
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -85,6 +87,14 @@ class OpenHevcDecoder:
                 if self._backend_kind == "tpu":
                     raise
                 self._backend = None
+        # the C++ CABAC front-end is ~100x the Python walker; default on,
+        # falling back to the Python walker if the self-build fails
+        try:
+            from ..native import get_lib
+            get_lib()
+            self.fe.use_native = True
+        except Exception:
+            self.fe.use_native = False
         self._started = True
 
     def copy_extradata(self, extradata: bytes):
@@ -106,7 +116,11 @@ class OpenHevcDecoder:
         got = 0
 
         def emit(plan):
-            frame = self._reconstruct(plan)
+            try:
+                frame = self._reconstruct(plan)
+            except Exception:
+                self.error_count += 1
+                return 0
             self.dpb.add(frame)
             self._reorder.append(frame)
             return 1
@@ -122,17 +136,31 @@ class OpenHevcDecoder:
                     if nalmod.is_idr(nal.type):
                         self._drain_reorder()
                         self.dpb.clear()
-            plan = self.fe.decode_nal(nal)
+            # bitstream errors poison only the current picture; decode
+            # continues like the reference without AV_EF_EXPLODE
+            # (hevc.c:3496-3499)
+            try:
+                plan = self.fe.decode_nal(nal)
+            except Exception:
+                self.error_count += 1
+                self.fe._cur = None
+                plan = None
             if plan is not None:
                 got = emit(plan)
-        plan = self.fe.end_picture()
+        try:
+            plan = self.fe.end_picture()
+        except Exception:
+            self.error_count += 1
+            plan = None
         if plan is not None:
             got = emit(plan)
         if got:
             self._bump()
-        if self._output_queue[self._out_idx:]:
-            self._current = self._output_queue[self._out_idx]
-            self._out_idx += 1
+        return self._pop_output()
+
+    def _pop_output(self) -> int:
+        if self._output_queue:
+            self._current = self._output_queue.popleft()
             if self._check_md5:
                 self._verify_md5(self._current)
             return 1
@@ -152,7 +180,7 @@ class OpenHevcDecoder:
         return Frame(poc=plan.poc, planes=planes,
                      mvf_mv=plan.mvf_mv, mvf_poc=plan.mvf_poc,
                      mvf_pred=plan.mvf_pred, mvf_ref_idx=plan.mvf_ref_idx,
-                     rpl=plan.rpl, rpl_lt=plan.rpl_lt)
+                     rpl=plan.rpl, rpl_lt=plan.rpl_lt, md5=plan.md5)
 
     def _bump(self):
         """Output reorder: emit frames once the reorder buffer exceeds the
@@ -170,13 +198,7 @@ class OpenHevcDecoder:
 
     def _flush_one(self) -> int:
         self._drain_reorder()
-        if self._output_queue[self._out_idx:]:
-            self._current = self._output_queue[self._out_idx]
-            self._out_idx += 1
-            if self._check_md5:
-                self._verify_md5(self._current)
-            return 1
-        return 0
+        return self._pop_output()
 
     # -- output ------------------------------------------------------------
 
@@ -230,13 +252,25 @@ class OpenHevcDecoder:
 
     def close(self):
         self.dpb.clear()
-        self._output_queue = []
+        self._output_queue.clear()
 
     def _verify_md5(self, frame):
+        """Compare each plane hash against the decoded-picture-hash SEI
+        (reference verify_md5/compare_md5, hevc.c:4045-4169).  Frames that
+        carried no hash SEI are logged but not counted."""
+        from ..decoder.sei import plane_md5
+        bd = self.fe.sps.bit_depth
         for i, p in enumerate(frame.planes):
-            dt = np.uint16 if self.fe.sps.bit_depth > 8 else np.uint8
-            h = hashlib.md5(np.asarray(p).astype(dt).tobytes()).hexdigest()
-            self.md5_log.append((frame.poc, i, h))
+            got = plane_md5(np.asarray(p), bd)
+            if frame.md5 is None:
+                self.md5_log.append((frame.poc, i, got.hex(), None))
+                continue
+            ok = got == frame.md5[i]
+            self.md5_log.append((frame.poc, i, got.hex(), ok))
+            if ok:
+                self.md5_ok += 1
+            else:
+                self.md5_fail += 1
 
 
 def _parse_hvcc(data: bytes):

@@ -18,7 +18,7 @@ from .slice import parse_slice_header, I_SLICE, P_SLICE, B_SLICE
 from .plan import FramePlan
 from ..syntax.ctu import FrameState, code_ctu, expand_qp_map
 from ..syntax.io import CabacIO
-from .refs import DPB, Frame, construct_rpl, resolve_lt_pocs
+from .refs import DPB, Frame, construct_rpl, resolve_lt_pocs, get_or_synth
 from . import recon_np
 
 
@@ -35,6 +35,10 @@ class Frontend:
         self.dpb = dpb
         self.sei_picture_hash = None
         self._cur = None            # open (partially decoded) picture
+        # RASL gating after a broken/initial random access point
+        # (reference max_ra, hevc.c:3375-3397); None == INT_MAX
+        self.max_ra = None
+        self._skip_pic = False
 
     def decode_bytes(self, data: bytes):
         """Decode a whole annex-B stream -> list of FramePlan."""
@@ -94,12 +98,34 @@ class Frontend:
 
         sh = parse_slice_header(r, nal.type, sps, pps)
         if not sh.first_slice_in_pic:
+            if self._skip_pic:
+                return None             # non-first slice of a skipped RASL
             return self._continue_slice(nal, r, sps, pps, sh)
         done = self.end_picture()       # emit the previous picture, if any
-        poc = self._compute_poc(nal.type, sh, sps)
+        poc = self._compute_poc(nal.type, sh, sps, nal.temporal_id)
+
+        # random-access gating (hevc.c:3375-3397): after a CRA/BLA entry
+        # point, RASL pictures reference pre-entry frames and must be skipped
+        self._skip_pic = False
+        if self.max_ra is None:
+            if nal.type in (nalmod.NAL_CRA_NUT, nalmod.NAL_BLA_W_LP,
+                            nalmod.NAL_BLA_W_RADL, nalmod.NAL_BLA_N_LP):
+                self.max_ra = poc
+            elif nalmod.is_idr(nal.type):
+                self.max_ra = float("-inf")
+        if nal.type in (nalmod.NAL_RASL_N, nalmod.NAL_RASL_R) and \
+                self.max_ra is not None and poc <= self.max_ra:
+            self._skip_pic = True
+            return done
+        if nal.type == nalmod.NAL_RASL_R and self.max_ra is not None and \
+                poc > self.max_ra:
+            self.max_ra = float("-inf")
 
         plan = FramePlan(poc=poc, width=sps.width, height=sps.height,
                          bit_depth=sps.bit_depth,
+                         log2_ctb_size=sps.log2_ctb_size,
+                         num_reorder_pics=sps.num_reorder_pics[-1],
+                         conf_win=tuple(sps.conf_win),
                          chroma_format_idc=sps.chroma_format_idc,
                          strong_intra_smoothing=bool(sps.strong_intra_smoothing_enabled),
                          sao_luma=bool(sh.sao_luma), sao_chroma=bool(sh.sao_chroma),
@@ -125,17 +151,29 @@ class Frontend:
             plan.scaling = self._scaling_factors(sps, pps)
         st.level_provider = None
         st.cur_poc = poc
+        lt_pocs = resolve_lt_pocs(
+            sh, poc, 1 << sps.log2_max_poc_lsb,
+            sorted(self.dpb.frames) if self.dpb is not None else ())
         if sh.slice_type != I_SLICE:
-            lt_pocs = resolve_lt_pocs(
-                sh, poc, 1 << sps.log2_max_poc_lsb,
-                sorted(self.dpb.frames) if self.dpb is not None else ())
             st.rpl, st.rpl_lt = construct_rpl(sh, poc, lt_pocs)
             plan.rpl = st.rpl
             plan.rpl_lt = st.rpl_lt
             if sh.temporal_mvp_enabled and self.dpb is not None and \
                     st.rpl[sh.collocated_list]:
-                st.collocated_frame = self.dpb.get(
-                    st.rpl[sh.collocated_list][sh.collocated_ref_idx])
+                st.collocated_frame = get_or_synth(
+                    self.dpb,
+                    st.rpl[sh.collocated_list][sh.collocated_ref_idx],
+                    sps.width, sps.height, sps.bit_depth,
+                    sps.chroma_format_idc)
+        # RPS-driven DPB unreferencing (hevc_refs.c ff_hevc_frame_rps):
+        # frames outside this picture's RPS can never be referenced again
+        keep = {poc}
+        if sh.slice_rps is not None:
+            keep.update(poc + d for d in sh.slice_rps.delta_poc)
+        keep.update(p for p, _ in lt_pocs)
+        plan.ref_keep = sorted(keep)
+        if self.dpb is not None:
+            self.dpb.retain(keep)
 
         # CABAC payload starts at the next byte after the slice header
         assert r.byte_aligned()
@@ -188,8 +226,11 @@ class Frontend:
             st.rpl, st.rpl_lt = construct_rpl(sh, poc0, lt_pocs)
             if sh.temporal_mvp_enabled and self.dpb is not None and \
                     st.rpl[sh.collocated_list]:
-                st.collocated_frame = self.dpb.get(
-                    st.rpl[sh.collocated_list][sh.collocated_ref_idx])
+                st.collocated_frame = get_or_synth(
+                    self.dpb,
+                    st.rpl[sh.collocated_list][sh.collocated_ref_idx],
+                    sps.width, sps.height, sps.bit_depth,
+                    sps.chroma_format_idc)
         init_type = 0
         if sh.slice_type == P_SLICE:
             init_type = 2 if sh.cabac_init_flag else 1
@@ -301,8 +342,9 @@ class Frontend:
         collocated = None
         if sh.temporal_mvp_enabled and self.dpb is not None and st.rpl and \
                 st.rpl[sh.collocated_list]:
-            collocated = self.dpb.get(
-                st.rpl[sh.collocated_list][sh.collocated_ref_idx])
+            collocated = get_or_synth(
+                self.dpb, st.rpl[sh.collocated_list][sh.collocated_ref_idx],
+                sps.width, sps.height, sps.bit_depth, sps.chroma_format_idc)
         if cur["native_pic"] is None:
             cur["native_pic"] = alloc_pic_buffers(sps, pps, sh,
                                                   pcm_map=self._pcm_sticky)
@@ -348,7 +390,7 @@ class Frontend:
         else:
             plan.sao = None
 
-    def _compute_poc(self, nal_type, sh, sps):
+    def _compute_poc(self, nal_type, sh, sps, temporal_id=0):
         """POC derivation (spec 8.3.1; reference hevc_refs.c:763)."""
         if nalmod.is_idr(nal_type):
             self.prev_poc = 0
@@ -364,10 +406,17 @@ class Frontend:
             msb = prev_msb - max_lsb
         else:
             msb = prev_msb
+        if nal_type in (nalmod.NAL_BLA_W_LP, nalmod.NAL_BLA_W_RADL,
+                        nalmod.NAL_BLA_N_LP):
+            msb = 0         # BLA resets the POC MSB (hevc_refs.c:778-782)
         poc = msb + lsb
-        if not (nal_type in (nalmod.NAL_TRAIL_N, nalmod.NAL_TSA_N,
-                             nalmod.NAL_STSA_N, nalmod.NAL_RADL_N,
-                             nalmod.NAL_RASL_N)):
+        # prevTid0Pic (hevc.c:793-802): only a temporal_id==0 picture that is
+        # neither a RASL/RADL nor a sub-layer non-reference picture updates
+        # the predictor
+        if temporal_id == 0 and nal_type not in (
+                nalmod.NAL_TRAIL_N, nalmod.NAL_TSA_N, nalmod.NAL_STSA_N,
+                nalmod.NAL_RADL_N, nalmod.NAL_RADL_R,
+                nalmod.NAL_RASL_N, nalmod.NAL_RASL_R):
             self.prev_poc = poc
         return poc
 
@@ -388,24 +437,29 @@ class Decoder:
         self.md5_fail = 0
 
     def decode_stream(self, data: bytes):
-        """Decode an annex-B stream -> frames in output (POC) order."""
+        """Decode an annex-B stream -> frames in output order (POC order
+        within each IDR segment; segments in decode order)."""
         from ..bitstream.nal import split_annexb
         from ..bitstream import nal as nalmod
         out = []
+        seg = []
         for nal in split_annexb(data):
             if nalmod.is_vcl(nal.type) and (nal.rbsp[0] >> 7):
                 # first slice of a new picture: emit the pending one first
                 # (its reconstruction may read refs an IDR clear would drop)
                 plan = self.fe.end_picture()
                 if plan is not None:
-                    out.append(self._emit(plan))
+                    seg.append(self._emit(plan))
                 if nalmod.is_idr(nal.type):
+                    # POC resets: drain the previous segment in POC order
+                    out.extend(sorted(seg, key=lambda f: f.poc))
+                    seg = []
                     self.dpb.clear()
             self.fe.decode_nal(nal)
         plan = self.fe.end_picture()
         if plan is not None:
-            out.append(self._emit(plan))
-        out.sort(key=lambda f: f.poc)
+            seg.append(self._emit(plan))
+        out.extend(sorted(seg, key=lambda f: f.poc))
         return out
 
     def _emit(self, plan):

@@ -51,7 +51,9 @@ def execute_inter_op(plan, planes, dpb, op):
         if d is None:
             continue
         poc, mvx, mvy = d
-        ref = dpb.get(poc)
+        from .refs import get_or_synth
+        ref = get_or_synth(dpb, poc, plan.width, plan.height, bd,
+                           plan.chroma_format_idc)
         vals[0].append(_mc_luma(ref.planes[0], op.x, op.y, op.w, op.h,
                                 (mvx, mvy), bd))
         vals[1].append(_mc_chroma(ref.planes[1], x0c, y0c, wc, hc,

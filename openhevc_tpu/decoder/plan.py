@@ -118,3 +118,11 @@ class FramePlan:
     rpl_lt: Optional[list] = None
     # decoded-picture-hash SEI captured for this picture (list of 3 digests)
     md5: Optional[list] = None
+    # POCs the RPS of this picture keeps alive (DPB pruning; hevc_refs.c RPS
+    # unreferencing) -- None means "keep everything" (pre-RPS streams)
+    ref_keep: Optional[list] = None
+    # SPS-derived values snapshotted at parse time so reconstruction does not
+    # race a parse-ahead thread activating a different SPS (ADVICE round 1)
+    log2_ctb_size: int = 6
+    num_reorder_pics: int = 0
+    conf_win: tuple = (0, 0, 0, 0)      # (left, right, top, bottom) in chroma units

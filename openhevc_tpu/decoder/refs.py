@@ -24,6 +24,10 @@ class Frame:
     rpl_lt: Optional[list] = None             # is-long-term flags per list
     needed_for_output: bool = True
     is_irap: bool = False
+    md5: Optional[list] = None    # expected decoded-picture-hash (SEI)
+    bit_depth: int = 8
+    conf_win: tuple = (0, 0, 0, 0)
+    chroma_format_idc: int = 1
 
 
 class DPB:
@@ -48,9 +52,41 @@ class DPB:
             for d in rps.delta_poc:
                 keep.add(cur_poc + d)
         keep.update(lt_pocs)
+        self.retain(keep)
+
+    def retain(self, keep):
+        """Drop every frame whose POC is not in `keep`."""
+        keep = set(keep)
         for poc in list(self.frames):
             if poc not in keep:
                 del self.frames[poc]
+
+
+def get_or_synth(dpb, poc, width, height, bit_depth=8, chroma_format_idc=1):
+    """DPB lookup with missing-reference concealment: a reference that never
+    arrived (packet loss, mid-stream start) is synthesized as a mid-gray
+    frame with zero motion, like the reference's generate_missing_ref
+    (hevc_refs.c:538-600)."""
+    try:
+        return dpb.get(poc)
+    except KeyError:
+        pass
+    hs = 1 if chroma_format_idc in (1, 2) else 0
+    vs = 1 if chroma_format_idc == 1 else 0
+    mid = 1 << (bit_depth - 1)
+    planes = [np.full((height, width), mid, np.int32),
+              np.full((height >> vs, width >> hs), mid, np.int32),
+              np.full((height >> vs, width >> hs), mid, np.int32)]
+    h4, w4 = height >> 2, width >> 2
+    f = Frame(poc=poc, planes=planes,
+              mvf_mv=np.zeros((h4, w4, 2, 2), np.int32),
+              mvf_poc=np.zeros((h4, w4, 2), np.int32),
+              mvf_pred=np.zeros((h4, w4), np.uint8),
+              mvf_ref_idx=np.zeros((h4, w4, 2), np.int8),
+              needed_for_output=False, bit_depth=bit_depth,
+              chroma_format_idc=chroma_format_idc)
+    dpb.add(f)
+    return f
 
 
 def rps_sets(sh, cur_poc: int):

@@ -34,20 +34,30 @@ class PipelinedDecoder:
     """Two-stage pipelined decoder; same results as Decoder.decode_stream."""
 
     def __init__(self, backend=None, check_md5=True, use_native=True,
-                 depth=4):
+                 depth=4, resilient=False):
         self.backend = backend
         self.check_md5 = check_md5
         self.use_native = use_native
         self.depth = depth
+        self.resilient = resilient          # drop broken pictures, continue
         self.dpb = DPB()                    # pixel DPB (reconstruction)
         self.md5_ok = 0
         self.md5_fail = 0
+        self.error_count = 0
 
     def decode_stream(self, data: bytes):
+        """Decode a whole stream -> frames in output order (list)."""
+        return list(self.frames(data))
+
+    def frames(self, data: bytes, max_tid=7, max_frames=0):
+        """Generator yielding frames in output (bump) order with bounded
+        memory: the reorder buffer holds at most sps_num_reorder_pics frames
+        and the pixel DPB is pruned by each picture's RPS."""
         plans_q = queue.Queue(maxsize=self.depth)
         parse_dpb = DPB()                   # motion-only DPB (parse-ahead)
         fe = Frontend(dpb=parse_dpb, use_native=self.use_native)
         err = []
+        stop = threading.Event()
 
         def emit_plan(plan, idr):
             # register a motion-only stub so later TMVP parses resolve
@@ -56,73 +66,120 @@ class PipelinedDecoder:
                                 mvf_pred=plan.mvf_pred,
                                 mvf_ref_idx=plan.mvf_ref_idx,
                                 rpl=plan.rpl, rpl_lt=plan.rpl_lt))
-            plans_q.put((plan, idr))
+            while not stop.is_set():
+                try:
+                    plans_q.put((plan, idr), timeout=0.2)
+                    return
+                except queue.Full:
+                    pass
 
         def parser():
             try:
                 pending_idr = False
                 for nal in split_annexb(data):
-                    if nalmod.is_vcl(nal.type) and (nal.rbsp[0] >> 7):
+                    if stop.is_set():
+                        break
+                    if nalmod.is_vcl(nal.type):
+                        if nal.temporal_id > max_tid:
+                            continue
+                        if nal.rbsp[0] >> 7:
+                            plan = fe.end_picture()
+                            if plan is not None:
+                                emit_plan(plan, pending_idr)
+                            pending_idr = nalmod.is_idr(nal.type)
+                            if pending_idr:
+                                parse_dpb.clear()
+                    if self.resilient:
+                        # bitstream errors poison only the current picture
+                        # (reference continues without AV_EF_EXPLODE)
+                        try:
+                            fe.decode_nal(nal)
+                        except Exception:
+                            self.error_count += 1
+                            fe._cur = None
+                    else:
+                        fe.decode_nal(nal)
+                if not stop.is_set():
+                    try:
                         plan = fe.end_picture()
-                        if plan is not None:
-                            emit_plan(plan, pending_idr)
-                        pending_idr = nalmod.is_idr(nal.type)
-                        if pending_idr:
-                            parse_dpb.clear()
-                    fe.decode_nal(nal)
-                plan = fe.end_picture()
-                if plan is not None:
-                    emit_plan(plan, pending_idr)
+                    except Exception:
+                        if not self.resilient:
+                            raise
+                        self.error_count += 1
+                        plan = None
+                    if plan is not None:
+                        emit_plan(plan, pending_idr)
             except Exception as e:          # surfaced on the main thread
                 err.append(e)
             finally:
-                plans_q.put(None)
+                while not stop.is_set():
+                    try:
+                        plans_q.put(None, timeout=0.2)
+                        break
+                    except queue.Full:
+                        pass
 
         t = threading.Thread(target=parser, daemon=True)
         t.start()
 
-        out = []
-        while True:
-            item = plans_q.get()
-            if item is None:
-                break
-            plan, is_idr = item
-            if is_idr:
-                self.dpb.clear()
-            frame = self._reconstruct(plan, fe)
-            self.dpb.add(frame)
-            if self.check_md5 and plan.md5 is not None:
-                self._verify_md5(frame, plan.md5, fe)
-            out.append(frame)
-        t.join()
-        if err:
-            raise err[0]
-        out.sort(key=lambda f: f.poc)
-        return out
+        emitted = 0
+        reorder = []                        # frames awaiting output, by POC
+        try:
+            while True:
+                item = plans_q.get()
+                if item is None:
+                    break
+                plan, is_idr = item
+                if is_idr:
+                    reorder.sort(key=lambda f: f.poc)
+                    for f in reorder:
+                        yield f
+                        emitted += 1
+                    reorder = []
+                    self.dpb.clear()
+                frame = self._reconstruct(plan)
+                self.dpb.add(frame)
+                if plan.ref_keep is not None:
+                    self.dpb.retain(set(plan.ref_keep) | {plan.poc})
+                if self.check_md5 and plan.md5 is not None:
+                    self._verify_md5(frame, plan.md5, plan.bit_depth)
+                reorder.append(frame)
+                reorder.sort(key=lambda f: f.poc)
+                while len(reorder) > plan.num_reorder_pics:
+                    yield reorder.pop(0)
+                    emitted += 1
+                if max_frames and emitted >= max_frames:
+                    return
+            t.join()
+            if err:
+                raise err[0]
+            reorder.sort(key=lambda f: f.poc)
+            yield from reorder
+        finally:
+            stop.set()
 
-    def _reconstruct(self, plan, fe) -> Frame:
+    def _reconstruct(self, plan) -> Frame:
         if self.backend is not None:
-            if getattr(self.backend, "ctb_log2", None) is None and fe.sps:
-                self.backend.ctb_log2 = fe.sps.log2_ctb_size
+            if getattr(self.backend, "ctb_log2", None) is None:
+                self.backend.ctb_log2 = plan.log2_ctb_size
             planes = self.backend.decode_frame(plan, self.dpb)
         else:
             planes = recon_np.execute_plan(plan, dpb=self.dpb)
             recon_np.deblock_frame(plan, planes)
             planes = recon_np.sao_frame(plan, planes,
-                                        1 << fe.sps.log2_ctb_size)
+                                        1 << plan.log2_ctb_size)
         return Frame(poc=plan.poc, planes=planes,
                      mvf_mv=plan.mvf_mv, mvf_poc=plan.mvf_poc,
                      mvf_pred=plan.mvf_pred, mvf_ref_idx=plan.mvf_ref_idx,
-                     rpl=plan.rpl, rpl_lt=plan.rpl_lt)
+                     rpl=plan.rpl, rpl_lt=plan.rpl_lt, md5=plan.md5,
+                     bit_depth=plan.bit_depth, conf_win=plan.conf_win,
+                     chroma_format_idc=plan.chroma_format_idc)
 
-    def _verify_md5(self, frame, expected, fe):
+    def _verify_md5(self, frame, expected, bit_depth):
         from ..decoder.sei import plane_md5
-        bd = fe.sps.bit_depth
         for c in range(3):
-            got = plane_md5(np.asarray(frame.planes[c]), bd)
+            got = plane_md5(np.asarray(frame.planes[c]), bit_depth)
             if got == expected[c]:
                 self.md5_ok += 1
             else:
                 self.md5_fail += 1
-                raise AssertionError(
-                    f"MD5 mismatch poc {frame.poc} plane {c}")
