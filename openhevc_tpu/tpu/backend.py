@@ -45,6 +45,7 @@ class TpuBackend:
         self._inter_caps = {}
         self._slot_T = {"I": {}, "PB": {}}
         self._flat_len = {"I": {}, "PB": {}}
+        self._resid_len = {"I": {}, "PB": {}}
 
     def decode_frame(self, plan: FramePlan, dpb):
         args = self.prepare(plan, dpb)
@@ -69,8 +70,11 @@ class TpuBackend:
         inter_sizes = []
         refs = None
         if cp.inter:
-            refs = [jnp.stack([jnp.asarray(dpb.get(p).planes[c], jnp.int32)
-                               for p in cp.ref_pocs]) for c in range(3)]
+            from ..decoder.refs import get_or_synth
+            rframes = [get_or_synth(dpb, p, plan.width, plan.height, bd, cfmt)
+                       for p in cp.ref_pocs]
+            refs = [jnp.stack([jnp.asarray(f.planes[c], jnp.int32)
+                               for f in rframes]) for c in range(3)]
             for (w, h) in _canonical_pu_sizes(1 << (self.ctb_log2 or 6)):
                 batch = cp.inter.get((w, h))
                 if batch is None:
@@ -101,7 +105,8 @@ class TpuBackend:
             refs = [jnp.zeros((1, 8, 8), jnp.int32) for _ in range(3)]
 
         # ---- wavefront slots (flat, slot-ordered layout) ----
-        T, caps, data = schedule_slots(plan, min_caps=self._slot_caps[fam])
+        T, caps, data, resid = schedule_slots(plan,
+                                              min_caps=self._slot_caps[fam])
         self._slot_caps[fam] = dict(caps)
         tmin = self._slot_T[fam].get("T", 1)
         if T < tmin:
@@ -128,6 +133,27 @@ class TpuBackend:
                     v = np.concatenate(
                         [v, np.zeros((tgt - len(v),) + v.shape[1:], v.dtype)])
                 add(("slot",) + key + (f,), v)
+
+        # ---- whole-frame residual batches (outside the scan) ----
+        resid_keys = []
+        for key in sorted(resid.keys()):
+            c, n = key
+            d = resid[key]
+            n_rows = len(d["xs"])
+            tgt = max(_pow2(max(1, n_rows)),
+                      self._resid_len.setdefault(fam, {}).get(key, 1))
+            self._resid_len[fam][key] = tgt
+            valid = np.zeros(tgt, np.int32)
+            valid[:n_rows] = 1
+            for f in ("xs", "ys", "qp", "kind", "mid", "levels"):
+                v = d[f]
+                if len(v) < tgt:
+                    v = np.concatenate(
+                        [v, np.zeros((tgt - len(v),) + v.shape[1:], v.dtype)])
+                add(("resid", c, n, f), v)
+            add(("resid", c, n, "valid"), valid)
+            resid_keys.append((c, n, tgt))
+        resid_keys = tuple(resid_keys)
 
         # ---- filter maps ----
         deblock_on = not plan.deblock_disable
@@ -202,7 +228,7 @@ class TpuBackend:
 
         prof = (bd, bool(plan.strong_intra_smoothing), cfmt, plan.height,
                 plan.width, tuple(inter_sizes), slot_keys, slot_caps,
-                deblock_on, sao_on, plan.beta_offset, plan.tc_offset,
-                plan.cb_qp_offset, plan.cr_qp_offset, has_base, has_scaling,
-                tuple(layout))
+                resid_keys, deblock_on, sao_on, plan.beta_offset,
+                plan.tc_offset, plan.cb_qp_offset, plan.cr_qp_offset,
+                has_base, has_scaling, tuple(layout))
         return (refs, packed, prof)

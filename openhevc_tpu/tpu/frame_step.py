@@ -70,13 +70,13 @@ def frame_step(refs, packed, prof):
     """One fused frame reconstruction.
 
     prof: (bd, strong, chroma_fmt, H, W, inter_sizes, slot_keys, slot_caps,
-           deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
-           has_scaling, layout)
+           resid_keys, deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off,
+           has_base, has_scaling, layout)
     refs: [3 stacked ref tensors] (device); packed: flat int32 plan buffer.
     """
-    (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, deblock_on,
-     sao_on, beta_off, tc_off, cb_off, cr_off, has_base, has_scaling,
-     layout) = prof
+    (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, resid_keys,
+     deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
+     has_scaling, layout) = prof
     arrays = _unpack(packed, layout)
     hs = 1 if cfmt in (1, 2) else 0
     vs = 1 if cfmt == 1 else 0
@@ -171,17 +171,42 @@ def frame_step(refs, packed, prof):
             cv = paint_cells(cv, cells, dst.astype(jnp.int32), cs, cs)
             planes[c] = cells_to_plane(cv, Hc, Wc, cs, cs)
 
-    # ---- intra/residual wavefront scan ----
+    # ---- residual canvas: the WHOLE frame's dequant+IDCT in one batched
+    # dispatch per (plane, size) — residuals never depend on reconstruction,
+    # so they do not belong in the sequential scan.  R holds clip16(res).
+    maxv = (1 << bd) - 1
+    rcanvas = None
+    if resid_keys:
+        rcanvas = [jnp.zeros(s, jnp.int32) for s in shapes]
+        for (c, n, N) in resid_keys:
+            d = {f: arrays[("resid", c, n, f)]
+                 for f in ("xs", "ys", "qp", "kind", "mid", "levels",
+                           "valid")}
+            if scalemats is not None:
+                res = residual_batch(d["levels"], d["qp"], d["kind"], n, bd,
+                                     d["mid"], scalemats[n])
+            else:
+                res = residual_batch(d["levels"], d["qp"], d["kind"], n, bd)
+            h, w = rcanvas[c].shape
+            gy = d["ys"][:, None, None] + jnp.arange(n)[None, :, None]
+            gx = d["xs"][:, None, None] + jnp.arange(n)[None, None, :]
+            flat_idx = (gy * w + gx).reshape(-1)
+            vals = jnp.where(d["valid"][:, None, None].astype(bool),
+                             jnp.clip(res, -32768, 32767), 0).reshape(-1)
+            rcanvas[c] = rcanvas[c].reshape(-1).at[flat_idx].add(vals) \
+                .reshape(h, w)
+        # inter/PCM-base pixels become final here: recon = clip(pred + res);
+        # intra block pixels hold junk until their scan step overwrites them
+        planes = [jnp.clip(planes[c] + rcanvas[c], 0, maxv) for c in range(3)]
+
+    # ---- intra wavefront scan ----
     # flat slot-ordered arrays stay loop-invariant; each scan step
     # dynamic-slices its fixed-cap batch and masks by the slot's count
     if slot_keys:
         caps_map = dict(zip(slot_keys, slot_caps))
         slotd = {}
         for key in slot_keys:
-            fields = (("xs", "ys", "modes", "flags", "offs", "counts")
-                      if key[0] == "intra" else
-                      ("xs", "ys", "qp", "kind", "mid", "levels", "offs",
-                       "counts"))
+            fields = ("xs", "ys", "modes", "flags", "offs", "counts")
             slotd[key] = {f: arrays[("slot",) + key + (f,)] for f in fields}
         scan_xs = {key: (slotd[key]["offs"], slotd[key]["counts"])
                    for key in slot_keys}
@@ -190,16 +215,16 @@ def frame_step(refs, packed, prof):
             pl = list(pl)
             # empty key-slots are skipped at runtime (lax.cond lowers to a
             # real branch for non-trivial bodies on TPU): an intra-heavy
-            # slot typically populates only 1-3 of the ~20 canonical keys
+            # slot typically populates only 1-3 of the ~10 canonical keys
             for key in slot_keys:
                 phase, c, n = key
-                if phase != "intra":
-                    continue
                 off, cnt = x[key]
                 C = caps_map[key]
                 d = slotd[key]
+                R = rcanvas[c] if rcanvas is not None else None
 
-                def do_intra(plane, off=off, cnt=cnt, d=d, C=C, c=c, n=n):
+                def do_intra(plane, off=off, cnt=cnt, d=d, C=C, c=c, n=n,
+                             R=R):
                     sxs = lax.dynamic_slice_in_dim(d["xs"], off, C)
                     sys_ = lax.dynamic_slice_in_dim(d["ys"], off, C)
                     smod = lax.dynamic_slice_in_dim(d["modes"], off, C)
@@ -207,33 +232,14 @@ def frame_step(refs, packed, prof):
                     valid = jnp.arange(C) < cnt
                     preds = intra_batch(plane, sxs, sys_, smod, sflg, n,
                                         min(c, 1), bd, strong)
+                    if R is not None:
+                        # fuse the residual add: recon = clip(pred + res)
+                        gy = sys_[:, None, None] + jnp.arange(n)[None, :, None]
+                        gx = sxs[:, None, None] + jnp.arange(n)[None, None, :]
+                        preds = jnp.clip(preds + R[gy, gx], 0, maxv)
                     return _scatter_set(plane, sxs, sys_, preds, valid)
 
                 pl[c] = lax.cond(cnt > 0, do_intra, lambda p: p, pl[c])
-            for key in slot_keys:
-                phase, c, n = key
-                if phase != "resid":
-                    continue
-                off, cnt = x[key]
-                C = caps_map[key]
-                d = slotd[key]
-
-                def do_resid(plane, off=off, cnt=cnt, d=d, C=C, c=c, n=n):
-                    sxs = lax.dynamic_slice_in_dim(d["xs"], off, C)
-                    sys_ = lax.dynamic_slice_in_dim(d["ys"], off, C)
-                    sqp = lax.dynamic_slice_in_dim(d["qp"], off, C)
-                    skind = lax.dynamic_slice_in_dim(d["kind"], off, C)
-                    slv = lax.dynamic_slice_in_dim(d["levels"], off, C)
-                    valid = jnp.arange(C) < cnt
-                    if scalemats is not None:
-                        smid = lax.dynamic_slice_in_dim(d["mid"], off, C)
-                        res = residual_batch(slv, sqp, skind, n, bd, smid,
-                                             scalemats[n])
-                    else:
-                        res = residual_batch(slv, sqp, skind, n, bd)
-                    return _scatter_add_clip(plane, sxs, sys_, res, valid, bd)
-
-                pl[c] = lax.cond(cnt > 0, do_resid, lambda p: p, pl[c])
             return tuple(pl), None
 
         planes_t, _ = lax.scan(body, tuple(planes), scan_xs)

@@ -31,25 +31,42 @@ def _pow2(x):
 
 
 def canonical_keys(chroma_format_idc):
-    """Stable slot-key set so the fused program compiles once per profile."""
+    """Stable intra slot-key set so the fused program compiles once per
+    profile.  Residuals are NOT slot-scheduled: dequant+IDCT depends only on
+    the coefficients, never on reconstructed pixels, so the whole frame's
+    residuals batch into one dispatch per size (see canonical_resid_keys)
+    and the scan carries intra prediction only."""
     keys = []
-    for phase in ("intra", "resid"):
-        for c in (0, 1, 2):
-            sizes = (4, 8, 16, 32) if (c == 0 or chroma_format_idc == 3) \
-                else (4, 8, 16)
-            for n in sizes:
-                keys.append((phase, c, n))
+    for c in (0, 1, 2):
+        sizes = (4, 8, 16, 32) if (c == 0 or chroma_format_idc == 3) \
+            else (4, 8, 16)
+        for n in sizes:
+            keys.append(("intra", c, n))
+    return tuple(sorted(keys))
+
+
+def canonical_resid_keys(chroma_format_idc):
+    keys = []
+    for c in (0, 1, 2):
+        sizes = (4, 8, 16, 32) if (c == 0 or chroma_format_idc == 3) \
+            else (4, 8, 16)
+        for n in sizes:
+            keys.append((c, n))
     return tuple(sorted(keys))
 
 
 def schedule_slots(plan, min_caps=None):
-    """Pack intra/residual ops into balanced dependency slots.
+    """Pack intra ops into balanced dependency slots; batch residuals flat.
 
-    Returns (T, caps, data) where data[(phase, c, n)] is a dict of numpy
-    arrays with leading dims (T, C) over the canonical key set (empty keys
-    get capacity-8 all-invalid batches).  T is padded to a power of two.
-    min_caps: sticky per-key capacity floor (stabilizes the jit profile
-    across frames).  Inter ops are not included (wave 0 elsewhere).
+    Returns (T, caps, data, resid):
+      data[("intra", c, n)]: flat slot-ordered numpy arrays (xs, ys, modes,
+        flags, offs, counts); the device scan dynamic-slices a fixed
+        C=caps[key] rows per slot, masked by the slot's true count.
+      resid[(c, n)]: the WHOLE frame's residual blocks of that size in one
+        flat batch (xs, ys, qp, kind, mid, levels) — dequant+IDCT has no
+        dependency on reconstruction, so it never enters the scan.
+    T is padded to a power of two.  min_caps: sticky per-key capacity floor
+    (stabilizes the jit profile across frames).
     """
     hs = 1 if plan.chroma_format_idc in (1, 2) else 0
     vs = 1 if plan.chroma_format_idc == 1 else 0
@@ -58,38 +75,66 @@ def schedule_slots(plan, min_caps=None):
               (plan.height >> vs, plan.width >> hs)]
     W = [np.zeros(((h + 3) // 4, (w + 3) // 4), np.int32) for h, w in shapes]
 
-    # first pass: natural wave assignment to size the capacities
-    # (PcmOps are wave -1: their pixels land in the base canvas up front)
+    # residuals: full-frame flat batches per (plane, size)
     from ..decoder.plan import PcmOp
-    ops = [op for op in plan.ops if not isinstance(op, (InterOp, PcmOp))]
+    resid_rows = {}
+    intra_ops = []
+    for op in plan.ops:
+        if isinstance(op, IntraOp):
+            intra_ops.append(op)
+        elif isinstance(op, ResidualOp):
+            resid_rows.setdefault((op.c_idx, 1 << op.log2_size),
+                                  []).append(op)
+
+    resid = {}
+    for key in canonical_resid_keys(plan.chroma_format_idc):
+        c, n = key
+        items = resid_rows.get(key, [])
+        N = len(items)
+        xs = np.zeros(N, np.int32)
+        ys = np.zeros(N, np.int32)
+        qp = np.zeros(N, np.int32)
+        kind = np.zeros(N, np.int32)
+        mid = np.full(N, -1, np.int32)
+        levels = np.zeros((N, n, n), np.int32)
+        for i, op in enumerate(items):
+            xs[i] = op.x
+            ys[i] = op.y
+            qp[i] = op.qp
+            mid[i] = op.matrix_id
+            if op.transquant_bypass:
+                kind[i] = KIND_BYPASS
+            elif op.transform_skip:
+                kind[i] = KIND_SKIP
+            elif op.use_dst:
+                kind[i] = KIND_DST
+            else:
+                kind[i] = KIND_DCT
+            levels[i] = op.levels
+        resid[key] = dict(xs=xs, ys=ys, qp=qp, kind=kind, mid=mid,
+                          levels=levels)
+
+    # first pass: natural wave assignment to size the capacities
     natural = []
     counts = {}
     nat_waves = 1
-    for op in ops:
-        if isinstance(op, IntraOp):
-            g = W[op.c_idx]
-            gh, gw = g.shape
-            n = op.size
-            rmax = 0
-            if op.y > 0:
-                r0 = max(0, (op.x - 1) >> 2)
-                r1 = min(gw, ((op.x + 2 * n - 1) >> 2) + 1)
-                rmax = max(rmax, int(g[(op.y - 1) >> 2, r0:r1].max(initial=0)))
-            if op.x > 0:
-                c0 = max(0, (op.y - 1) >> 2)
-                c1 = min(gh, ((op.y + 2 * n - 1) >> 2) + 1)
-                rmax = max(rmax, int(g[c0:c1, (op.x - 1) >> 2].max(initial=0)))
-            wave = rmax + 1
-            n4 = max(1, n >> 2)
-            g[op.y >> 2:(op.y >> 2) + n4, op.x >> 2:(op.x >> 2) + n4] = wave
-            key = ("intra", op.c_idx, n)
-        else:
-            g = W[op.c_idx]
-            n = 1 << op.log2_size
-            n4 = max(1, n >> 2)
-            wave = int(g[op.y >> 2:(op.y >> 2) + n4,
-                         op.x >> 2:(op.x >> 2) + n4].max())
-            key = ("resid", op.c_idx, n)
+    for op in intra_ops:
+        g = W[op.c_idx]
+        gh, gw = g.shape
+        n = op.size
+        rmax = 0
+        if op.y > 0:
+            r0 = max(0, (op.x - 1) >> 2)
+            r1 = min(gw, ((op.x + 2 * n - 1) >> 2) + 1)
+            rmax = max(rmax, int(g[(op.y - 1) >> 2, r0:r1].max(initial=0)))
+        if op.x > 0:
+            c0 = max(0, (op.y - 1) >> 2)
+            c1 = min(gh, ((op.y + 2 * n - 1) >> 2) + 1)
+            rmax = max(rmax, int(g[c0:c1, (op.x - 1) >> 2].max(initial=0)))
+        wave = rmax + 1
+        n4 = max(1, n >> 2)
+        g[op.y >> 2:(op.y >> 2) + n4, op.x >> 2:(op.x >> 2) + n4] = wave
+        key = ("intra", op.c_idx, n)
         natural.append((op, key, wave))
         counts[key] = counts.get(key, 0) + 1
         nat_waves = max(nat_waves, wave + 1)
@@ -106,42 +151,25 @@ def schedule_slots(plan, min_caps=None):
     rows = {k: [] for k in counts}
     T = 1
     for op, key, _ in natural:
-        if key[0] == "intra":
-            g = W[op.c_idx]
-            gh, gw = g.shape
-            n = op.size
-            rmax = 0
-            if op.y > 0:
-                r0 = max(0, (op.x - 1) >> 2)
-                r1 = min(gw, ((op.x + 2 * n - 1) >> 2) + 1)
-                rmax = max(rmax, int(g[(op.y - 1) >> 2, r0:r1].max(initial=0)))
-            if op.x > 0:
-                c0 = max(0, (op.y - 1) >> 2)
-                c1 = min(gh, ((op.y + 2 * n - 1) >> 2) + 1)
-                rmax = max(rmax, int(g[c0:c1, (op.x - 1) >> 2].max(initial=0)))
-            slot = rmax + 1
-            while slot_fill.get((key, slot), 0) >= caps[key]:
-                slot += 1
-            slot_fill[(key, slot)] = slot_fill.get((key, slot), 0) + 1
-            n4 = max(1, n >> 2)
-            g[op.y >> 2:(op.y >> 2) + n4, op.x >> 2:(op.x >> 2) + n4] = slot
-            rows[key].append((slot, op))
-        else:
-            g = W[op.c_idx]
-            n = 1 << op.log2_size
-            n4 = max(1, n >> 2)
-            slot = int(g[op.y >> 2:(op.y >> 2) + n4,
-                         op.x >> 2:(op.x >> 2) + n4].max())
-            while slot_fill.get((key, slot), 0) >= caps[key]:
-                slot += 1
-                # residual must not outrun later readers; bumping is safe only
-                # if nothing reads this block before `slot` — guaranteed: any
-                # reader already waits for W >= its own slot; update W below
-            slot_fill[(key, slot)] = slot_fill.get((key, slot), 0) + 1
-            g[op.y >> 2:(op.y >> 2) + n4, op.x >> 2:(op.x >> 2) + n4] = \
-                np.maximum(g[op.y >> 2:(op.y >> 2) + n4,
-                             op.x >> 2:(op.x >> 2) + n4], slot)
-            rows[key].append((slot, op))
+        g = W[op.c_idx]
+        gh, gw = g.shape
+        n = op.size
+        rmax = 0
+        if op.y > 0:
+            r0 = max(0, (op.x - 1) >> 2)
+            r1 = min(gw, ((op.x + 2 * n - 1) >> 2) + 1)
+            rmax = max(rmax, int(g[(op.y - 1) >> 2, r0:r1].max(initial=0)))
+        if op.x > 0:
+            c0 = max(0, (op.y - 1) >> 2)
+            c1 = min(gh, ((op.y + 2 * n - 1) >> 2) + 1)
+            rmax = max(rmax, int(g[c0:c1, (op.x - 1) >> 2].max(initial=0)))
+        slot = rmax + 1
+        while slot_fill.get((key, slot), 0) >= caps[key]:
+            slot += 1
+        slot_fill[(key, slot)] = slot_fill.get((key, slot), 0) + 1
+        n4 = max(1, n >> 2)
+        g[op.y >> 2:(op.y >> 2) + n4, op.x >> 2:(op.x >> 2) + n4] = slot
+        rows[key].append((slot, op))
         T = max(T, slot + 1)
 
     # pad T to a power of two (empty trailing slots) for profile stability
@@ -161,7 +189,7 @@ def schedule_slots(plan, min_caps=None):
         items.sort(key=lambda so: so[0])
         N = len(items) + C                     # C tail rows keep slices in-bounds
         offs = np.zeros(T, np.int32)
-        counts = np.zeros(T, np.int32)
+        cnts = np.zeros(T, np.int32)
         pos = 0
         by_slot = {}
         for slot, op in items:
@@ -170,41 +198,19 @@ def schedule_slots(plan, min_caps=None):
         for t in range(T):
             offs[t] = pos
             ops_t = by_slot.get(t, ())
-            counts[t] = len(ops_t)
+            cnts[t] = len(ops_t)
             order.extend(ops_t)
             pos += len(ops_t)
         xs = np.zeros(N, np.int32)
         ys = np.zeros(N, np.int32)
-        if phase == "intra":
-            modes = np.zeros(N, np.int32)
-            flags = np.zeros((N, 5), np.int32)
-            for i, op in enumerate(order):
-                xs[i] = op.x
-                ys[i] = op.y
-                modes[i] = op.mode
-                flags[i] = (op.cand_bottom_left, op.cand_left,
-                            op.cand_up_left, op.cand_up, op.cand_up_right)
-            data[key] = dict(xs=xs, ys=ys, modes=modes, flags=flags,
-                             offs=offs, counts=counts)
-        else:
-            qp = np.zeros(N, np.int32)
-            kind = np.zeros(N, np.int32)
-            mid = np.full(N, -1, np.int32)
-            levels = np.zeros((N, n, n), np.int32)
-            for i, op in enumerate(order):
-                xs[i] = op.x
-                ys[i] = op.y
-                qp[i] = op.qp
-                mid[i] = op.matrix_id
-                if op.transquant_bypass:
-                    kind[i] = KIND_BYPASS
-                elif op.transform_skip:
-                    kind[i] = KIND_SKIP
-                elif op.use_dst:
-                    kind[i] = KIND_DST
-                else:
-                    kind[i] = KIND_DCT
-                levels[i] = op.levels
-            data[key] = dict(xs=xs, ys=ys, qp=qp, kind=kind, mid=mid,
-                             levels=levels, offs=offs, counts=counts)
-    return T, caps, data
+        modes = np.zeros(N, np.int32)
+        flags = np.zeros((N, 5), np.int32)
+        for i, op in enumerate(order):
+            xs[i] = op.x
+            ys[i] = op.y
+            modes[i] = op.mode
+            flags[i] = (op.cand_bottom_left, op.cand_left,
+                        op.cand_up_left, op.cand_up, op.cand_up_right)
+        data[key] = dict(xs=xs, ys=ys, modes=modes, flags=flags,
+                         offs=offs, counts=cnts)
+    return T, caps, data, resid
