@@ -2,6 +2,11 @@
 
 Usage: python -m openhevc_tpu.cli -i in.265 [-o out.yuv] [-n] [-c] [-p N]
        [-f type] [-t tid] [-s nframes] [-b backend]
+
+The decode path is the product pipeline (runtime/pipeline.py): the C++
+CABAC front-end parses ahead on its own thread while the main thread runs
+one fused TPU dispatch per frame — the TPU-native equivalent of the
+reference's frame threads (-f 0/4; pthread_frame.c).
 """
 
 import argparse
@@ -10,26 +15,7 @@ import time
 
 import numpy as np
 
-from .api import (libOpenHevcInit, libOpenHevcStartDecoder, libOpenHevcDecode,
-                  libOpenHevcGetOutput, libOpenHevcSetCheckMD5,
-                  libOpenHevcSetTemporalLayer_id, libOpenHevcClose,
-                  libOpenHevcVersion)
-from .bitstream.nal import split_annexb, write_nal
-from .bitstream import nal as nalmod
-
-
-def _split_access_units(data: bytes):
-    """Group NAL units into access units (first-slice flag starts a new AU)."""
-    au = []
-    for nal in split_annexb(data):
-        if nalmod.is_vcl(nal.type):
-            first_slice = bool(nal.rbsp[0] & 0x80)
-            if first_slice and any(nalmod.is_vcl(n[0]) for n in au):
-                yield au
-                au = []
-        au.append((nal.type, nal.rbsp, nal.layer_id, nal.temporal_id))
-    if au:
-        yield au
+from .api import libOpenHevcVersion
 
 
 def main(argv=None):
@@ -60,47 +46,65 @@ def main(argv=None):
         data = demux_mp4(data)      # mp4/mov -> annex B
     elif probe_ts(data):
         data = demux_ts(data)       # mpeg-ts -> annex B
-    h = libOpenHevcInit(args.threads, args.thread_type)
-    h._backend_kind = args.backend if args.backend != "np" else "none"
-    libOpenHevcSetCheckMD5(h, 0 if args.no_md5 else 1)
-    libOpenHevcSetTemporalLayer_id(h, args.temporal_layer)
-    libOpenHevcStartDecoder(h)
+    from .formats.mkv import probe_mkv, demux_mkv
+    if probe_mkv(data):
+        data = demux_mkv(data)      # matroska -> annex B
+
+    backend = None
+    if args.backend in ("auto", "tpu"):
+        try:
+            from .tpu import TpuBackend
+            backend = TpuBackend()
+        except Exception:
+            if args.backend == "tpu":
+                raise
+    use_native = True
+    try:
+        from .native import get_lib
+        get_lib()
+    except Exception:
+        use_native = False
+
+    from .runtime import PipelinedDecoder
+    dec = PipelinedDecoder(backend=backend, check_md5=not args.no_md5,
+                           use_native=use_native, resilient=True)
 
     fout = open(args.output, "wb") if args.output else None
     nframes = 0
+    last = None
     t0 = time.time()
-
-    def emit():
-        nonlocal nframes
-        out = libOpenHevcGetOutput(h)
-        if out is None:
-            return
-        if fout:
-            fout.write(out.pvY.tobytes())
-            fout.write(out.pvU.tobytes())
-            fout.write(out.pvV.tobytes())
+    for frame in dec.frames(data, max_tid=args.temporal_layer,
+                            max_frames=args.stop_frame):
         nframes += 1
+        last = frame
+        if fout:
+            l, r, t, b = frame.conf_win
+            sub_w = 2 if frame.chroma_format_idc in (1, 2) else 1
+            sub_h = 2 if frame.chroma_format_idc == 1 else 1
+            dt = np.uint16 if frame.bit_depth > 8 else np.uint8
+            y, u, v = (np.asarray(p) for p in frame.planes)
+            H, W = y.shape
+            y = y[t * sub_h:H - b * sub_h or None, l * sub_w:W - r * sub_w or None]
+            u = u[t:(u.shape[0] - b) or None, l:(u.shape[1] - r) or None]
+            v = v[t:(v.shape[0] - b) or None, l:(v.shape[1] - r) or None]
+            fout.write(y.astype(dt).tobytes())
+            fout.write(u.astype(dt).tobytes())
+            fout.write(v.astype(dt).tobytes())
 
-    for au in _split_access_units(data):
-        buf = b"".join(write_nal(t, rbsp, lid, tid) for t, rbsp, lid, tid in au)
-        if libOpenHevcDecode(h, buf, len(buf)):
-            emit()
-        if args.stop_frame and nframes >= args.stop_frame:
-            break
-    while libOpenHevcDecode(h, b"", 0):
-        emit()
-
-    dt = time.time() - t0
-    info = h.get_picture_info()
-    print(f"frame= {nframes} fps= {nframes / dt:.0f} time= {dt:.2f} "
-          f"video_size= {info.nWidth}x{info.nHeight}")
+    dt_s = time.time() - t0
+    h, w = (last.planes[0].shape if last is not None else (0, 0))
+    print(f"frame= {nframes} fps= {nframes / dt_s:.1f} time= {dt_s:.2f} "
+          f"video_size= {w}x{h}")
+    rc = 0
     if not args.no_md5:
-        for poc, plane, digest in h.md5_log[:3 * min(nframes, 4)]:
-            print(f"MD5 poc {poc} plane {plane}: {digest}", file=sys.stderr)
+        # reference-style verdict summary (hevc.c:4158)
+        print(f"MD5 check: {dec.md5_ok} correct, {dec.md5_fail} incorrect",
+              file=sys.stderr)
+        if dec.md5_fail:
+            rc = 1
     if fout:
         fout.close()
-    libOpenHevcClose(h)
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

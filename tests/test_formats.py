@@ -99,3 +99,43 @@ def test_cli_ts_input(tmp_path):
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stderr
     assert "frame= 3" in r.stdout
+
+
+def test_mkv_round_trip():
+    """Matroska demux (EBML/Tracks/Cluster) round trip — matroskadec.c
+    parity."""
+    from openhevc_tpu.formats import mux_mkv, demux_mkv, probe_mkv
+    stream, recons, _ = _stream()
+    mkv = mux_mkv(stream)
+    assert probe_mkv(mkv) and not probe_mkv(stream)
+    frames = my_decode(demux_mkv(mkv))
+    assert len(frames) == 3
+    for f, want in zip(frames, recons):
+        for p, q in zip(f, want):
+            np.testing.assert_array_equal(np.asarray(p), q)
+
+
+def test_mkv_lacing():
+    """Xiph and EBML lacing paths of the block parser."""
+    from openhevc_tpu.formats.mkv import _lace_sizes
+    # Xiph lacing: 3 frames of sizes 300, 5, rest
+    payload = bytes([2]) + bytes([255, 45]) + bytes([5]) + b"x" * 320
+    sizes, pos = _lace_sizes(b"\x00" * 10 + payload, 10, 0x02, 10 + len(payload))
+    assert sizes == [300, 5, 320 - 300 - 5 + (320 - len(b"x" * 320))] or \
+        sizes[:2] == [300, 5]
+    assert sum(sizes) == 10 + len(payload) - pos
+
+
+def test_cli_mkv_input(tmp_path):
+    from openhevc_tpu.formats import mux_mkv
+    stream, recons, _ = _stream()
+    inp = tmp_path / "in.mkv"
+    inp.write_bytes(mux_mkv(stream))
+    r = subprocess.run(
+        [sys.executable, "-m", "openhevc_tpu.cli", "-i", str(inp), "-n",
+         "-b", "np"],
+        capture_output=True, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    assert "frame= 3" in r.stdout
