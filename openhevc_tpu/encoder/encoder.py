@@ -72,6 +72,7 @@ class EncoderConfig:
     slices: int = 1             # slice segments per frame
     dependent_slices: bool = False  # segments >0 are dependent segments
     long_term: bool = False     # keep POC 0 as a long-term reference
+    reorder_pics: int = 0       # sps_max_num_reorder_pics (open-GOP streams)
 
 
 class Encoder:
@@ -94,6 +95,8 @@ class Encoder:
                        sao_enabled=1 if cfg.sao else 0,
                        temporal_mvp_enabled=1 if cfg.temporal_mvp else 0,
                        strong_intra_smoothing_enabled=1 if cfg.strong_intra_smoothing else 0)
+        if cfg.reorder_pics:
+            self.sps.num_reorder_pics = [cfg.reorder_pics]
         if cfg.bit_depth > 8:
             self.sps.ptl.profile_idc = 2
         if cfg.scaling_lists:
@@ -167,35 +170,55 @@ class Encoder:
     def encode_intra_frame(self, src_planes):
         return self.encode_frame(src_planes, "I")
 
-    def encode_frame(self, src_planes, slice_type="P"):
-        """-> (nal_bytes, recon_planes, plan). src_planes: [Y, U, V] int."""
+    def encode_frame(self, src_planes, slice_type="P", nal_type=None,
+                     poc=None, ref_pocs=None):
+        """-> (nal_bytes, recon_planes, plan). src_planes: [Y, U, V] int.
+
+        slice_type: "I"/"P"/"B".  nal_type overrides the NAL unit type
+        (e.g. NAL_CRA_NUT for an open GOP, NAL_RASL_R for leading pictures);
+        poc overrides the picture order count (RASL pictures have POCs below
+        their CRA); ref_pocs pins the RPS reference set explicitly."""
         cfg, sps, pps = self.cfg, self.sps, self.pps
-        if slice_type == "I" or not self.dpb.frames:
-            slice_type = "I"
-            self.poc = 0
-            self.dpb.clear()
+        if poc is not None:
+            self.poc = poc
+        if (slice_type == "I" and nal_type is None) or not self.dpb.frames:
+            if nal_type is None or nalmod.is_idr(nal_type):
+                slice_type = "I"
+                self.poc = 0
+                self.dpb.clear()
         stype = {"I": I_SLICE, "P": P_SLICE, "B": B_SLICE}[slice_type]
         sh = SliceHeader(slice_type=stype, slice_qp=cfg.qp,
                          sao_luma=1 if cfg.sao else 0,
                          sao_chroma=1 if cfg.sao else 0,
                          loop_filter_across_slices=(
                              self.pps.loop_filter_across_slices_enabled))
-        if stype == I_SLICE:
+        if stype == I_SLICE and nal_type is None:
             nal_type = nalmod.NAL_IDR_W_RADL
+        if stype == I_SLICE:
+            if not nalmod.is_idr(nal_type):
+                # non-IDR IRAP (CRA/BLA) I slice carries poc lsb + an RPS
+                sh.pic_order_cnt_lsb = \
+                    self.poc & ((1 << sps.log2_max_poc_lsb) - 1)
+                sh.slice_rps = ShortTermRPS()
         else:
-            nal_type = nalmod.NAL_TRAIL_R
+            if nal_type is None:
+                nal_type = nalmod.NAL_TRAIL_R
             sh.pic_order_cnt_lsb = self.poc & ((1 << sps.log2_max_poc_lsb) - 1)
             use_lt = cfg.long_term and self.poc >= 2 and 0 in self.dpb.frames
             cand = sorted(self.dpb.frames, reverse=True)
             if use_lt:
                 cand = [p for p in cand if p != 0]
+            if ref_pocs is not None:
+                use_lt = False
+                cand = [p for p in cand if p in ref_pocs]
             refs = cand[:cfg.max_refs]
             rps = ShortTermRPS()
-            for poc in refs:
-                rps.delta_poc.append(poc - self.poc)
-                rps.used.append(1)
-            rps.delta_poc.sort(reverse=True)    # closest first (all negative)
-            rps.num_negative_pics = len(rps.delta_poc)
+            neg = sorted((p - self.poc for p in refs if p < self.poc),
+                         reverse=True)          # closest first
+            pos = sorted(p - self.poc for p in refs if p > self.poc)
+            rps.delta_poc = neg + pos
+            rps.used = [1] * len(rps.delta_poc)
+            rps.num_negative_pics = len(neg)
             sh.slice_rps = rps
             if use_lt:
                 # POC 0 as a slice-level long-term ref (lsb 0 + msb cycle)
