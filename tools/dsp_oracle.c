@@ -100,6 +100,47 @@ void shim_epel_bi(int bd, uint8_t *dst, ptrdiff_t dststride, uint8_t *src,
         dst, dststride, src, srcstride, src2, MAX_PB_SIZE, h, mx, my, w);
 }
 
+/* ---- in-loop filters ---- */
+
+struct SAOParams;
+
+void shim_lf_luma(int bd, int horiz, uint8_t *pix, ptrdiff_t stride,
+                  int beta, int *tc, uint8_t *no_p, uint8_t *no_q)
+{
+    if (horiz)
+        ctx(bd)->hevc_h_loop_filter_luma(pix, stride, beta, tc, no_p, no_q);
+    else
+        ctx(bd)->hevc_v_loop_filter_luma(pix, stride, beta, tc, no_p, no_q);
+}
+
+void shim_lf_chroma(int bd, int horiz, uint8_t *pix, ptrdiff_t stride,
+                    int *tc, uint8_t *no_p, uint8_t *no_q)
+{
+    if (horiz)
+        ctx(bd)->hevc_h_loop_filter_chroma(pix, stride, tc, no_p, no_q);
+    else
+        ctx(bd)->hevc_v_loop_filter_chroma(pix, stride, tc, no_p, no_q);
+}
+
+void shim_sao_band(int bd, uint8_t *dst, uint8_t *src, ptrdiff_t stride_dst,
+                   ptrdiff_t stride_src, struct SAOParams *sao, int *borders,
+                   int width, int height, int c_idx)
+{
+    ctx(bd)->sao_band_filter(dst, src, stride_dst, stride_src, sao, borders,
+                             width, height, c_idx);
+}
+
+void shim_sao_edge(int bd, int variant, uint8_t *dst, uint8_t *src,
+                   ptrdiff_t stride_dst, ptrdiff_t stride_src,
+                   struct SAOParams *sao, int *borders, int width, int height,
+                   int c_idx, uint8_t *vert_edge, uint8_t *horiz_edge,
+                   uint8_t *diag_edge)
+{
+    ctx(bd)->sao_edge_filter[variant](dst, src, stride_dst, stride_src, sao,
+                                      borders, width, height, c_idx,
+                                      vert_edge, horiz_edge, diag_edge);
+}
+
 /* ---- SHVC upsampling (for round-2 SHVC kernel tests) ---- */
 
 void shim_upsample_filter_block_luma_h(int bd, int ratio_idx, int16_t *dst,
