@@ -1,16 +1,30 @@
 import os
+import sys
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware. Must be set before jax import; forced even
-# when the session env selects a TPU platform (tests must not contend with
-# benchmark runs for the single tunneled chip).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# exercised without TPU hardware, and so the suite never contends with
+# benchmark runs for the single tunneled chip.
+#
+# Forcing CPU needs more than the JAX_PLATFORMS env var: the axon
+# sitecustomize hook (triggered by PALLAS_AXON_POOL_IPS at interpreter boot,
+# before any conftest runs) force-registers the tunneled TPU backend via
+# jax.config — so the config must be overridden back after import.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-# persistent jit cache makes repeated test runs fast (compile once)
 import jax
+jax.config.update("jax_platforms", "cpu")
+
+# persistent jit cache makes repeated test runs fast (compile once)
 jax.config.update("jax_compilation_cache_dir", "/tmp/openhevc_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def cpu_subprocess_env():
+    """Environment for CLI subprocess tests: CPU jax, no TPU tunnel."""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("TPU_", "AXON_", "LIBTPU", "PALLAS_AXON"))}
+    env["JAX_PLATFORMS"] = "cpu"
+    return env

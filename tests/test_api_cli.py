@@ -8,6 +8,7 @@ import tempfile
 import numpy as np
 import pytest
 
+from tests.conftest import cpu_subprocess_env
 from openhevc_tpu.encoder import Encoder, EncoderConfig
 from tests.util_e2e import make_source
 
@@ -67,7 +68,7 @@ def test_cli(stream_and_recon, tmp_path):
          "-o", str(outp), "-n", "-b", "np"],
         capture_output=True, text=True,
         cwd=os.path.join(os.path.dirname(__file__), ".."),
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     assert "frame= 3" in r.stdout
     data = np.fromfile(outp, np.uint8)

@@ -9,6 +9,7 @@ import sys
 
 import numpy as np
 
+from tests.conftest import cpu_subprocess_env
 from openhevc_tpu.encoder import Encoder, EncoderConfig
 from openhevc_tpu.formats import mux_mp4, demux_mp4, probe_mp4
 from openhevc_tpu.formats.mp4 import parse_hvcc, build_hvcc
@@ -63,7 +64,7 @@ def test_cli_mp4_input(tmp_path):
          "-o", str(outp), "-n", "-b", "np"],
         capture_output=True, text=True,
         cwd=os.path.join(os.path.dirname(__file__), ".."),
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     assert "frame= 3" in r.stdout
     data = np.fromfile(outp, np.uint8)
@@ -96,7 +97,7 @@ def test_cli_ts_input(tmp_path):
          "-b", "np"],
         capture_output=True, text=True,
         cwd=os.path.join(os.path.dirname(__file__), ".."),
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     assert "frame= 3" in r.stdout
 
@@ -136,6 +137,6 @@ def test_cli_mkv_input(tmp_path):
          "-b", "np"],
         capture_output=True, text=True,
         cwd=os.path.join(os.path.dirname(__file__), ".."),
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     assert "frame= 3" in r.stdout
