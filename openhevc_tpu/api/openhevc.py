@@ -55,10 +55,14 @@ class OutputFrame:
 
 
 class OpenHevcDecoder:
-    """Single-layer HEVC decoder with the reference wrapper's lifecycle."""
+    """HEVC decoder with the reference wrapper's lifecycle.
+
+    One instance decodes one layer; SHVC layered decode chains a second
+    instance internally (set_active_decoders/set_view_layers, mirroring the
+    reference wrapper's MAX_DECODERS=2 chain, openHevcWrapper.c:106-133)."""
 
     def __init__(self, nb_threads: int = 1, thread_type: int = 1,
-                 backend: str = "auto"):
+                 backend: str = "auto", layer_id: int = 0):
         self.nb_threads = nb_threads
         self.thread_type = thread_type
         self._backend_kind = backend
@@ -70,11 +74,16 @@ class OpenHevcDecoder:
         self._current: Optional[Frame] = None
         self._reorder: List[Frame] = []
         self.dpb = DPB()
-        self.fe = Frontend(dpb=self.dpb)
+        self.fe = Frontend(dpb=self.dpb, layer_id=layer_id)
         self.md5_log: List[tuple] = []
         self.md5_ok = 0
         self.md5_fail = 0
         self.error_count = 0
+        # SHVC layering (only meaningful on the layer-0 handle)
+        self._el: Optional["OpenHevcDecoder"] = None
+        self._active_layer = 0
+        self._view_layer = 0
+        self._last_frame: Optional[Frame] = None    # decode-order latest
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -96,6 +105,8 @@ class OpenHevcDecoder:
         except Exception:
             self.fe.use_native = False
         self._started = True
+        if self._el is not None and not self._el._started:
+            self._el.start()
 
     def copy_extradata(self, extradata: bytes):
         """hvcC or annex-B parameter sets (libOpenHevcCopyExtraData)."""
@@ -123,9 +134,13 @@ class OpenHevcDecoder:
                 return 0
             self.dpb.add(frame)
             self._reorder.append(frame)
+            self._last_frame = frame
             return 1
 
         for nal in split_annexb(data):
+            if nal.layer_id != self.fe.layer_id and \
+                    nal.type not in (nalmod.NAL_VPS, nalmod.NAL_SPS):
+                continue        # other layers' NALs (hevc.c:3303)
             if nalmod.is_vcl(nal.type):
                 if nal.temporal_id > self._temporal_layer_id:
                     continue
@@ -156,7 +171,14 @@ class OpenHevcDecoder:
             got = emit(plan)
         if got:
             self._bump()
-        return self._pop_output()
+        got_out = self._pop_output()
+        # SHVC: feed the same AU to the chained EL decoder (the wrapper's
+        # libOpenHevcDecode loop, openHevcWrapper.c:117-134); the display
+        # layer's got_picture wins
+        if self._el is not None and self._active_layer >= 1:
+            got_el = self._el.decode(data, pts)
+            return got_el if self._view_layer >= 1 else got_out
+        return got_out
 
     def _pop_output(self) -> int:
         if self._output_queue:
@@ -197,12 +219,25 @@ class OpenHevcDecoder:
         self._reorder = []
 
     def _flush_one(self) -> int:
+        if self._el is not None and self._view_layer >= 1:
+            got = self._el._flush_one()
+            self._drain_reorder()
+            self._pop_output()      # keep BL draining in lock-step
+            return got
         self._drain_reorder()
         return self._pop_output()
 
     # -- output ------------------------------------------------------------
 
+    def _view(self) -> "OpenHevcDecoder":
+        """Decoder whose output is displayed (display_layer selection)."""
+        if self._el is not None and self._view_layer >= 1:
+            return self._el
+        return self
+
     def get_picture_info(self) -> FrameInfo:
+        if self._view() is not self:
+            return self._el.get_picture_info()
         sps = self.fe.sps
         f = FrameInfo()
         if sps is None or self._current is None:
@@ -222,6 +257,8 @@ class OpenHevcDecoder:
         return f
 
     def get_output(self, copy: bool = False) -> Optional[OutputFrame]:
+        if self._view() is not self:
+            return self._el.get_output(copy=copy)
         if self._current is None:
             return None
         sps = self.fe.sps
@@ -242,17 +279,50 @@ class OpenHevcDecoder:
 
     def set_check_md5(self, val: bool):
         self._check_md5 = bool(val)
+        if self._el is not None:
+            self._el.set_check_md5(val)
 
     def set_temporal_layer_id(self, tid: int):
         self._temporal_layer_id = tid
+        if self._el is not None:
+            self._el.set_temporal_layer_id(tid)
+
+    def set_active_decoders(self, n: int):
+        """Highest decoded layer (libOpenHevcSetActiveDecoders).  n >= 1
+        chains an enhancement-layer decoder fed the same AUs, with the
+        upsampled BL picture as its inter-layer reference."""
+        self._active_layer = max(0, int(n))
+        if self._active_layer >= 1 and self._el is None:
+            el = OpenHevcDecoder(self.nb_threads, self.thread_type,
+                                 backend=self._backend_kind, layer_id=1)
+            el._check_md5 = self._check_md5
+            el._temporal_layer_id = self._temporal_layer_id
+            # synchronous BL-before-EL: by the time the EL decoder parses
+            # its slices of an AU, this decoder has finished that AU's
+            # picture (decode() ends the open picture at AU end)
+            el.fe.il_source = lambda: self._last_frame
+            if self._started:
+                el.start()
+            self._el = el
+
+    def set_view_layers(self, n: int):
+        """Displayed layer (libOpenHevcSetViewLayers)."""
+        self._view_layer = max(0, int(n))
+        if self._view_layer >= 1:
+            self.set_active_decoders(max(self._active_layer,
+                                         self._view_layer))
 
     def flush(self):
         self._drain_reorder()
         self.dpb.clear()
+        if self._el is not None:
+            self._el.flush()
 
     def close(self):
         self.dpb.clear()
         self._output_queue.clear()
+        if self._el is not None:
+            self._el.close()
 
     def _verify_md5(self, frame):
         """Compare each plane hash against the decoded-picture-hash SEI
@@ -334,11 +404,11 @@ def libOpenHevcSetTemporalLayer_id(handle, val: int):
 
 
 def libOpenHevcSetActiveDecoders(handle, val: int):
-    pass        # layered (SHVC) decode arrives with the SHVC milestone
+    handle.set_active_decoders(val)
 
 
 def libOpenHevcSetViewLayers(handle, val: int):
-    pass
+    handle.set_view_layers(val)
 
 
 def libOpenHevcFlush(handle):

@@ -35,6 +35,8 @@ def main(argv=None):
                     help="temporal layer id")
     ap.add_argument("-s", dest="stop_frame", type=int, default=0,
                     help="stop after N frames")
+    ap.add_argument("-l", dest="layer", type=int, default=0,
+                    help="SHVC output layer (0=base, 1=enhancement)")
     ap.add_argument("-b", dest="backend", default="auto",
                     choices=("auto", "tpu", "np"),
                     help="reconstruction backend")
@@ -65,9 +67,20 @@ def main(argv=None):
     except Exception:
         use_native = False
 
-    from .runtime import PipelinedDecoder
-    dec = PipelinedDecoder(backend=backend, check_md5=not args.no_md5,
-                           use_native=use_native, resilient=True)
+    if args.layer > 0:
+        # SHVC layered decode: synchronous BL->EL chain (decoder/shvc.py)
+        from .decoder.shvc import ShvcDecoder
+        dec = ShvcDecoder(backend=backend, check_md5=not args.no_md5,
+                          use_native=use_native, nb_layers=args.layer + 1)
+        outs = dec.decode_stream(data)
+        sel = outs[args.layer]
+        if args.stop_frame:
+            sel = sel[:args.stop_frame]
+        dec.frames = lambda *a, **k: iter(sel)
+    else:
+        from .runtime import PipelinedDecoder
+        dec = PipelinedDecoder(backend=backend, check_md5=not args.no_md5,
+                               use_native=use_native, resilient=True)
 
     fout = open(args.output, "wb") if args.output else None
     nframes = 0

@@ -25,8 +25,9 @@ from . import recon_np
 class Frontend:
     """Stateful bitstream front-end; call decode_au() per access unit."""
 
-    def __init__(self, dpb=None, use_native=False):
+    def __init__(self, dpb=None, use_native=False, layer_id=0):
         self.use_native = use_native
+        self.layer_id = layer_id    # decoder-id ≙ nuh_layer_id it decodes
         self.vps_list = {}
         self.sps_list = {}
         self.pps_list = {}
@@ -39,6 +40,9 @@ class Frontend:
         # (reference max_ra, hevc.c:3375-3397); None == INT_MAX
         self.max_ra = None
         self._skip_pic = False
+        # SHVC: callable returning the base layer's decoded Frame for the
+        # current AU (the il-mailbox analog, pthread_frame.c:516-624)
+        self.il_source = None
 
     def decode_bytes(self, data: bytes):
         """Decode a whole annex-B stream -> list of FramePlan."""
@@ -54,14 +58,20 @@ class Frontend:
 
     def decode_nal(self, nal):
         t = nal.type
+        # layer routing (decode_nal_unit, hevc.c:3303): this decoder handles
+        # only its own layer's NALs, except VPS/SPS which are global
+        if nal.layer_id != self.layer_id and \
+                t not in (nalmod.NAL_VPS, nalmod.NAL_SPS):
+            return None
         if t == nalmod.NAL_VPS:
             v = parse_vps(nal.rbsp)
             self.vps_list[v.vps_id] = v
         elif t == nalmod.NAL_SPS:
-            s = parse_sps(nal.rbsp)
+            s = parse_sps(nal.rbsp, layer_id=nal.layer_id,
+                          vps_list=self.vps_list)
             self.sps_list[s.sps_id] = s
         elif t == nalmod.NAL_PPS:
-            p = parse_pps(nal.rbsp)
+            p = parse_pps(nal.rbsp, layer_id=nal.layer_id)
             self.pps_list[p.pps_id] = p
         elif t in (nalmod.NAL_SEI_PREFIX, nalmod.NAL_SEI_SUFFIX):
             from .sei import parse_sei
@@ -96,13 +106,36 @@ class Frontend:
             pps.finalize(sps)
         self.sps, self.pps = sps, pps
 
-        sh = parse_slice_header(r, nal.type, sps, pps)
+        vps = self.vps_list.get(sps.vps_id)
+        sh = parse_slice_header(r, nal.type, sps, pps,
+                                layer_id=self.layer_id, vps=vps)
         if not sh.first_slice_in_pic:
             if self._skip_pic:
                 return None             # non-first slice of a skipped RASL
             return self._continue_slice(nal, r, sps, pps, sh)
         done = self.end_picture()       # emit the previous picture, if any
         poc = self._compute_poc(nal.type, sh, sps, nal.temporal_id)
+
+        # SHVC enhancement layer: fetch the BL picture, inherit its POC, and
+        # install the upsampled inter-layer reference in the DPB under the
+        # current POC — the slot the decoded EL picture will replace, exactly
+        # the reference's IL-ref lifetime (hevc.c:3219-3243, 3471)
+        il_pocs = ()
+        if self.layer_id > 0 and self.il_source is not None:
+            bl = self.il_source()
+            if bl is None:
+                raise ValueError("BL reference frame does not exist")
+            poc = bl.poc
+            if sh.inter_layer_pred_enabled and self.dpb is not None:
+                from .shvc import make_il_ref
+                il = make_il_ref(bl, sps, nalmod.is_irap(nal.type),
+                                 nb_list=2 if sh.slice_type == B_SLICE else 1,
+                                 el_dpb=self.dpb,
+                                 phase_align=vps.ext.phase_align
+                                 if vps and vps.ext else 0)
+                il.poc = poc
+                self.dpb.frames[poc] = il
+                il_pocs = (poc,)
 
         # random-access gating (hevc.c:3375-3397): after a CRA/BLA entry
         # point, RASL pictures reference pre-entry frames and must be skipped
@@ -155,7 +188,8 @@ class Frontend:
             sh, poc, 1 << sps.log2_max_poc_lsb,
             sorted(self.dpb.frames) if self.dpb is not None else ())
         if sh.slice_type != I_SLICE:
-            st.rpl, st.rpl_lt = construct_rpl(sh, poc, lt_pocs)
+            st.rpl, st.rpl_lt = construct_rpl(sh, poc, lt_pocs,
+                                              il_pocs=il_pocs)
             plan.rpl = st.rpl
             plan.rpl_lt = st.rpl_lt
             if sh.temporal_mvp_enabled and self.dpb is not None and \
@@ -182,7 +216,8 @@ class Frontend:
 
         self._cur = dict(plan=plan, st=st, sps=sps, pps=pps, sh0=sh,
                          sh_last=sh, init_type=init_type, native_pic=None,
-                         ctx_cont=None, md5=self.sei_picture_hash, next_ts=0)
+                         ctx_cont=None, md5=self.sei_picture_hash, next_ts=0,
+                         il_pocs=il_pocs)
         self.sei_picture_hash = None
         plan.slice_type = sh.slice_type
         self.nal_type = nal.type
@@ -223,7 +258,8 @@ class Frontend:
             lt_pocs = resolve_lt_pocs(
                 sh, poc0, 1 << sps.log2_max_poc_lsb,
                 sorted(self.dpb.frames) if self.dpb is not None else ())
-            st.rpl, st.rpl_lt = construct_rpl(sh, poc0, lt_pocs)
+            st.rpl, st.rpl_lt = construct_rpl(
+                sh, poc0, lt_pocs, il_pocs=cur.get("il_pocs", ()))
             if sh.temporal_mvp_enabled and self.dpb is not None and \
                     st.rpl[sh.collocated_list]:
                 st.collocated_frame = get_or_synth(
@@ -444,6 +480,9 @@ class Decoder:
         out = []
         seg = []
         for nal in split_annexb(data):
+            if nal.layer_id != self.fe.layer_id and \
+                    nal.type not in (nalmod.NAL_VPS, nalmod.NAL_SPS):
+                continue        # other layers' NALs (decode_nal's filter)
             if nalmod.is_vcl(nal.type) and (nal.rbsp[0] >> 7):
                 # first slice of a new picture: emit the pending one first
                 # (its reconstruction may read refs an IDR clear would drop)

@@ -126,14 +126,23 @@ def resolve_lt_pocs(sh, cur_poc: int, max_poc_lsb: int, dpb_pocs=()):
     return out
 
 
-def construct_rpl(sh, cur_poc: int, lt_pocs=None):
+def construct_rpl(sh, cur_poc: int, lt_pocs=None, il_pocs=()):
     """Build RefPicList POCs + long-term flags for both lists
-    (spec 8.3.4 / hevc_refs.c:430).  -> (rpl, rpl_lt)."""
+    (spec 8.3.4 / hevc_refs.c:430).  -> (rpl, rpl_lt).
+
+    il_pocs: SHVC inter-layer reference POCs (== cur_poc).  Candidate order
+    with IL refs is ST_CURR_BEF, IL_REF0, ST_CURR_AFT, LT_CURR, IL_REF1 for
+    L0 and ST_CURR_AFT, IL_REF1, ST_CURR_BEF, LT_CURR, IL_REF0 for L1
+    (hevc_refs.c:457-459); all layers here have view id 0, so every IL ref
+    lands in IL_REF0 (hevc_refs.c:746-752)."""
     bef, aft, _ = rps_sets(sh, cur_poc)
     lt = [p for p, used in (lt_pocs or ()) if used]
-    cands = {0: bef + aft + lt, 1: aft + bef + lt}
-    flags = {0: [False] * (len(bef) + len(aft)) + [True] * len(lt),
-             1: [False] * (len(aft) + len(bef)) + [True] * len(lt)}
+    il = list(il_pocs)
+    cands = {0: bef + il + aft + lt, 1: aft + bef + lt + il}
+    flags = {0: ([False] * len(bef) + [True] * len(il) +
+                 [False] * len(aft) + [True] * len(lt)),
+             1: ([False] * (len(aft) + len(bef)) + [True] * len(lt) +
+                 [True] * len(il))}
     out = []
     out_lt = []
     for lx in range(2):

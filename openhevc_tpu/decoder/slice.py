@@ -67,6 +67,10 @@ class SliceHeader:
     loop_filter_across_slices: int = 0
     num_entry_point_offsets: int = 0
     entry_point_offsets: List[int] = field(default_factory=list)
+    # SHVC inter-layer prediction signaling (hevc.c:805-833)
+    inter_layer_pred_enabled: int = 0
+    active_num_ilr: int = 0
+    il_layer_idc: List[int] = field(default_factory=list)
     # derived
     slice_addr: int = 0
 
@@ -82,7 +86,8 @@ def _ceil_log2(x):
     return max(1, math.ceil(math.log2(x))) if x > 1 else 0
 
 
-def parse_slice_header(r: BitReader, nal_type: int, sps: SPS, pps: PPS) -> SliceHeader:
+def parse_slice_header(r: BitReader, nal_type: int, sps: SPS, pps: PPS,
+                       layer_id: int = 0, vps=None) -> SliceHeader:
     sh = SliceHeader()
     sh.pps_id = 0
     sh.first_slice_in_pic = r.u1()
@@ -104,8 +109,17 @@ def parse_slice_header(r: BitReader, nal_type: int, sps: SPS, pps: PPS) -> Slice
             sh.pic_output_flag = r.u1()
         if sps.separate_colour_plane_flag:
             sh.colour_plane_id = r.u(2)
-        if not nalmod.is_idr(nal_type):
+        # EL slices carry poc_lsb even for IDR (hevc.c:727-743) unless
+        # poc_lsb_not_present_flag is set in the VPS extension
+        ext = getattr(vps, "ext", None) if vps is not None else None
+        lsb_present = not nalmod.is_idr(nal_type) or (
+            layer_id > 0 and not (
+                ext is not None and
+                (ext.layer_idx_of(layer_id) or 0) < len(ext.poc_lsb_not_present)
+                and ext.poc_lsb_not_present[ext.layer_idx_of(layer_id) or 0]))
+        if lsb_present:
             sh.pic_order_cnt_lsb = r.u(sps.log2_max_poc_lsb)
+        if not nalmod.is_idr(nal_type):
             sh.short_term_rps_sps_flag = r.u1()
             if not sh.short_term_rps_sps_flag:
                 sh.slice_rps = parse_strps(r, sps, sps.num_short_term_rps,
@@ -131,6 +145,26 @@ def parse_slice_header(r: BitReader, nal_type: int, sps: SPS, pps: PPS) -> Slice
                     sh.lt_delta_poc_msb_cycle.append(r.ue() if msb_present else 0)
             if sps.temporal_mvp_enabled:
                 sh.temporal_mvp_enabled = r.u1()
+        # inter-layer prediction signaling (hevc.c:805-833), present for ALL
+        # EL slice types (including IDR) when the VPS declares a dependency
+        num_ilr = ext.num_direct_ref_layers(layer_id) if (
+            layer_id > 0 and ext is not None) else 0
+        if num_ilr > 0:
+            sh.inter_layer_pred_enabled = r.u1()
+            if sh.inter_layer_pred_enabled:
+                if num_ilr > 1:
+                    nbits = 1
+                    while (1 << nbits) < num_ilr:
+                        nbits += 1
+                    if not ext.max_one_active_ref_layer:
+                        sh.active_num_ilr = r.u(nbits) + 1
+                    else:
+                        sh.active_num_ilr = 1
+                    sh.il_layer_idc = [r.u(nbits)
+                                       for _ in range(sh.active_num_ilr)]
+                else:
+                    sh.active_num_ilr = 1
+                    sh.il_layer_idc = [0]
         if sps.sao_enabled:
             sh.sao_luma = r.u1()
             sh.sao_chroma = r.u1()
@@ -142,7 +176,7 @@ def parse_slice_header(r: BitReader, nal_type: int, sps: SPS, pps: PPS) -> Slice
                 if sh.slice_type == B_SLICE:
                     sh.num_ref_idx[1] = r.ue() + 1
             if pps.lists_modification_present:
-                npoc = _num_pic_total_curr(sh, sps)
+                npoc = _num_pic_total_curr(sh, sps, layer_id, vps)
                 if npoc > 1:
                     nbits = math.ceil(math.log2(npoc))
                     for lst in range(2 if sh.slice_type == B_SLICE else 1):
@@ -199,12 +233,19 @@ def parse_slice_header(r: BitReader, nal_type: int, sps: SPS, pps: PPS) -> Slice
     return sh
 
 
-def _num_pic_total_curr(sh: SliceHeader, sps: SPS) -> int:
+def _num_pic_total_curr(sh: SliceHeader, sps: SPS, layer_id: int = 0,
+                        vps=None) -> int:
+    """ff_hevc_frame_nb_refs (hevc_refs.c:786): EL slices count one IL ref
+    whenever the VPS sets max_one_active_ref_layer_flag, regardless of
+    inter_layer_pred_enabled."""
     n = 0
     rps = sh.slice_rps
     if rps:
         n += sum(rps.used)
     n += sum(sh.lt_used)
+    ext = getattr(vps, "ext", None) if vps is not None else None
+    if layer_id > 0 and ext is not None:
+        n += ext.max_one_active_ref_layer
     return n
 
 
@@ -246,7 +287,8 @@ def _parse_pred_weight_table(r: BitReader, sh: SliceHeader, sps: SPS) -> WPTable
     return wp
 
 
-def write_slice_header(sh: SliceHeader, nal_type: int, sps: SPS, pps: PPS) -> BitWriter:
+def write_slice_header(sh: SliceHeader, nal_type: int, sps: SPS, pps: PPS,
+                       layer_id: int = 0, vps=None) -> BitWriter:
     """Writes the header; returns the BitWriter (caller appends CABAC data)."""
     w = BitWriter()
     w.u1(sh.first_slice_in_pic)
@@ -257,13 +299,15 @@ def write_slice_header(sh: SliceHeader, nal_type: int, sps: SPS, pps: PPS) -> Bi
         if pps.dependent_slice_segments_enabled:
             w.u1(sh.dependent_slice_segment)
         w.u(sh.slice_segment_addr, _ceil_log2(sps.pic_size_in_ctbs))
+    ext = getattr(vps, "ext", None) if vps is not None else None
     if not sh.dependent_slice_segment:
         assert pps.num_extra_slice_header_bits == 0
         w.ue(sh.slice_type)
         if pps.output_flag_present:
             w.u1(sh.pic_output_flag)
-        if not nalmod.is_idr(nal_type):
+        if not nalmod.is_idr(nal_type) or layer_id > 0:
             w.u(sh.pic_order_cnt_lsb, sps.log2_max_poc_lsb)
+        if not nalmod.is_idr(nal_type):
             w.u1(sh.short_term_rps_sps_flag)
             if not sh.short_term_rps_sps_flag:
                 write_strps(w, sh.slice_rps, sps.num_short_term_rps, sps,
@@ -284,6 +328,18 @@ def write_slice_header(sh: SliceHeader, nal_type: int, sps: SPS, pps: PPS) -> Bi
                         w.ue(sh.lt_delta_poc_msb_cycle[i])
             if sps.temporal_mvp_enabled:
                 w.u1(sh.temporal_mvp_enabled)
+        num_ilr = ext.num_direct_ref_layers(layer_id) if (
+            layer_id > 0 and ext is not None) else 0
+        if num_ilr > 0:
+            w.u1(sh.inter_layer_pred_enabled)
+            if sh.inter_layer_pred_enabled and num_ilr > 1:
+                nbits = 1
+                while (1 << nbits) < num_ilr:
+                    nbits += 1
+                if not ext.max_one_active_ref_layer:
+                    w.u(sh.active_num_ilr - 1, nbits)
+                for idc in sh.il_layer_idc:
+                    w.u(idc, nbits)
         if sps.sao_enabled:
             w.u1(sh.sao_luma)
             w.u1(sh.sao_chroma)
@@ -296,12 +352,14 @@ def write_slice_header(sh: SliceHeader, nal_type: int, sps: SPS, pps: PPS) -> Bi
                 w.ue(sh.num_ref_idx[0] - 1)
                 if sh.slice_type == B_SLICE:
                     w.ue(sh.num_ref_idx[1] - 1)
-            if pps.lists_modification_present and _num_pic_total_curr(sh, sps) > 1:
+            if pps.lists_modification_present and \
+                    _num_pic_total_curr(sh, sps, layer_id, vps) > 1:
                 for lst in range(2 if sh.slice_type == B_SLICE else 1):
                     mod = sh.rpl_modification[lst]
                     w.u1(1 if mod else 0)
                     if mod:
-                        nbits = math.ceil(math.log2(_num_pic_total_curr(sh, sps)))
+                        nbits = math.ceil(math.log2(
+                            _num_pic_total_curr(sh, sps, layer_id, vps)))
                         for v in mod:
                             w.u(v, nbits)
             if sh.slice_type == B_SLICE:

@@ -76,10 +76,12 @@ class EncoderConfig:
 
 
 class Encoder:
-    def __init__(self, cfg: EncoderConfig):
+    def __init__(self, cfg: EncoderConfig, layer_id: int = 0):
         assert cfg.width % 8 == 0 and cfg.height % 8 == 0, \
             "dimensions must be multiples of the min CB size"
         self.cfg = cfg
+        self.layer_id = layer_id
+        self._il_pocs = ()          # SHVC: IL ref POCs for the next frame
         self.rng = random.Random(cfg.rng_seed)
         self.poc = 0
         self.dpb = DPB()
@@ -156,14 +158,26 @@ class Encoder:
         if getattr(self, "_pps_sl", None) is not None:
             self.pps.scaling_list_data_present = 1
             self.pps.scaling_list = self._pps_sl
+        if layer_id > 0:
+            # SHVC enhancement layer: own SPS/PPS ids, multilayer SPS form
+            self.sps.layer_id = layer_id
+            self.sps.sps_id = layer_id
+            self.pps.layer_id = layer_id
+            self.pps.pps_id = layer_id
+            self.pps.sps_id = layer_id
         self.pps.finalize(self.sps)
 
     # ------------------------------------------------------------------ ps
 
     def parameter_set_nals(self):
-        return [write_nal(nalmod.NAL_VPS, write_vps(self.vps)),
-                write_nal(nalmod.NAL_SPS, write_sps(self.sps)),
-                write_nal(nalmod.NAL_PPS, write_pps(self.pps, self.sps))]
+        out = []
+        if self.layer_id == 0:
+            out.append(write_nal(nalmod.NAL_VPS, write_vps(self.vps)))
+        out.append(write_nal(nalmod.NAL_SPS, write_sps(self.sps),
+                             layer_id=self.layer_id))
+        out.append(write_nal(nalmod.NAL_PPS, write_pps(self.pps, self.sps),
+                             layer_id=self.layer_id))
+        return out
 
     # ---------------------------------------------------------------- frame
 
@@ -188,6 +202,7 @@ class Encoder:
                 self.dpb.clear()
         stype = {"I": I_SLICE, "P": P_SLICE, "B": B_SLICE}[slice_type]
         sh = SliceHeader(slice_type=stype, slice_qp=cfg.qp,
+                         pps_id=self.pps.pps_id,
                          sao_luma=1 if cfg.sao else 0,
                          sao_chroma=1 if cfg.sao else 0,
                          loop_filter_across_slices=(
@@ -200,12 +215,19 @@ class Encoder:
                 sh.pic_order_cnt_lsb = \
                     self.poc & ((1 << sps.log2_max_poc_lsb) - 1)
                 sh.slice_rps = ShortTermRPS()
+            elif self.layer_id > 0:
+                # EL IDR still carries poc lsb (hevc.c:727-743)
+                sh.pic_order_cnt_lsb = \
+                    self.poc & ((1 << sps.log2_max_poc_lsb) - 1)
         else:
             if nal_type is None:
                 nal_type = nalmod.NAL_TRAIL_R
             sh.pic_order_cnt_lsb = self.poc & ((1 << sps.log2_max_poc_lsb) - 1)
             use_lt = cfg.long_term and self.poc >= 2 and 0 in self.dpb.frames
-            cand = sorted(self.dpb.frames, reverse=True)
+            # the SHVC inter-layer ref sits in the DPB under the current POC
+            # and must not enter the short-term RPS (it rides IL_REF0)
+            cand = sorted((p for p in self.dpb.frames if p != self.poc),
+                          reverse=True)
             if use_lt:
                 cand = [p for p in cand if p != 0]
             if ref_pocs is not None:
@@ -226,7 +248,12 @@ class Encoder:
                 sh.lt_used = [1]
                 sh.lt_msb_present = [1]
                 sh.lt_delta_poc_msb_cycle = [self.poc >> sps.log2_max_poc_lsb]
-            nref = max(1, len(refs) + (1 if use_lt else 0))
+            il_pocs = self._il_pocs if self.layer_id > 0 else ()
+            if il_pocs:
+                sh.inter_layer_pred_enabled = 1
+                sh.active_num_ilr = len(il_pocs)
+                sh.il_layer_idc = [0] * len(il_pocs)
+            nref = max(1, len(refs) + (1 if use_lt else 0) + len(il_pocs))
             sh.num_ref_idx = [nref, nref if slice_type == "B" else 0]
             sh.max_num_merge_cand = 5
             if cfg.temporal_mvp:
@@ -266,13 +293,16 @@ class Encoder:
             lt_pocs = resolve_lt_pocs(sh, self.poc,
                                       1 << sps.log2_max_poc_lsb,
                                       sorted(self.dpb.frames))
-            st.rpl, st.rpl_lt = construct_rpl(sh, self.poc, lt_pocs)
+            st.rpl, st.rpl_lt = construct_rpl(
+                sh, self.poc, lt_pocs,
+                il_pocs=self._il_pocs if self.layer_id > 0 else ())
             plan.rpl = st.rpl
             plan.rpl_lt = st.rpl_lt
             if sh.temporal_mvp_enabled and st.rpl[sh.collocated_list]:
                 st.collocated_frame = self.dpb.get(
                     st.rpl[sh.collocated_list][sh.collocated_ref_idx])
         self._slice_type = stype
+        self._active_nref = sh.num_ref_idx[0] if stype != I_SLICE else 0
         if not cfg.deblock:
             sh.deblocking_filter_disabled = 1
             plan.deblock_disable = True
@@ -351,7 +381,8 @@ class Encoder:
             sub_lens = entry_points
             sh_k.num_entry_point_offsets = len(bounds) - 1
             sh_k.entry_point_offsets = list(sub_lens[:-1])
-            w = write_slice_header(sh_k, nal_type, sps, pps)
+            w = write_slice_header(sh_k, nal_type, sps, pps,
+                                   layer_id=self.layer_id, vps=self.vps)
             if sh_k.num_entry_point_offsets:
                 from ..bitstream.nal import escaped_entry_points
                 for _ in range(8):
@@ -360,10 +391,13 @@ class Encoder:
                     if eps == sh_k.entry_point_offsets:
                         break
                     sh_k.entry_point_offsets = eps
-                    w = write_slice_header(sh_k, nal_type, sps, pps)
+                    w = write_slice_header(sh_k, nal_type, sps, pps,
+                                           layer_id=self.layer_id,
+                                           vps=self.vps)
                 else:
                     raise RuntimeError("entry-point fixpoint did not converge")
-            slice_nals.append(write_nal(nal_type, w.get_bytes() + payload))
+            slice_nals.append(write_nal(nal_type, w.get_bytes() + payload,
+                                        layer_id=self.layer_id))
 
         # catch up remaining recon ops
         self._execute_pending()
@@ -391,7 +425,8 @@ class Encoder:
         sei = write_nal(nalmod.NAL_SEI_SUFFIX,
                         write_picture_hash_sei(
                             [plane_md5(np.asarray(p), sps.bit_depth)
-                             for p in self.recon]))
+                             for p in self.recon]),
+                        layer_id=self.layer_id)
         self.poc += 1
         return nal + sei, self.recon, plan
 
@@ -528,7 +563,7 @@ class Encoder:
     def _plan_inter_cu(self, x0, y0, log2) -> CUData:
         cfg, sps, rng = self.cfg, self.sps, self.rng
         cu = CUData()
-        nrefs = len(self.sh_refs())
+        nrefs = getattr(self, "_active_nref", None) or len(self.sh_refs())
         if rng.random() < cfg.p_intra_in_inter:
             cu2 = self._plan_intra_cu_payload(x0, y0, log2)
             return cu2

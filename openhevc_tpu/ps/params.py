@@ -205,6 +205,9 @@ class VPS:
     max_latency_increase: List[int] = field(default_factory=lambda: [-1])
     max_layer_id: int = 0
     num_layer_sets: int = 1
+    # layer_id_included_flag[set-1][layer] for sets >= 1 (hevc_ps.c:1178)
+    layer_id_included: List[List[int]] = field(default_factory=list)
+    ext: Optional[object] = None            # layers.VPSExt (SHVC)
 
 
 def parse_vps(rbsp: bytes) -> VPS:
@@ -216,8 +219,7 @@ def parse_vps(rbsp: bytes) -> VPS:
     v.max_layers = r.u(6) + 1
     v.max_sub_layers = r.u(3) + 1
     v.temporal_id_nesting_flag = r.u1()
-    if r.u(16) != 0xFFFF:
-        raise ValueError("vps_reserved_ffff_16bits != 0xffff")
+    r.u(16)     # vps_extension_offset (reference VPS_EXTN_OFFSET) / 0xffff
     v.ptl = parse_ptl(r, v.max_sub_layers)
     sub_layer_ordering = r.u1()
     start = 0 if sub_layer_ordering else v.max_sub_layers - 1
@@ -230,9 +232,10 @@ def parse_vps(rbsp: bytes) -> VPS:
         v.max_latency_increase.append(r.ue() - 1)
     v.max_layer_id = r.u(6)
     v.num_layer_sets = r.ue() + 1
+    v.layer_id_included = []
     for _ in range(1, v.num_layer_sets):
-        for _ in range(v.max_layer_id + 1):
-            r.u1()
+        v.layer_id_included.append(
+            [r.u1() for _ in range(v.max_layer_id + 1)])
     timing = r.u1()
     if timing:
         r.u(32); r.u(32)
@@ -241,7 +244,13 @@ def parse_vps(rbsp: bytes) -> VPS:
         nhrd = r.ue()
         if nhrd:
             raise NotImplementedError("HRD parameters")
-    # vps_extension_flag and beyond ignored
+    if r.u1():                              # vps_extension_flag
+        from .layers import parse_vps_extension
+        r.align()                           # align_get_bits (hevc_ps.c:1215)
+        try:
+            v.ext = parse_vps_extension(r, v)
+        except (ValueError, IndexError, EOFError):
+            v.ext = None                    # tolerate exotic extensions
     return v
 
 
@@ -261,8 +270,19 @@ def write_vps(v: VPS) -> bytes:
         w.ue(v.max_latency_increase[i] + 1)
     w.u(v.max_layer_id, 6)
     w.ue(v.num_layer_sets - 1)
+    for i in range(1, v.num_layer_sets):
+        inc = v.layer_id_included[i - 1] if i - 1 < len(
+            v.layer_id_included) else [1] * (v.max_layer_id + 1)
+        for j in range(v.max_layer_id + 1):
+            w.u1(inc[j] if j < len(inc) else 0)
     w.u1(0)                                 # vps_timing_info_present_flag
-    w.u1(0)                                 # vps_extension_flag
+    if v.ext is not None:
+        from .layers import write_vps_extension
+        w.u1(1)                             # vps_extension_flag
+        w.align_zero()                      # vps_extension_alignment
+        write_vps_extension(w, v, v.ext)
+    else:
+        w.u1(0)                             # vps_extension_flag
     w.rbsp_trailing_bits()
     return w.get_bytes()
 
@@ -313,6 +333,11 @@ class SPS:
     temporal_mvp_enabled: int = 0
     strong_intra_smoothing_enabled: int = 0
     vui_present: int = 0
+    # SHVC multilayer SPS (hevc_ps.c:1556-1618): geometry comes from the
+    # VPS-extension rep_format instead of explicit fields
+    layer_id: int = 0
+    update_rep_format_flag: int = 0
+    update_rep_format_idx: int = 0
 
     # --- derived ---
     @property
@@ -379,23 +404,52 @@ class SPS:
         return (0, 0, 0)
 
 
-def parse_sps(rbsp: bytes) -> SPS:
+def parse_sps(rbsp: bytes, layer_id: int = 0, vps_list=None) -> SPS:
+    """layer_id: nuh_layer_id of the SPS NAL; vps_list: {vps_id: VPS} for
+    the SHVC multilayer form, whose geometry lives in the VPS rep_format
+    (hevc_ps.c:1556-1726)."""
     r = BitReader(rbsp)
     s = SPS()
+    s.layer_id = layer_id
     s.vps_id = r.u(4)
-    s.max_sub_layers = r.u(3) + 1
-    s.temporal_id_nesting_flag = r.u1()
-    s.ptl = parse_ptl(r, s.max_sub_layers)
+    vps = (vps_list or {}).get(s.vps_id)
+    if layer_id == 0:
+        s.max_sub_layers = r.u(3) + 1
+        s.temporal_id_nesting_flag = r.u1()
+        s.ptl = parse_ptl(r, s.max_sub_layers)
+    else:
+        if vps is None:
+            raise ValueError("multilayer SPS requires its VPS")
+        s.max_sub_layers = vps.max_sub_layers
+        s.temporal_id_nesting_flag = vps.temporal_id_nesting_flag
     s.sps_id = r.ue()
-    s.chroma_format_idc = r.ue()
-    if s.chroma_format_idc == 3:
-        s.separate_colour_plane_flag = r.u1()
-    s.width = r.ue()
-    s.height = r.ue()
+    if layer_id > 0:
+        s.update_rep_format_flag = r.u1()
+        if s.update_rep_format_flag:
+            s.update_rep_format_idx = r.u(8)
+    else:
+        s.chroma_format_idc = r.ue()
+        if s.chroma_format_idc == 3:
+            s.separate_colour_plane_flag = r.u1()
+        s.width = r.ue()
+        s.height = r.ue()
     if r.u1():
         s.conf_win = (r.ue(), r.ue(), r.ue(), r.ue())
-    s.bit_depth = r.ue() + 8
-    s.bit_depth_chroma = r.ue() + 8
+    if layer_id == 0:
+        s.bit_depth = r.ue() + 8
+        s.bit_depth_chroma = r.ue() + 8
+    else:
+        ext = vps.ext
+        if ext is None:
+            raise ValueError("multilayer SPS requires a VPS extension")
+        if s.update_rep_format_flag:
+            rf = ext.rep_formats[s.update_rep_format_idx]
+        else:
+            rf = ext.rep_format_for(layer_id)
+        s.width, s.height = rf.pic_width, rf.pic_height
+        s.bit_depth = rf.bit_depth_luma
+        s.bit_depth_chroma = rf.bit_depth_chroma
+        s.chroma_format_idc = 1     # reference supports 4:2:0 EL only
     s.log2_max_poc_lsb = r.ue() + 4
     s.sub_layer_ordering_info_present = r.u1()
     start = 0 if s.sub_layer_ordering_info_present else s.max_sub_layers - 1
@@ -412,7 +466,12 @@ def parse_sps(rbsp: bytes) -> SPS:
     s.max_transform_hierarchy_depth_intra = r.ue()
     s.scaling_list_enabled = r.u1()
     if s.scaling_list_enabled:
-        if r.u1():                          # sps_scaling_list_data_present_flag
+        # SHVC scaling-list inference (hevc_ps.c:1810-1822)
+        infer = r.u1() if layer_id > 0 else 0
+        if infer:
+            r.ue()                          # sps_scaling_list_ref_layer_id
+            s.scaling_list_enabled = 0
+        elif r.u1():                        # sps_scaling_list_data_present
             from .scaling import parse_scaling_list
             s.scaling_list = parse_scaling_list(r, s.chroma_format_idc)
         else:
@@ -446,23 +505,30 @@ def parse_sps(rbsp: bytes) -> SPS:
 def write_sps(s: SPS) -> bytes:
     w = BitWriter()
     w.u(s.vps_id, 4)
-    w.u(s.max_sub_layers - 1, 3)
-    w.u1(s.temporal_id_nesting_flag)
-    write_ptl(w, s.ptl, s.max_sub_layers)
+    if s.layer_id == 0:
+        w.u(s.max_sub_layers - 1, 3)
+        w.u1(s.temporal_id_nesting_flag)
+        write_ptl(w, s.ptl, s.max_sub_layers)
     w.ue(s.sps_id)
-    w.ue(s.chroma_format_idc)
-    if s.chroma_format_idc == 3:
-        w.u1(s.separate_colour_plane_flag)
-    w.ue(s.width)
-    w.ue(s.height)
+    if s.layer_id > 0:
+        w.u1(s.update_rep_format_flag)
+        if s.update_rep_format_flag:
+            w.u(s.update_rep_format_idx, 8)
+    else:
+        w.ue(s.chroma_format_idc)
+        if s.chroma_format_idc == 3:
+            w.u1(s.separate_colour_plane_flag)
+        w.ue(s.width)
+        w.ue(s.height)
     if any(s.conf_win):
         w.u1(1)
         for v in s.conf_win:
             w.ue(v)
     else:
         w.u1(0)
-    w.ue(s.bit_depth - 8)
-    w.ue(s.bit_depth_chroma - 8)
+    if s.layer_id == 0:
+        w.ue(s.bit_depth - 8)
+        w.ue(s.bit_depth_chroma - 8)
     w.ue(s.log2_max_poc_lsb - 4)
     w.u1(1)                                 # sub_layer_ordering_info_present
     for i in range(s.max_sub_layers):
@@ -477,6 +543,8 @@ def write_sps(s: SPS) -> bytes:
     w.ue(s.max_transform_hierarchy_depth_intra)
     w.u1(s.scaling_list_enabled)
     if s.scaling_list_enabled:
+        if s.layer_id > 0:
+            w.u1(0)                         # sps_infer_scaling_list_flag
         if s.scaling_list is not None:
             w.u1(1)
             from .scaling import write_scaling_list
@@ -517,6 +585,9 @@ def write_sps(s: SPS) -> bytes:
 class PPS:
     pps_id: int = 0
     sps_id: int = 0
+    layer_id: int = 0                       # nuh_layer_id of this PPS's NALs
+    infer_scaling_list: int = 0             # SHVC (SCALINGLIST_INFERRING)
+    scaling_list_ref_layer_id: int = 0
     dependent_slice_segments_enabled: int = 0
     output_flag_present: int = 0
     num_extra_slice_header_bits: int = 0
@@ -640,9 +711,10 @@ class PPS:
         self.min_tb_addr_zs = zs
 
 
-def parse_pps(rbsp: bytes) -> PPS:
+def parse_pps(rbsp: bytes, layer_id: int = 0) -> PPS:
     r = BitReader(rbsp)
     p = PPS()
+    p.layer_id = layer_id
     p.pps_id = r.ue()
     p.sps_id = r.ue()
     p.dependent_slice_segments_enabled = r.u1()
@@ -682,10 +754,17 @@ def parse_pps(rbsp: bytes) -> PPS:
         if not p.deblocking_filter_disabled:
             p.beta_offset = r.se() * 2
             p.tc_offset = r.se() * 2
-    p.scaling_list_data_present = r.u1()
-    if p.scaling_list_data_present:
-        from .scaling import parse_scaling_list
-        p.scaling_list = parse_scaling_list(r)
+    # SHVC inter-layer scaling-list inference (SCALINGLIST_INFERRING,
+    # hevc_ps.c:2380-2390): layer>0 PPSs carry pps_infer_scaling_list_flag
+    p.infer_scaling_list = r.u1() if layer_id > 0 else 0
+    if p.infer_scaling_list:
+        p.scaling_list_ref_layer_id = r.ue()
+        p.scaling_list_data_present = 0
+    else:
+        p.scaling_list_data_present = r.u1()
+        if p.scaling_list_data_present:
+            from .scaling import parse_scaling_list
+            p.scaling_list = parse_scaling_list(r)
     p.lists_modification_present = r.u1()
     p.log2_parallel_merge_level = r.ue() + 2
     p.slice_header_extension_present = r.u1()
@@ -735,6 +814,8 @@ def write_pps(p: PPS, sps: SPS) -> bytes:
         if not p.deblocking_filter_disabled:
             w.se(p.beta_offset // 2)
             w.se(p.tc_offset // 2)
+    if p.layer_id > 0:
+        w.u1(0)                             # pps_infer_scaling_list_flag
     if p.scaling_list_data_present and p.scaling_list is not None:
         w.u1(1)
         from .scaling import write_scaling_list

@@ -79,6 +79,9 @@ class PipelinedDecoder:
                 for nal in split_annexb(data):
                     if stop.is_set():
                         break
+                    if nal.layer_id != fe.layer_id and \
+                            nal.type not in (nalmod.NAL_VPS, nalmod.NAL_SPS):
+                        continue    # other layers (SHVC EL NALs)
                     if nalmod.is_vcl(nal.type):
                         if nal.temporal_id > max_tid:
                             continue

@@ -14,8 +14,10 @@ def have_oracle():
     return os.path.exists(ORACLE_CLI)
 
 
-def oracle_decode(stream: bytes, width, height, bit_depth=8, chroma=1):
-    """Run the reference decoder -> list of [Y, U, V] planes per frame."""
+def oracle_decode(stream: bytes, width, height, bit_depth=8, chroma=1,
+                  layer=0):
+    """Run the reference decoder -> list of [Y, U, V] planes per frame.
+    layer selects the SHVC output layer (0 = base, 1 = enhancement)."""
     if not have_oracle():
         pytest.skip("reference oracle_cli not built")
     with tempfile.TemporaryDirectory() as td:
@@ -23,7 +25,8 @@ def oracle_decode(stream: bytes, width, height, bit_depth=8, chroma=1):
         out = os.path.join(td, "out.yuv")
         with open(inp, "wb") as f:
             f.write(stream)
-        r = subprocess.run([ORACLE_CLI, inp, out], capture_output=True, text=True)
+        r = subprocess.run([ORACLE_CLI, inp, out, "1", "1", str(layer)],
+                           capture_output=True, text=True)
         assert os.path.exists(out), f"oracle failed: {r.stdout}\n{r.stderr}"
         dt = np.uint16 if bit_depth > 8 else np.uint8
         data = np.fromfile(out, dt)

@@ -23,7 +23,24 @@ sed -e 's/@PTHREADS_FOUND@/1/g' \
     -e 's/#define ARCH_X86_64 1/#define ARCH_X86_64 0/' \
     "$REF/platform/x86/config.h.in" > "$BUILD/config.h"
 
-CFLAGS="-O3 -fPIC -w -std=gnu99 -pthread -I$BUILD -I$REF -I$REF/gpac/modules/openhevc_dec -D_GNU_SOURCE -D_ISOC99_SOURCE"
+# Compile from a local copy with ONE deterministic-output fix: the shipped
+# per-PU SHVC upsampling path (ACTIVE_PU_UPSAMPLING=1, hevc.h:117) skips
+# upsampling CTB row/col 0 when they are only read as MC halo (the
+# `ctb_x0 > ctb_size` off-by-ones in ff_upsample_block, hevc_filter.c:1378,
+# 1387) and then reads UNINITIALIZED frame memory — verified by memset-
+# painting the IL buffer: 27 output pixels of a test stream follow the fill
+# value.  The reference's own whole-frame path (ACTIVE_PU_UPSAMPLING=0) is
+# deterministic, matches SHM, and produces identical pixels everywhere else,
+# so the golden oracle is built with it.
+SRCROOT="$BUILD/src"
+mkdir -p "$SRCROOT"
+for d in libavutil libavcodec libavformat gpac compat; do
+    cp -rpu "$REF/$d" "$SRCROOT/"
+done
+sed -i 's/#define ACTIVE_PU_UPSAMPLING     1/#define ACTIVE_PU_UPSAMPLING     0/' \
+    "$SRCROOT/libavcodec/hevc.h"
+
+CFLAGS="-O3 -fPIC -w -std=gnu99 -pthread -I$BUILD -I$SRCROOT -I$SRCROOT/gpac/modules/openhevc_dec -D_GNU_SOURCE -D_ISOC99_SOURCE"
 
 # the library file list from the reference CMakeLists (x86/arm/crypto excluded)
 SRC="
@@ -75,9 +92,9 @@ OBJS=""
 for f in $SRC; do
     o="$BUILD/obj/$(echo "$f" | tr / _ | sed 's/\.c$/.o/')"
     OBJS="$OBJS $o"
-    if [ ! -f "$o" ] || [ "$REF/$f" -nt "$o" ]; then
+    if [ ! -f "$o" ] || [ "$SRCROOT/$f" -nt "$o" ]; then
         echo "CC $f"
-        gcc $CFLAGS -c "$REF/$f" -o "$o" &
+        gcc $CFLAGS -c "$SRCROOT/$f" -o "$o" &
         # bounded parallel compile
         while [ "$(jobs -r | wc -l)" -ge 8 ]; do wait -n; done
     fi

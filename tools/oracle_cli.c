@@ -1,9 +1,10 @@
 /* Minimal reference-decoder CLI for golden testing and baseline measurement.
  *
- * Usage: oracle_cli <in.265> <out.yuv|-> [threads] [thread_type]
+ * Usage: oracle_cli <in.265> <out.yuv|-> [threads] [thread_type] [layer]
  * Decodes a raw annex-B HEVC stream with the reference libOpenHevc wrapper,
  * writes tightly-packed planes (no pitch padding) to out.yuv, and prints
- * "frames=N fps=F" on stderr.  Built by tools/build_oracle.sh. */
+ * "frames=N fps=F" on stderr.  [layer] selects the SHVC output layer
+ * (0 = base, 1 = enhancement; default 0).  Built by tools/build_oracle.sh. */
 
 #include <stdio.h>
 #include <stdlib.h>
@@ -81,6 +82,7 @@ int main(int argc, char **argv)
     }
     int threads = argc > 3 ? atoi(argv[3]) : 1;
     int ttype = argc > 4 ? atoi(argv[4]) : 1;
+    int layer = argc > 5 ? atoi(argv[5]) : 0;
     read_file(argv[1]);
     if (strcmp(argv[2], "-") != 0) {
         fout = fopen(argv[2], "wb");
@@ -89,8 +91,8 @@ int main(int argc, char **argv)
 
     OpenHevc_Handle h = libOpenHevcInit(threads, ttype);
     libOpenHevcSetCheckMD5(h, 0);
-    libOpenHevcSetActiveDecoders(h, 0);
-    libOpenHevcSetViewLayers(h, 0);
+    libOpenHevcSetActiveDecoders(h, layer);
+    libOpenHevcSetViewLayers(h, layer);
     libOpenHevcStartDecoder(h);
 
     double t0 = now_s();
@@ -105,12 +107,14 @@ int main(int argc, char **argv)
         if (sc > 0 && buf[sc - 1] == 0) { /* 4-byte start code is part of the NAL */ }
         long next = next_sc(hdr);
         int nal_type = (buf[hdr] >> 1) & 0x3f;
+        int nuh_layer = ((buf[hdr] & 1) << 5) | (buf[hdr + 1] >> 3);
         int is_vcl = nal_type <= 31;
         int first_slice = is_vcl && hdr + 2 < buflen && (buf[hdr + 2] >> 7);
+        /* SHVC: a first-slice VCL NAL of a higher layer continues the AU */
         int au_break = au_has_vcl &&
-            ((is_vcl && first_slice) ||
-             nal_type == 32 || nal_type == 33 || nal_type == 34 ||
-             nal_type == 35 || nal_type == 39);
+            ((is_vcl && first_slice && nuh_layer == 0) ||
+             ((nal_type == 32 || nal_type == 33 || nal_type == 34 ||
+               nal_type == 35 || nal_type == 39) && nuh_layer == 0));
         if (au_break) {
             int got = libOpenHevcDecode(h, buf + au_start, sc - au_start, 0);
             if (got > 0)
