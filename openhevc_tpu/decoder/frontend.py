@@ -43,6 +43,9 @@ class Frontend:
         # SHVC: callable returning the base layer's decoded Frame for the
         # current AU (the il-mailbox analog, pthread_frame.c:516-624)
         self.il_source = None
+        # selective encryption (crypto.cpp parity); python walker only
+        self.encrypt_params = 0
+        self.crypto = None
 
     def decode_bytes(self, data: bytes):
         """Decode a whole annex-B stream -> list of FramePlan."""
@@ -180,6 +183,12 @@ class Frontend:
             self._pcm_sps = sps
         st = FrameState(sps, pps, sh, plan, init_type=init_type,
                         pcm_map=self._pcm_sticky)
+        if self.encrypt_params:
+            if self.crypto is None:
+                from ..crypto import HevcCrypto
+                self.crypto = HevcCrypto()
+            st.crypto = self.crypto
+            st.encrypt_params = self.encrypt_params
         if sps.scaling_list_enabled:
             plan.scaling = self._scaling_factors(sps, pps)
         st.level_provider = None
@@ -464,9 +473,14 @@ class Decoder:
     (openhevc_tpu.tpu) plugs in behind the same FramePlan contract.
     """
 
-    def __init__(self, backend=None, check_md5=True, use_native=False):
+    def __init__(self, backend=None, check_md5=True, use_native=False,
+                 encrypt_params=0):
         self.dpb = DPB()
-        self.fe = Frontend(dpb=self.dpb, use_native=use_native)
+        # the C front-end has no keystream support; encrypted streams use
+        # the python walker (the reference gates crypto behind a build flag)
+        self.fe = Frontend(dpb=self.dpb,
+                           use_native=use_native and not encrypt_params)
+        self.fe.encrypt_params = encrypt_params
         self.backend = backend
         self.check_md5 = check_md5
         self.md5_ok = 0

@@ -73,6 +73,7 @@ class EncoderConfig:
     dependent_slices: bool = False  # segments >0 are dependent segments
     long_term: bool = False     # keep POC 0 as a long-term reference
     reorder_pics: int = 0       # sps_max_num_reorder_pics (open-GOP streams)
+    encrypt_params: int = 0     # selective encryption flags (crypto.py)
 
 
 class Encoder:
@@ -85,6 +86,10 @@ class Encoder:
         self.rng = random.Random(cfg.rng_seed)
         self.poc = 0
         self.dpb = DPB()
+        self.crypto = None
+        if cfg.encrypt_params:
+            from ..crypto import HevcCrypto
+            self.crypto = HevcCrypto()
 
         self.vps = VPS()
         self.sps = SPS(width=cfg.width, height=cfg.height,
@@ -281,6 +286,8 @@ class Encoder:
                                         np.uint8)
         st = FrameState(sps, pps, sh, plan, init_type=init_type,
                         pcm_map=self._pcm_sticky)
+        st.crypto = self.crypto
+        st.encrypt_params = cfg.encrypt_params
         if sps.scaling_list_enabled:
             if not hasattr(self, "_sf"):
                 from ..ps.scaling import ScalingList, build_scaling_factors

@@ -166,6 +166,9 @@ class FrameState:
         self.rpl = [[], []]
         self.rpl_lt = [[], []]
         self.cur_poc = 0
+        # selective encryption (crypto.cpp parity; set by the owner)
+        self.crypto = None
+        self.encrypt_params = 0
         self.collocated_frame = None
         self.ct_depth_cur = 0
         self.slice_or_tiles_up_boundary = 0
@@ -1093,7 +1096,8 @@ def _code_residual(io: CabacIO, st: FrameState, cu: CUData, c_idx, log2_size,
                  transform_skip_enabled=bool(st.pps.transform_skip_enabled),
                  transquant_bypass=bool(cu.tq_bypass),
                  is_intra=(cu.pred_mode == MODE_INTRA),
-                 pred_mode_intra=pred_mode_intra)
+                 pred_mode_intra=pred_mode_intra,
+                 crypto=st.crypto, encrypt_params=st.encrypt_params)
     if io.decoding:
         return decode_residual(io.dec, p)
     if supply_levels is None:

@@ -513,8 +513,14 @@ def _code_ref_idx(io: CabacIO, st, nb_refs, supply):
     return i
 
 
-def _code_mvd(io: CabacIO, supply):
-    """ff_hevc_hls_mvd_coding (hevc_cabac.c:1952)."""
+def _code_mvd(io: CabacIO, supply, st=None):
+    """ff_hevc_hls_mvd_coding (hevc_cabac.c:1952), incl. the selective-
+    encryption variants (mvd_decode_enc + MV-sign cipher,
+    hevc_cabac.c:984/1955-1988)."""
+    crypto = getattr(st, "crypto", None) if st is not None else None
+    eparams = getattr(st, "encrypt_params", 0) if st is not None else 0
+    enc_mvs = crypto is not None and (eparams & 1)      # HEVC_CRYPTO_MVs
+    enc_signs = crypto is not None and (eparams & 2)    # HEVC_CRYPTO_MV_SIGNS
     if io.decoding:
         gx = io.bin(_MVD_GT0)
         gy = io.bin(_MVD_GT0)
@@ -522,8 +528,19 @@ def _code_mvd(io: CabacIO, supply):
             gx += io.bin(_MVD_GT1 + 1)
         if gy:
             gy += io.bin(_MVD_GT1 + 1)
-        mx = _decode_mvd_value(io, gx)
-        my = _decode_mvd_value(io, gy)
+        mx = _decode_mvd_value(io, gx, crypto if enc_mvs else None)
+        sx = None
+        if enc_signs and gx:
+            from ..crypto import xform_sign_bit
+            sx = xform_sign_bit(crypto, 1 if mx < 0 else 0)
+        my = _decode_mvd_value(io, gy, crypto if enc_mvs else None)
+        if enc_signs:
+            from ..crypto import xform_sign_bit
+            if gy:
+                sy = xform_sign_bit(crypto, 1 if my < 0 else 0)
+                my = -abs(my) if sy else abs(my)
+            if gx:
+                mx = -abs(mx) if sx else abs(mx)
         return (mx, my)
     mx, my = supply
     ax, ay = abs(mx), abs(my)
@@ -533,12 +550,22 @@ def _code_mvd(io: CabacIO, supply):
         io.bin(_MVD_GT1 + 1, 1 if ax > 1 else 0)
     if ay > 0:
         io.bin(_MVD_GT1 + 1, 1 if ay > 1 else 0)
-    _encode_mvd_value(io, mx)
-    _encode_mvd_value(io, my)
+    # mirror the decoder's key consumption order exactly: x value keys,
+    # x sign key, y value keys, y sign key
+    sx_enc, xsuf = _encrypt_mvd_value(mx, crypto if enc_mvs else None)
+    if enc_signs and ax > 0:
+        from ..crypto import xform_sign_bit
+        sx_enc = xform_sign_bit(crypto, 1 if mx < 0 else 0)
+    _emit_mvd_value(io, mx, sx_enc, xsuf)
+    sy_enc, ysuf = _encrypt_mvd_value(my, crypto if enc_mvs else None)
+    if enc_signs and ay > 0:
+        from ..crypto import xform_sign_bit
+        sy_enc = xform_sign_bit(crypto, 1 if my < 0 else 0)
+    _emit_mvd_value(io, my, sy_enc, ysuf)
     return (mx, my)
 
 
-def _decode_mvd_value(io, g):
+def _decode_mvd_value(io, g, crypto=None):
     if g == 0:
         return 0
     if g == 1:
@@ -549,23 +576,43 @@ def _decode_mvd_value(io, g):
     while k < 31 and io.bypass():
         ret += 1 << k
         k += 1
-    ret += io.bypass_bits(k)
+    suffix = io.bypass_bits(k)
+    if crypto is not None:
+        from ..crypto import xform_eg_suffix
+        ret = (ret - 2) + 2 + xform_eg_suffix(crypto, suffix, k,
+                                              encrypt=False)
+    else:
+        ret += suffix
     return -ret if io.bypass() else ret
 
 
-def _encode_mvd_value(io, v):
+def _encrypt_mvd_value(v, crypto):
+    """Consume the MVD-value keystream (encrypt path) in decoder order and
+    return (raw sign bit, encrypted suffix or None)."""
+    a = abs(v)
+    sign = 1 if v < 0 else 0
+    if a < 2 or crypto is None:
+        return sign, None
+    p = a.bit_length() - 2
+    from ..crypto import xform_eg_suffix
+    suffix = a - (1 << (p + 1))
+    return sign, xform_eg_suffix(crypto, suffix, p + 1, encrypt=True)
+
+
+def _emit_mvd_value(io, v, sign, enc_suffix=None):
     a = abs(v)
     if a == 0:
         return
     if a == 1:
-        io.bypass(1 if v < 0 else 0)
+        io.bypass(sign)
         return
     p = a.bit_length() - 2        # a in [2^(p+1), 2^(p+2)-1]
     for _ in range(p):
         io.bypass(1)
     io.bypass(0)
-    io.bypass_bits(p + 1, a - (1 << (p + 1)))
-    io.bypass(1 if v < 0 else 0)
+    suffix = enc_suffix if enc_suffix is not None else a - (1 << (p + 1))
+    io.bypass_bits(p + 1, suffix)
+    io.bypass(1 if sign else 0)
 
 
 def _emit_inter_op(st, x0, y0, w, h, f: MvField):
@@ -658,7 +705,7 @@ def code_prediction_unit(io: CabacIO, st, cu, x0, y0, w, h, log2_cb,
             pu.ref_idx[0] = 0
         f.ref_idx[0] = pu.ref_idx[0]
         f.pred_flag = PF_L0
-        mvd = _code_mvd(io, pu.mvd[0] if supply else None)
+        mvd = _code_mvd(io, pu.mvd[0] if supply else None, st)
         pu.mvd[0] = mvd
         pu.mvp_flag[0] = io.bin(_MVP_FLAG, pu.mvp_flag[0] if supply else None)
         mvp = luma_mv_mvp_mode(st, cu, x0, y0, w, h, f, pu.mvp_flag[0], 0)

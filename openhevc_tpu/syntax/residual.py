@@ -48,6 +48,9 @@ class RCParams:
     explicit_rdpcm: bool = False
     persistent_rice: bool = False
     transform_skip_context: bool = False
+    # selective encryption (crypto.cpp parity)
+    crypto: object = None
+    encrypt_params: int = 0
 
 
 def _last_ctx_params(c_idx, log2_size):
@@ -210,7 +213,11 @@ def decode_residual(dec, p: RCParams):
             g1[first_g1_idx] += dec.decode_bin(_G2 + ctx_set + (4 if p.c_idx else 0))
 
         nb_signs = n_sig - (1 if (p.sign_data_hiding and sign_hidden) else 0)
-        coeff_signs = dec.decode_bypass_bits(nb_signs) << (16 - nb_signs)
+        coeff_signs = dec.decode_bypass_bits(nb_signs)
+        if p.crypto is not None and p.encrypt_params & 8:   # COEFF_SIGNS
+            from ..crypto import xform_signs
+            coeff_signs = xform_signs(p.crypto, coeff_signs, nb_signs)
+        coeff_signs <<= 16 - nb_signs
 
         c_rice = 0
         sum_abs = 0
@@ -221,12 +228,12 @@ def decode_residual(dec, p: RCParams):
             if m < 8:
                 level = 1 + g1[m]
                 if level == (3 if m == first_g1_idx else 2):
-                    rem = _decode_remaining(dec, c_rice)
+                    rem = _decode_remaining(dec, c_rice, p, base=level)
                     level += rem
                     if level > (3 << c_rice):
                         c_rice = min(c_rice + 1, 4)
             else:
-                rem = _decode_remaining(dec, c_rice)
+                rem = _decode_remaining(dec, c_rice, p, base=1)
                 level = 1 + rem
                 if level > (3 << c_rice):
                     c_rice = min(c_rice + 1, 4)
@@ -242,15 +249,24 @@ def decode_residual(dec, p: RCParams):
     return levels, p.transform_skip
 
 
-def _decode_remaining(dec, rice):
+def _decode_remaining(dec, rice, p=None, base=1):
+    enc_on = (p is not None and p.crypto is not None and
+              (p.encrypt_params & 4))                     # TRANSF_COEFFS
     prefix = 0
     while prefix < 31 and dec.decode_bypass():
         prefix += 1
     if prefix < 3:
         suffix = dec.decode_bypass_bits(rice)
+        if enc_on:
+            from ..crypto import xform_remaining_suffix
+            suffix = xform_remaining_suffix(p.crypto, prefix, suffix, rice,
+                                            base, encrypt=False)
         return (prefix << rice) + suffix
     pm3 = prefix - 3
     suffix = dec.decode_bypass_bits(pm3 + rice)
+    if enc_on:
+        from ..crypto import xform_eg_suffix
+        suffix = xform_eg_suffix(p.crypto, suffix, pm3 + rice, encrypt=False)
     return (((1 << pm3) + 2) << rice) + suffix
 
 
@@ -258,17 +274,27 @@ def _decode_remaining(dec, rice):
 # encode
 # ---------------------------------------------------------------------------
 
-def _encode_remaining(enc, value, rice):
+def _encode_remaining(enc, value, rice, p=None, base=1):
+    enc_on = (p is not None and p.crypto is not None and
+              (p.encrypt_params & 4))
     if value < (3 << rice):
         prefix = value >> rice
+        suffix = value & ((1 << rice) - 1)
+        if enc_on:
+            from ..crypto import xform_remaining_suffix
+            suffix = xform_remaining_suffix(p.crypto, prefix, suffix, rice,
+                                            base, encrypt=True)
         for _ in range(prefix):
             enc.encode_bypass(1)
         enc.encode_bypass(0)
-        enc.encode_bypass_bits(value & ((1 << rice) - 1), rice)
+        enc.encode_bypass_bits(suffix, rice)
         return
     pm3 = ((value >> rice) - 2).bit_length() - 1
     suffix = value - (((1 << pm3) + 2) << rice)
     assert 0 <= suffix < (1 << (pm3 + rice))
+    if enc_on:
+        from ..crypto import xform_eg_suffix
+        suffix = xform_eg_suffix(p.crypto, suffix, pm3 + rice, encrypt=True)
     for _ in range(3 + pm3):
         enc.encode_bypass(1)
     enc.encode_bypass(0)
@@ -427,8 +453,14 @@ def encode_residual(enc, p: RCParams, levels: np.ndarray,
 
         hide = p.sign_data_hiding and sign_hidden
         nb_signs = n_sig - (1 if hide else 0)
+        signs = 0
         for m in range(nb_signs):
-            enc.encode_bypass(1 if vals[m] < 0 else 0)
+            signs = (signs << 1) | (1 if vals[m] < 0 else 0)
+        if p.crypto is not None and p.encrypt_params & 8:
+            from ..crypto import xform_signs
+            signs = xform_signs(p.crypto, signs, nb_signs)
+        for m in range(nb_signs - 1, -1, -1):
+            enc.encode_bypass((signs >> m) & 1)
         if hide:
             # hidden sign must equal parity of sum of abs levels
             assert (sum(abs(v) for v in vals) & 1) == (1 if vals[-1] < 0 else 0)
@@ -439,10 +471,10 @@ def encode_residual(enc, p: RCParams, levels: np.ndarray,
             if m < 8:
                 base = 3 if m == first_g1_idx else 2
                 if a >= base:
-                    _encode_remaining(enc, a - base, c_rice)
+                    _encode_remaining(enc, a - base, c_rice, p, base=base)
                     if a > (3 << c_rice):
                         c_rice = min(c_rice + 1, 4)
             else:
-                _encode_remaining(enc, a - 1, c_rice)
+                _encode_remaining(enc, a - 1, c_rice, p, base=1)
                 if a > (3 << c_rice):
                     c_rice = min(c_rice + 1, 4)
