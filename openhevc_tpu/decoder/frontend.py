@@ -226,7 +226,9 @@ class Frontend:
         self._cur = dict(plan=plan, st=st, sps=sps, pps=pps, sh0=sh,
                          sh_last=sh, init_type=init_type, native_pic=None,
                          ctx_cont=None, md5=self.sei_picture_hash, next_ts=0,
-                         il_pocs=il_pocs)
+                         il_pocs=il_pocs,
+                         segments=[(int(pps.ctb_addr_rs_to_ts[
+                             sh.slice_segment_addr]), sh)])
         self.sei_picture_hash = None
         plan.slice_type = sh.slice_type
         self.nal_type = nal.type
@@ -282,6 +284,8 @@ class Frontend:
         elif sh.slice_type == B_SLICE:
             init_type = 1 if sh.cabac_init_flag else 2
         cur["sh_last"] = sh
+        cur["segments"].append(
+            (int(pps.ctb_addr_rs_to_ts[sh.slice_segment_addr]), sh))
         assert r.byte_aligned()
         data_start = r.pos >> 3
         payload = nal.rbsp[data_start:]
@@ -351,17 +355,41 @@ class Frontend:
         plan.md5 = cur["md5"]
         if cur["native_pic"] is not None:
             self._finish_native(plan, sps, cur)
+            self._apply_slice_filter_maps(plan, cur)
             return plan
         plan.qp_map = expand_qp_map(st, sps)
         plan.vertical_bs = st.vertical_bs
         plan.horizontal_bs = st.horizontal_bs
-        plan.sao = st.sao_ctbs if (sh0.sao_luma or sh0.sao_chroma) else None
+        any_sao = any(sh.sao_luma or sh.sao_chroma
+                      for _, sh in cur["segments"])
+        plan.sao = st.sao_ctbs if any_sao else None
         plan.no_filter_map = st.is_pcm_or_bypass.copy()
         plan.mvf_mv = st.mvf_mv
         plan.mvf_poc = st.mvf_poc
         plan.mvf_pred = st.mvf_pred
         plan.mvf_ref_idx = st.mvf_ref_idx
+        self._apply_slice_filter_maps(plan, cur)
         return plan
+
+    def _apply_slice_filter_maps(self, plan, cur):
+        """Per-slice filter parameters + boundary masking artifacts
+        (hevc.c:2677 s->deblock[ctb] fill; sao_filter_CTB edge flags)."""
+        segments = cur.get("segments") or ()
+        if not segments:
+            return
+        sps, pps = cur["sps"], cur["pps"]
+        from .slicefilters import (build_filter_param_maps,
+                                   build_sao_boundary_restore)
+        maps = build_filter_param_maps(segments, sps, pps)
+        plan.sao_luma = any(sh.sao_luma for _, sh in segments)
+        plan.sao_chroma = any(sh.sao_chroma for _, sh in segments)
+        plan.deblock_disable = not maps["any_deblock"]
+        if not maps["uniform"]:
+            plan.deblock_beta_map = maps["beta_map"]
+            plan.deblock_tc_map = maps["tc_map"]
+        if plan.sao is not None:
+            plan.sao_restore = build_sao_boundary_restore(
+                plan, sps, pps, maps["lfase_map"], maps["slice_addr_map"])
 
     def _scaling_factors(self, sps, pps):
         """Active ScalingFactor matrices (PPS lists override SPS; absent
@@ -421,7 +449,8 @@ class Frontend:
         plan.mvf_poc = out["mvf_poc"]
         plan.mvf_pred = out["mvf_pred"]
         plan.mvf_ref_idx = out["mvf_ref_idx"]
-        if sh0.sao_luma or sh0.sao_chroma:
+        if any(sh.sao_luma or sh.sao_chroma
+               for _, sh in (cur.get("segments") or [(0, sh0)])):
             sao = {}
             for rs in range(sps.pic_size_in_ctbs):
                 row = out["sao"][rs]

@@ -103,6 +103,15 @@ class FramePlan:
     sao_chroma: bool = False
     beta_offset: int = 0
     tc_offset: int = 0
+    # per-CTB filter parameters for multi-slice pictures whose slices signal
+    # different deblock offsets (s->deblock[ctb], hevc.c:2677); None means
+    # the frame-level scalars above apply everywhere
+    deblock_beta_map: Optional[np.ndarray] = None   # (ctb_h, ctb_w) int32
+    deblock_tc_map: Optional[np.ndarray] = None
+    # SAO pixels restored at slice/tile boundaries with cross-filtering
+    # disabled (sao_edge_filter_1 restores, hevcdsp_template.c); per-plane
+    # bool masks or None
+    sao_restore: Optional[list] = None
     # transquant-bypass / pcm pixels excluded from SAO when pcm_loop_filter_disabled
     no_filter_map: Optional[np.ndarray] = None    # (h/4, w/4) bool
     # scaling-list factor matrices {(log2n, matrix_id): (n, n) int32} or None

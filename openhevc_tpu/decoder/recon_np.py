@@ -91,6 +91,26 @@ def deblock_frame(plan: FramePlan, planes):
     def edge_qp(xp, yp, xq, yq):
         return (int(qp_map[yp >> 3, xp >> 3]) + int(qp_map[yq >> 3, xq >> 3]) + 1) >> 1
 
+    # per-edge deblock offsets: the containing CTB's slice params
+    # (deblocking_filter_CTB reads s->deblock[ctb], hevc_filter.c:359)
+    l2 = plan.log2_ctb_size
+    bmap, tmap = plan.deblock_beta_map, plan.deblock_tc_map
+
+    def edge_offs(x, y):
+        if bmap is None:
+            return plan.beta_offset, plan.tc_offset
+        return int(bmap[y >> l2, x >> l2]), int(tmap[y >> l2, x >> l2])
+
+    def tc_off_h(x, y):
+        """Horizontal-pass tc offset: the reference's TC_CALC always reads
+        the CURRENT CTB's tc_offset even for the left-CTB columns
+        (hevc_filter.c: tc_offset is never reset to left in the horizontal
+        luma loop; chroma half 1 uses cur_tc_offset explicitly)."""
+        if tmap is None:
+            return plan.tc_offset
+        cw_ = tmap.shape[1]
+        return int(tmap[y >> l2, min((x + 8) >> l2, cw_ - 1)])
+
     # vertical edges: x multiple of 8, segments of 8 rows (2x4)
     if vbs is not None:
         for x in range(8, w, 8):
@@ -102,8 +122,9 @@ def deblock_frame(plan: FramePlan, planes):
                 if not any(bs):
                     continue
                 qp = edge_qp(x - 1, y, x, y)
-                beta = int(flt.BETA_TABLE[np.clip(qp + plan.beta_offset, 0, 51)])
-                tc = [int(flt.TC_TABLE[np.clip(qp + 2 * (b - 1) + plan.tc_offset, 0, 53)])
+                b_off, t_off = edge_offs(x, y)
+                beta = int(flt.BETA_TABLE[np.clip(qp + b_off, 0, 51)])
+                tc = [int(flt.TC_TABLE[np.clip(qp + 2 * (b - 1) + t_off, 0, 53)])
                       if b else 0 for b in bs]
                 rows = min(8, h - y)
                 patch = np.zeros((8, 8), np.int32)
@@ -125,8 +146,10 @@ def deblock_frame(plan: FramePlan, planes):
                 continue
             cols = min(8, w - x)
             qp = edge_qp(x, y - 1, x, y)
-            beta = int(flt.BETA_TABLE[np.clip(qp + plan.beta_offset, 0, 51)])
-            tc = [int(flt.TC_TABLE[np.clip(qp + 2 * (b - 1) + plan.tc_offset, 0, 53)])
+            b_off, _ = edge_offs(x, y)
+            t_off = tc_off_h(x, y)
+            beta = int(flt.BETA_TABLE[np.clip(qp + b_off, 0, 51)])
+            tc = [int(flt.TC_TABLE[np.clip(qp + 2 * (b - 1) + t_off, 0, 53)])
                   if b else 0 for b in bs]
             patch = np.zeros((8, 8), np.int32)
             patch[:, :cols] = luma[y - 4:y + 4, x:x + cols]
@@ -155,11 +178,12 @@ def deblock_frame(plan: FramePlan, planes):
                         xc, yc = x >> 1, y >> 1
                         rows = min(8, ch - yc)
                         tc = []
+                        _, t_off = edge_offs(x, y)
                         for j, b in enumerate(bs):
                             if b == 2:
                                 qp = _chroma_edge_qp(plan, x - 1, min(y + 4 * j * 2, h - 1),
                                                      x, min(y + 4 * j * 2, h - 1), qp_off)
-                                tc.append(int(flt.TC_TABLE[np.clip(qp + 2 + plan.tc_offset, 0, 53)]))
+                                tc.append(int(flt.TC_TABLE[np.clip(qp + 2 + t_off, 0, 53)]))
                             else:
                                 tc.append(0)
                         patch = np.zeros((8, 4), np.int32)
@@ -183,9 +207,10 @@ def deblock_frame(plan: FramePlan, planes):
                         tc = []
                         for j, b in enumerate(bs):
                             if b == 2:
+                                t_off = tc_off_h(x + 8 * j, y)
                                 qp = _chroma_edge_qp(plan, min(x + 8 * j, w - 1), y - 1,
                                                      min(x + 8 * j, w - 1), y, qp_off)
-                                tc.append(int(flt.TC_TABLE[np.clip(qp + 2 + plan.tc_offset, 0, 53)]))
+                                tc.append(int(flt.TC_TABLE[np.clip(qp + 2 + t_off, 0, 53)]))
                             else:
                                 tc.append(0)
                         seg = pl[yc - 2:yc + 2, xc:xc + cols]
@@ -257,6 +282,12 @@ def sao_frame(plan: FramePlan, planes, ctb_size: int):
                     if y1 == ph:
                         blk[-1, :] = pl[-1, x0:x1]
                 out[c_idx][y0:y1, x0:x1] = blk
+    # slice/tile-boundary SAO restores (sao_edge_filter_1, cross-filtering
+    # disabled)
+    if plan.sao_restore is not None:
+        for c_idx in range(3):
+            m = plan.sao_restore[c_idx]
+            out[c_idx][m] = planes[c_idx][m]
     # restore transquant-bypass / pcm pixels (restore_tqb_pixels)
     if plan.no_filter_map is not None and plan.no_filter_map.any():
         for c_idx in range(3):

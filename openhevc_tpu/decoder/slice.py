@@ -380,8 +380,20 @@ def write_slice_header(sh: SliceHeader, nal_type: int, sps: SPS, pps: PPS,
             w.se(sh.slice_cb_qp_offset)
             w.se(sh.slice_cr_qp_offset)
         if pps.deblocking_filter_control_present:
+            override = (sh.deblocking_filter_disabled !=
+                        pps.deblocking_filter_disabled or
+                        sh.beta_offset != pps.beta_offset or
+                        sh.tc_offset != pps.tc_offset)
             if pps.deblocking_filter_override_enabled:
-                w.u1(0)
+                w.u1(1 if override else 0)
+                if override:
+                    w.u1(sh.deblocking_filter_disabled)
+                    if not sh.deblocking_filter_disabled:
+                        w.se(sh.beta_offset // 2)
+                        w.se(sh.tc_offset // 2)
+            else:
+                assert not override, \
+                    "slice deblock params differ but override is disabled"
         if (pps.loop_filter_across_slices_enabled and
                 (sh.sao_luma or sh.sao_chroma or not sh.deblocking_filter_disabled)):
             w.u1(sh.loop_filter_across_slices)

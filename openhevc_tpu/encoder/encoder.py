@@ -74,6 +74,10 @@ class EncoderConfig:
     long_term: bool = False     # keep POC 0 as a long-term reference
     reorder_pics: int = 0       # sps_max_num_reorder_pics (open-GOP streams)
     encrypt_params: int = 0     # selective encryption flags (crypto.py)
+    across_slices: bool = True  # loop_filter_across_slices_enabled
+    # per-slice filter params: random beta/tc offsets, per-slice deblock
+    # disable and SAO enables (hevc.c:2677 s->deblock[ctb] coverage)
+    slice_filter_variants: bool = False
 
 
 class Encoder:
@@ -155,11 +159,13 @@ class Encoder:
             self.pps.deblocking_filter_control_present = 1
             self.pps.deblocking_filter_disabled = 1
         if cfg.slices > 1:
-            # whole-frame filtering requires filtering across slice
-            # boundaries (slice-boundary BS masking is a next-round item)
-            self.pps.loop_filter_across_slices_enabled = 1
+            self.pps.loop_filter_across_slices_enabled = \
+                1 if cfg.across_slices else 0
             if cfg.dependent_slices:
                 self.pps.dependent_slice_segments_enabled = 1
+        if cfg.slice_filter_variants:
+            self.pps.deblocking_filter_control_present = 1
+            self.pps.deblocking_filter_override_enabled = 1
         if getattr(self, "_pps_sl", None) is not None:
             self.pps.scaling_list_data_present = 1
             self.pps.scaling_list = self._pps_sl
@@ -271,6 +277,7 @@ class Encoder:
         plan = FramePlan(poc=self.poc, width=sps.width, height=sps.height,
                          bit_depth=sps.bit_depth,
                          chroma_format_idc=sps.chroma_format_idc,
+                         log2_ctb_size=sps.log2_ctb_size,
                          strong_intra_smoothing=bool(sps.strong_intra_smoothing_enabled),
                          sao_luma=bool(sh.sao_luma), sao_chroma=bool(sh.sao_chroma),
                          deblock_disable=not cfg.deblock or bool(sh.deblocking_filter_disabled))
@@ -331,6 +338,7 @@ class Encoder:
         else:
             slice_ranges = [(0, nctbs - 1)]
         slice_nals = []
+        segments = []
         cont_ctx = None
         for sli, (sl0, sl1) in enumerate(slice_ranges):
             sh_k = sh if sli == 0 else copy.copy(sh)
@@ -349,6 +357,17 @@ class Encoder:
                 st.first_qp_group = 1
                 st.is_cu_qp_delta_coded = 0
                 st.cu_qp_delta = 0
+            if cfg.slice_filter_variants and not sh_k.dependent_slice_segment:
+                rng = self.rng
+                sh_k.deblocking_filter_disabled = \
+                    1 if rng.random() < 0.25 else 0
+                if not sh_k.deblocking_filter_disabled:
+                    sh_k.beta_offset = 2 * rng.randint(-3, 3)
+                    sh_k.tc_offset = 2 * rng.randint(-3, 3)
+                if cfg.sao:
+                    sh_k.sao_luma = 1 if rng.random() < 0.8 else 0
+                    sh_k.sao_chroma = 1 if rng.random() < 0.8 else 0
+            segments.append((sl0, sh_k))
             bounds = (_substream_bounds(sps, pps) if cfg.slices == 1
                       else [(sl0, sl1)])
             payload = b""
@@ -411,8 +430,22 @@ class Encoder:
         plan.qp_map = expand_qp_map(st, sps)
         plan.vertical_bs = st.vertical_bs
         plan.horizontal_bs = st.horizontal_bs
-        plan.sao = st.sao_ctbs if cfg.sao else None
+        plan.sao = st.sao_ctbs if cfg.sao and any(
+            s.sao_luma or s.sao_chroma for _, s in segments) else None
         plan.no_filter_map = st.is_pcm_or_bypass.copy()
+        # per-slice filter parameter maps (same builder the decoder uses)
+        from ..decoder.slicefilters import (build_filter_param_maps,
+                                            build_sao_boundary_restore)
+        fmaps = build_filter_param_maps(segments, sps, pps)
+        plan.sao_luma = any(s.sao_luma for _, s in segments)
+        plan.sao_chroma = any(s.sao_chroma for _, s in segments)
+        plan.deblock_disable = not fmaps["any_deblock"]
+        if not fmaps["uniform"]:
+            plan.deblock_beta_map = fmaps["beta_map"]
+            plan.deblock_tc_map = fmaps["tc_map"]
+        if plan.sao is not None:
+            plan.sao_restore = build_sao_boundary_restore(
+                plan, sps, pps, fmaps["lfase_map"], fmaps["slice_addr_map"])
 
         recon_np.deblock_frame(plan, self.recon)
         self.recon = recon_np.sao_frame(plan, self.recon, sps.ctb_size)
@@ -441,7 +474,7 @@ class Encoder:
 
     def _plan_ctb(self, st, x_ctb, y_ctb) -> CtbData:
         ctb = CtbData()
-        if self.cfg.sao:
+        if self.cfg.sao and (st.sh.sao_luma or st.sh.sao_chroma):
             ctb.sao = self._pick_sao()
         ctb.cqt = self._plan_cqt(x_ctb, y_ctb, self.sps.log2_ctb_size)
         return ctb

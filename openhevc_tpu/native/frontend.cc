@@ -1136,6 +1136,9 @@ static int boundary_strength(Ctx &c, int xq4, int yq4, int xp4, int yp4) {
 
 static void compute_bs(Ctx &c, int x0, int y0, int log2n) {
     const SliceParams *p = c.p;
+    // per-slice deblock disable: no BS derivation (hevc.c:1577)
+    if (p->deblocking_disabled)
+        return;
     int size = 1 << log2n;
     int is_intra_cu = c.mvf_pred[(int64_t)(y0 >> 2) * c.w4 + (x0 >> 2)] == 0;
     int ctb_mask = (1 << p->log2_ctb) - 1;

@@ -954,10 +954,16 @@ def compute_bs(st: FrameState, x0, y0, log2_size):
 
 
 def _mark_tu_edges(st: FrameState, x0, y0, size, bs=None):
+    # BS is only derived for slices with deblocking enabled (hevc.c:1577);
+    # a disabled slice's edges stay BS=0 and are never filtered
+    if st.sh.deblocking_filter_disabled:
+        return
     compute_bs(st, x0, y0, size.bit_length() - 1)
 
 
 def _mark_cu_edges(st: FrameState, x0, y0, size, bs=None):
+    if st.sh.deblocking_filter_disabled:
+        return
     compute_bs(st, x0, y0, size.bit_length() - 1)
 
 

@@ -169,13 +169,18 @@ class TpuBackend:
         add(("map", "hbs"), padmap(plan.horizontal_bs, ph // 8, pw // 4))
         add(("map", "qp"), padmap(plan.qp_map, ph // 8, pw // 8))
         add(("map", "nfm"), padmap(nfm0, ph // 4, pw // 4))
+        db_maps = plan.deblock_beta_map is not None
+        if db_maps:
+            add(("map", "dbbeta"), plan.deblock_beta_map)
+            add(("map", "dbtc"), plan.deblock_tc_map)
 
         # ---- SAO maps ----
         sao_on = plan.sao is not None and (plan.sao_luma or plan.sao_chroma)
         if sao_on:
             ctb = 1 << (self.ctb_log2 or 6)
-            restore_any = (plan.no_filter_map is not None and
-                           np.asarray(plan.no_filter_map).any())
+            restore_any = ((plan.no_filter_map is not None and
+                            np.asarray(plan.no_filter_map).any()) or
+                           plan.sao_restore is not None)
             for c in range(3):
                 cs = ctb >> (1 if c and cfmt == 1 else 0)
                 shape = (plan.height >> (vs if c else 0),
@@ -187,10 +192,14 @@ class TpuBackend:
                 add(("sao", c, "om"), om)
                 if restore_any:
                     rep = 4 >> (1 if (c and cfmt == 1) else 0)
-                    mask = np.repeat(np.repeat(np.asarray(plan.no_filter_map),
-                                               rep, 0), rep, 1)
-                    add(("sao", c, "restore"),
-                        mask[:shape[0], :shape[1]].astype(np.int32))
+                    mask = np.repeat(np.repeat(np.asarray(
+                        plan.no_filter_map if plan.no_filter_map is not None
+                        else np.zeros((plan.height // 4, plan.width // 4))),
+                        rep, 0), rep, 1)[:shape[0], :shape[1]].astype(bool)
+                    if plan.sao_restore is not None:
+                        mask = mask | np.asarray(plan.sao_restore[c],
+                                                 bool)[:shape[0], :shape[1]]
+                    add(("sao", c, "restore"), mask.astype(np.int32))
 
         # ---- PCM base canvas (verbatim samples precede the wavefront) ----
         from ..decoder.plan import PcmOp
@@ -228,7 +237,9 @@ class TpuBackend:
 
         prof = (bd, bool(plan.strong_intra_smoothing), cfmt, plan.height,
                 plan.width, tuple(inter_sizes), slot_keys, slot_caps,
-                resid_keys, deblock_on, sao_on, plan.beta_offset,
-                plan.tc_offset, plan.cb_qp_offset, plan.cr_qp_offset,
-                has_base, has_scaling, tuple(layout))
+                resid_keys, deblock_on, sao_on,
+                "map" if db_maps else plan.beta_offset,
+                "map" if db_maps else plan.tc_offset,
+                plan.cb_qp_offset, plan.cr_qp_offset,
+                has_base, has_scaling, tuple(layout), plan.log2_ctb_size)
         return (refs, packed, prof)

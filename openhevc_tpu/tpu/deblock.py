@@ -135,8 +135,12 @@ def deblock_luma_vertical(luma, vbs, qp_map, beta_off, tc_off, nfm, bit_depth=8)
     blk = a.reshape(nr, 8, ne, 8).transpose(0, 2, 1, 3)
     bs = vbs.reshape(nr, 2, ne + 1)[:, :, 1:].transpose(0, 2, 1)      # (nr, ne, 2)
     qp = (qp_map[:, 0:ne] + qp_map[:, 1:ne + 1] + 1) >> 1             # (nr, ne)
+    # offsets may be scalars or per-edge (nr, ne) maps (multi-slice frames)
+    beta_off = jnp.broadcast_to(jnp.asarray(beta_off), qp.shape)
+    tc_off = jnp.broadcast_to(jnp.asarray(tc_off), qp.shape)
     beta = _BETA[jnp.clip(qp + beta_off, 0, 51)]
-    tcv = jnp.where(bs > 0, _TC[jnp.clip(qp[..., None] + 2 * (bs - 1) + tc_off, 0, 53)], 0)
+    tcv = jnp.where(bs > 0, _TC[jnp.clip(qp[..., None] + 2 * (bs - 1) +
+                                         tc_off[..., None], 0, 53)], 0)
     # no_p at (x-1, y + 4j), no_q at (x, y + 4j)
     nf = nfm.reshape(nr, 2, w // 4)
     xq = (jnp.arange(ne) + 1) * 2                                     # x/4
@@ -160,8 +164,11 @@ def deblock_luma_horizontal(luma, hbs, qp_map, beta_off, tc_off, nfm, bit_depth=
     # hbs (H/8, W/4): bs at (y=8(e+1), x=8c + 4j) -> hbs[e+1, 2c + j]
     bs = hbs[1:, :].reshape(ne, nc, 2).transpose(1, 0, 2)              # (nc, ne, 2)
     qp = ((qp_map[0:ne, :] + qp_map[1:ne + 1, :] + 1) >> 1).T          # (nc, ne)
+    beta_off = jnp.broadcast_to(jnp.asarray(beta_off), qp.shape)
+    tc_off = jnp.broadcast_to(jnp.asarray(tc_off), qp.shape)
     beta = _BETA[jnp.clip(qp + beta_off, 0, 51)]
-    tcv = jnp.where(bs > 0, _TC[jnp.clip(qp[..., None] + 2 * (bs - 1) + tc_off, 0, 53)], 0)
+    tcv = jnp.where(bs > 0, _TC[jnp.clip(qp[..., None] + 2 * (bs - 1) +
+                                         tc_off[..., None], 0, 53)], 0)
     # no_p at (x + 4j, y-1), no_q at (x + 4j, y)
     yq = (jnp.arange(ne) + 1) * 2
     nf = nfm.reshape(h // 4, nc, 2)                                    # (y4, x8, j)
@@ -195,6 +202,7 @@ def deblock_chroma_vertical(pl, vbs, qp_map, qp_off, tc_off, nfm, qpc_table,
     qpi = jnp.clip(qpj + qp_off, 0, 57)
     qpc = jnp.where(qpi < 30, qpi, jnp.where(qpi > 43, qpi - 6,
                     qpc_table[jnp.clip(qpi - 30, 0, 13)]))
+    tc_off = jnp.broadcast_to(jnp.asarray(tc_off), qpc.shape)
     tcv = jnp.where(bs == 2, _TC[jnp.clip(qpc + 2 + tc_off, 0, 53)], 0)
     # pcm/bypass masks at luma 4x4: (x-1, y+8j) and (x, y+8j)
     x4 = ex * 2
@@ -231,6 +239,7 @@ def deblock_chroma_horizontal(pl, hbs, qp_map, qp_off, tc_off, nfm, qpc_table,
     qpi = jnp.clip(qpj + qp_off, 0, 57)
     qpc = jnp.where(qpi < 30, qpi, jnp.where(qpi > 43, qpi - 6,
                     qpc_table[jnp.clip(qpi - 30, 0, 13)]))
+    tc_off = jnp.broadcast_to(jnp.asarray(tc_off), qpc.shape)
     tcv = jnp.where(bs == 2, _TC[jnp.clip(qpc + 2 + tc_off, 0, 53)], 0)
     y4 = ey * 2
     x4 = ex[:, None] * 2 + jnp.arange(2)[None, :] * 2                  # (nc, 2)

@@ -71,12 +71,14 @@ def frame_step(refs, packed, prof):
 
     prof: (bd, strong, chroma_fmt, H, W, inter_sizes, slot_keys, slot_caps,
            resid_keys, deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off,
-           has_base, has_scaling, layout)
+           has_base, has_scaling, layout, log2_ctb)
+    beta_off/tc_off: slice-0 scalars, or the string "map" when the frame
+    carries per-CTB offset maps (multi-slice pictures, hevc.c:2677).
     refs: [3 stacked ref tensors] (device); packed: flat int32 plan buffer.
     """
     (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, resid_keys,
      deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
-     has_scaling, layout) = prof
+     has_scaling, layout, log2_ctb) = prof
     arrays = _unpack(packed, layout)
     hs = 1 if cfmt in (1, 2) else 0
     vs = 1 if cfmt == 1 else 0
@@ -253,11 +255,48 @@ def frame_step(refs, packed, prof):
         nfm = arrays[("map", "nfm")]
         ph = -H % 16
         pw = -W % 16
+        Hp, Wp = H + ph, W + pw
+        if beta_off == "map":
+            # expand the per-CTB maps onto each kernel's edge grid (the
+            # containing CTB's params per edge, hevc_filter.c:359)
+            bmap = arrays[("map", "dbbeta")]
+            tmap = arrays[("map", "dbtc")]
+            s3 = log2_ctb - 3
+            s4 = log2_ctb - 4
+            rv = jnp.arange(Hp // 8) >> s3               # luma v rows
+            ev = (jnp.arange(max(1, Wp // 8 - 1)) + 1) >> s3
+            b_lv = bmap[rv[:, None], ev[None, :]]
+            t_lv = tmap[rv[:, None], ev[None, :]]
+            cw_m = bmap.shape[1]
+            ch_ = jnp.arange(Wp // 8) >> s3              # luma h cols (beta)
+            eh = (jnp.arange(max(1, Hp // 8 - 1)) + 1) >> s3
+            b_lh = bmap[eh[None, :], ch_[:, None]]
+            # the horizontal tc always reads the CURRENT CTB, i.e. the CTB
+            # containing x+8, clamped at the picture edge (hevc_filter.c:
+            # TC_CALC's tc_offset stays cur in the horizontal luma loop)
+            ch_tc = jnp.minimum((jnp.arange(Wp // 8) + 1) >> s3, cw_m - 1)
+            t_lh = tmap[eh[None, :], ch_tc[:, None]]
+            rcv = jnp.arange(Hp // 16) >> s4             # chroma v rows
+            ecv = (jnp.arange(max(1, Wp // 16 - 1)) + 1) >> s4
+            t_cv = tmap[rcv[:, None], ecv[None, :]][..., None]
+            # chroma h: per-half (x + 8j + 8 containing CTB, clamped)
+            cch = jnp.arange(Wp // 16)                   # x/16
+            ech = (jnp.arange(max(1, Hp // 16 - 1)) + 1) >> s4
+            jj = jnp.arange(2)
+            cch_j = jnp.minimum(
+                (2 * cch[:, None] + jj[None, :] + 1) >> s3, cw_m - 1)
+            t_ch = tmap[ech[None, :, None], cch_j[:, None, :]]
+        else:
+            b_lv = t_lv = b_lh = t_lh = None
         luma = jnp.pad(planes[0], ((0, ph), (0, pw))) if (ph or pw) else planes[0]
-        luma = dbk.deblock_luma_vertical(luma, vbs, qp_map, beta_off, tc_off,
-                                         nfm, bd)
-        luma = dbk.deblock_luma_horizontal(luma, hbs, qp_map, beta_off,
-                                           tc_off, nfm, bd)
+        luma = dbk.deblock_luma_vertical(
+            luma, vbs, qp_map,
+            b_lv if b_lv is not None else beta_off,
+            t_lv if t_lv is not None else tc_off, nfm, bd)
+        luma = dbk.deblock_luma_horizontal(
+            luma, hbs, qp_map,
+            b_lh if b_lh is not None else beta_off,
+            t_lh if t_lh is not None else tc_off, nfm, bd)
         planes[0] = luma[:H, :W]
         if cfmt == 1:
             for c in (1, 2):
@@ -265,10 +304,14 @@ def frame_step(refs, packed, prof):
                 ch, cw = planes[c].shape
                 pl = jnp.pad(planes[c], ((0, ph // 2), (0, pw // 2))) \
                     if (ph or pw) else planes[c]
-                pl = dbk.deblock_chroma_vertical(pl, vbs, qp_map, off, tc_off,
-                                                 nfm, _QP_C, bd)
-                pl = dbk.deblock_chroma_horizontal(pl, hbs, qp_map, off,
-                                                   tc_off, nfm, _QP_C, bd)
+                pl = dbk.deblock_chroma_vertical(
+                    pl, vbs, qp_map, off,
+                    t_cv if beta_off == "map" else tc_off,
+                    nfm, _QP_C, bd)
+                pl = dbk.deblock_chroma_horizontal(
+                    pl, hbs, qp_map, off,
+                    t_ch if beta_off == "map" else tc_off,
+                    nfm, _QP_C, bd)
                 planes[c] = pl[:ch, :cw]
 
     # ---- SAO ----

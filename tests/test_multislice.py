@@ -101,3 +101,64 @@ def test_dependent_slices():
     for f, want in zip(frames, recons):
         for p, q in zip(f, want):
             np.testing.assert_array_equal(np.asarray(p), q)
+
+
+# ---------------------------------------------------------------------------
+# per-slice filter parameters + slice-boundary masking (round 2)
+# ---------------------------------------------------------------------------
+
+def _slice_filter_stream(seed, slices=3, across=False, sao=True,
+                         dependent=False, pattern="IPP", w=96, h=64):
+    from openhevc_tpu.encoder import Encoder, EncoderConfig
+    from tests.util_e2e import make_source
+    cfg = EncoderConfig(width=w, height=h, qp=30, rng_seed=seed,
+                        slices=slices, sao=sao, across_slices=across,
+                        dependent_slices=dependent,
+                        slice_filter_variants=True)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    rng = np.random.default_rng(seed)
+    src = make_source(rng, w, h)
+    recons = []
+    for i, t in enumerate(pattern):
+        s = [np.roll(p, i, 0) for p in src]
+        nal, recon, _ = enc.encode_frame(s, t)
+        stream += nal
+        recons.append([np.asarray(p).copy() for p in recon])
+    return stream, recons
+
+
+@pytest.mark.parametrize("across", [False, True])
+@pytest.mark.parametrize("use_native", [False, True])
+def test_slice_filter_variants(across, use_native):
+    """Per-slice deblock offsets/disable + SAO enables + (optionally)
+    loop_filter_across_slices=0 boundary masking, vs the reference
+    (hevc.c:2677 deblock[ctb] fill; sao_filter_CTB edge restrictions)."""
+    from openhevc_tpu.decoder.frontend import Decoder
+    from tests.util_e2e import oracle_decode
+    stream, recons = _slice_filter_stream(11 if across else 13, across=across)
+    dec = Decoder(check_md5=True, use_native=use_native)
+    frames = dec.decode_stream(stream)
+    for i, (f, want) in enumerate(zip(frames, recons)):
+        for c in range(3):
+            np.testing.assert_array_equal(np.asarray(f.planes[c]), want[c],
+                                          err_msg=f"frame {i} plane {c}")
+    for i, (got, want) in enumerate(zip(oracle_decode(stream, 96, 64),
+                                        recons)):
+        for c in range(3):
+            np.testing.assert_array_equal(got[c], want[c],
+                                          err_msg=f"oracle f{i} p{c}")
+
+
+def test_slice_filter_variants_tpu_backend():
+    """The fused TPU frame_step applies per-CTB deblock offset maps and the
+    SAO boundary-restore mask bit-exactly."""
+    from openhevc_tpu.decoder.frontend import Decoder
+    from openhevc_tpu.tpu import TpuBackend
+    stream, recons = _slice_filter_stream(17, across=False)
+    dec = Decoder(check_md5=True, backend=TpuBackend())
+    frames = dec.decode_stream(stream)
+    for i, (f, want) in enumerate(zip(frames, recons)):
+        for c in range(3):
+            np.testing.assert_array_equal(np.asarray(f.planes[c]), want[c],
+                                          err_msg=f"tpu frame {i} plane {c}")
