@@ -306,7 +306,7 @@ class Frontend:
                 sh, sps, pps, init_type, payload, cur,
                 data_start, skipped) + 1
             return
-        from ..encoder.encoder import _substream_bounds
+        from ..encoder.encoder import _substream_bounds, _substream_ctx_rules
         nctbs = sps.pic_size_in_ctbs
         if sh.entry_point_offsets:
             bounds = _substream_bounds(sps, pps)
@@ -316,6 +316,7 @@ class Frontend:
         else:
             bounds = [(ts0, nctbs - 1)]
             offsets = [0, len(payload)]
+        loads, saves = _substream_ctx_rules(sps, pps, bounds)
         saved_ctx = None
         for si, (b0, b1) in enumerate(bounds):
             if si == 0 and sh.dependent_slice_segment and \
@@ -323,8 +324,7 @@ class Frontend:
                 ctx = cur["ctx_cont"]       # contexts carry over
             else:
                 ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
-            if si > 0 and pps.entropy_coding_sync_enabled and \
-                    sps.ctb_width > 1 and saved_ctx is not None:
+            if loads[si] and saved_ctx is not None:
                 ctx.load(saved_ctx)
             cur["ctx_cont"] = ctx
             dec = CabacDecoder(payload[offsets[si]:offsets[si + 1]], ctx)
@@ -340,7 +340,7 @@ class Frontend:
                         raise ValueError(f"premature end_of_slice at {ts}")
                     cur["next_ts"] = ts + 1
                     return
-                if pps.entropy_coding_sync_enabled and ts == b0 + 1:
+                if saves[si] and ts == b0 + 1:
                     saved_ctx = ctx.save()
         raise ValueError("missing end_of_slice flag")
 

@@ -143,7 +143,6 @@ class Encoder:
         self.pps = PPS(sign_data_hiding=1 if cfg.sign_data_hiding else 0,
                        transform_skip_enabled=1 if cfg.transform_skip else 0,
                        init_qp=26)
-        assert not (cfg.wpp and cfg.tiles), "wpp-in-tiles not supported yet"
         if cfg.wpp:
             self.pps.entropy_coding_sync_enabled = 1
         if cfg.tiles:
@@ -370,6 +369,7 @@ class Encoder:
             segments.append((sl0, sh_k))
             bounds = (_substream_bounds(sps, pps) if cfg.slices == 1
                       else [(sl0, sl1)])
+            loads, saves = _substream_ctx_rules(sps, pps, bounds)
             payload = b""
             entry_points = []       # unescaped substream lengths
             saved_ctx = None
@@ -379,8 +379,7 @@ class Encoder:
                     ctx = cont_ctx          # contexts carry over (dependent)
                 else:
                     ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
-                if si > 0 and pps.entropy_coding_sync_enabled and \
-                        sps.ctb_width > 1 and saved_ctx is not None:
+                if loads[si] and saved_ctx is not None:
                     ctx.load(saved_ctx)
                 cont_ctx = ctx
                 enc = CabacEncoder(ctx)
@@ -392,7 +391,7 @@ class Encoder:
                     ctb = self._plan_ctb(st, x_ctb, y_ctb)
                     code_ctu(io, st, x_ctb, y_ctb, ts, ctb)
                     io.terminate(1 if ts == sl1 else 0)
-                    if pps.entropy_coding_sync_enabled and ts == ts0 + 1:
+                    if saves[si] and ts == ts0 + 1:
                         saved_ctx = ctx.save()
                 if ts1 != nctbs - 1 and cfg.slices == 1:
                     io.terminate(1)          # end_of_subset_one_bit
@@ -761,8 +760,21 @@ class Encoder:
 
 
 def _substream_bounds(sps, pps):
-    """-> [(first_ts, last_ts)] per CABAC substream."""
+    """-> [(first_ts, last_ts)] per CABAC substream (WPP rows, tiles,
+    WPP-inside-tiles rows, or the whole picture)."""
     nctbs = sps.pic_size_in_ctbs
+    if pps.entropy_coding_sync_enabled and pps.tiles_enabled:
+        # one substream per CTB row of each tile, in tile-scan order
+        # (hls_decode_entry_wpp_in_tiles, hevc.c:2834)
+        out = []
+        start = 0
+        for ty in range(pps.num_tile_rows):
+            for tx in range(pps.num_tile_columns):
+                cw_, rh_ = pps._col_width[tx], pps._row_height[ty]
+                for r in range(rh_):
+                    out.append((start + r * cw_, start + (r + 1) * cw_ - 1))
+                start += cw_ * rh_
+        return out
     if pps.entropy_coding_sync_enabled:
         w = sps.ctb_width
         return [(r * w, min((r + 1) * w, nctbs) - 1)
@@ -777,6 +789,37 @@ def _substream_bounds(sps, pps):
                 start += size
         return out
     return [(0, nctbs - 1)]
+
+
+def _substream_ctx_rules(sps, pps, bounds):
+    """Per-substream WPP context propagation flags implementing
+    ff_hevc_cabac_init + ff_hevc_save_states (hevc_cabac.c:552-656):
+    -> (loads, saves) where loads[si] means substream si starts from the
+    saved snapshot (instead of a fresh context init) and saves[si] means its
+    state is snapshotted after its 2nd CTB.  Tile starts always re-init;
+    rows of 1-CTB-wide tiles re-init (no snapshot exists)."""
+    n = len(bounds)
+    if not pps.entropy_coding_sync_enabled:
+        return [False] * n, [False] * n
+    if not pps.tiles_enabled:
+        w = sps.ctb_width
+        return [si > 0 and w > 1 for si in range(n)], [w > 1] * n
+    tile_starts = set()
+    start = 0
+    tw_at = {}
+    for ty in range(pps.num_tile_rows):
+        for tx in range(pps.num_tile_columns):
+            cw_, rh_ = pps._col_width[tx], pps._row_height[ty]
+            tile_starts.add(start)
+            for r in range(rh_):
+                tw_at[start + r * cw_] = cw_
+            start += cw_ * rh_
+    loads, saves = [], []
+    for si, (b0, b1) in enumerate(bounds):
+        tw = tw_at.get(b0, sps.ctb_width)
+        loads.append(si > 0 and b0 not in tile_starts and tw > 1)
+        saves.append(tw > 1)
+    return loads, saves
 
 
 class _SubPlan:

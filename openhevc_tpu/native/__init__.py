@@ -263,7 +263,7 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
         offsets = [0, len(payload)]
         p.stop_at_eos = 1
     else:
-        from ..encoder.encoder import _substream_bounds
+        from ..encoder.encoder import _substream_bounds, _substream_ctx_rules
         from ..bitstream.nal import substream_rbsp_offsets
         bounds = _substream_bounds(sps, pps)
         offsets = substream_rbsp_offsets(
@@ -275,14 +275,18 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
     pic["first_slice"] = False
     ops_total = pic["ops_total"]
     lv_total = pic["lv_total"]
+    if sh.entry_point_offsets:
+        from ..encoder.encoder import _substream_ctx_rules
+        loads, saves = _substream_ctx_rules(sps, pps, bounds)
+    else:
+        loads = saves = [False]
     for si, (ts0, ts1) in enumerate(bounds):
         p.first_ctb_ts, p.last_ctb_ts = ts0, ts1
         p.init_state = 1 if (si == 0 and first_slice) else 0
         p.slice_start = 1 if si == 0 else 0
-        p.ctx_load = 1 if ((si > 0 and pps.entropy_coding_sync_enabled and
-                            sps.ctb_width > 1) or
+        p.ctx_load = 1 if (loads[si] or
                            (si == 0 and sh.dependent_slice_segment)) else 0
-        p.wpp_save_ctx = 1 if pps.entropy_coding_sync_enabled else 0
+        p.wpp_save_ctx = 1 if saves[si] else 0
         p.save_ctx_end = 1 if (pps.dependent_slice_segments_enabled and
                                not pps.entropy_coding_sync_enabled) else 0
         seg = payload[offsets[si]:offsets[si + 1]]

@@ -108,3 +108,61 @@ def test_tiles_entry_points_with_epbs():
     assert_frames_equal(mine, recons, "self")
     oracle = oracle_decode(stream, cfg.width, cfg.height)
     assert_frames_equal(mine, oracle, "oracle")
+
+
+# ---------------------------------------------------------------------------
+# WPP inside tiles (hevc.c:2834 hls_decode_entry_wpp_in_tiles; round 2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("use_native", [False, True])
+@pytest.mark.parametrize("grid", [(2, 2), (3, 1), (1, 2)])
+def test_wpp_inside_tiles(use_native, grid):
+    """Both PPS flags set: one substream per CTB row of each tile, CABAC
+    re-init at tile starts, WPP context propagation within each tile
+    (ff_hevc_cabac_init tile/WPP rules, hevc_cabac.c:606-656)."""
+    from openhevc_tpu.decoder.frontend import Decoder
+    cfg = EncoderConfig(width=128, height=64, qp=30, rng_seed=7, wpp=True,
+                        tiles=grid, sao=True)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    rng = np.random.default_rng(42)
+    src = make_source(rng, 128, 64)
+    recons = []
+    for i, t in enumerate("IPP"):
+        s = [np.roll(p, i, 0) for p in src]
+        nal, recon, _ = enc.encode_frame(s, t)
+        stream += nal
+        recons.append([np.asarray(p).copy() for p in recon])
+    dec = Decoder(check_md5=True, use_native=use_native)
+    frames = dec.decode_stream(stream)
+    for i, (f, want) in enumerate(zip(frames, recons)):
+        for c in range(3):
+            np.testing.assert_array_equal(np.asarray(f.planes[c]), want[c],
+                                          err_msg=f"frame {i} plane {c}")
+    if use_native:
+        for i, (got, want) in enumerate(zip(
+                oracle_decode(stream, 128, 64), recons)):
+            for c in range(3):
+                np.testing.assert_array_equal(got[c], want[c],
+                                              err_msg=f"oracle f{i} p{c}")
+
+
+def test_wpp_inside_tiles_one_ctb_columns():
+    """1-CTB-wide tiles: every WPP row re-inits instead of loading the
+    (nonexistent) snapshot (hevc_cabac.c:618 tile_width==1 branch)."""
+    from openhevc_tpu.decoder.frontend import Decoder
+    cfg = EncoderConfig(width=64, height=64, qp=32, rng_seed=3, wpp=True,
+                        tiles=(2, 1))
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    rng = np.random.default_rng(1)
+    src = make_source(rng, 64, 64)
+    nal, recon, _ = enc.encode_frame(src, "I")
+    stream += nal
+    dec = Decoder(check_md5=True)
+    frames = dec.decode_stream(stream)
+    for c in range(3):
+        np.testing.assert_array_equal(np.asarray(frames[0].planes[c]),
+                                      np.asarray(recon[c]))
+    for got, want in zip(oracle_decode(stream, 64, 64)[0], recon):
+        np.testing.assert_array_equal(got, np.asarray(want))
