@@ -1,0 +1,66 @@
+"""Multi-device decode across the dp axis, bit-exact vs serial decode.
+
+Runs on the conftest's 8-device virtual CPU mesh; the same code path
+drives real multi-chip TPU meshes (device round-robin over segments)."""
+
+import numpy as np
+import jax
+import pytest
+
+from openhevc_tpu.encoder import Encoder, EncoderConfig
+from openhevc_tpu.decoder.frontend import Decoder
+from openhevc_tpu.parallel import MeshDecoder, split_closed_gops
+from tests.util_e2e import make_source
+
+
+def _multi_gop_stream(n_gops=3, frames_per_gop=3, w=64, h=48, seed=5):
+    cfg = EncoderConfig(width=w, height=h, qp=30, rng_seed=seed)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    rng = np.random.default_rng(seed)
+    src = make_source(rng, w, h)
+    recons = []
+    for g in range(n_gops):
+        for i, t in enumerate("I" + "P" * (frames_per_gop - 1)):
+            s = [np.roll(p, g * 7 + i, 0) for p in src]
+            nal, recon, _ = enc.encode_frame(s, t)
+            stream += nal
+            recons.append([np.asarray(p).copy() for p in recon])
+    return stream, recons
+
+
+def test_split_closed_gops():
+    stream, recons = _multi_gop_stream(3, 3)
+    segs = split_closed_gops(stream)
+    assert len(segs) == 3
+    assert segs[0][0] == 0
+    assert segs[-1][0] + segs[-1][1] == len(stream)
+
+
+def test_mesh_decode_bit_exact_vs_serial():
+    stream, recons = _multi_gop_stream(3, 3)
+    assert len(jax.devices()) >= 2, "conftest must provide the CPU mesh"
+    serial = Decoder(check_md5=False).decode_stream(stream)
+    mdec = MeshDecoder(check_md5=True, use_native=False,
+                       backend_factory=lambda: None)
+    frames = mdec.decode_stream(stream)
+    assert len(frames) == len(serial) == len(recons)
+    assert mdec.md5_fail == 0 and mdec.md5_ok > 0
+    for i, (f, s, want) in enumerate(zip(frames, serial, recons)):
+        for c in range(3):
+            np.testing.assert_array_equal(f.planes[c], np.asarray(s.planes[c]),
+                                          err_msg=f"frame {i} plane {c}")
+            np.testing.assert_array_equal(f.planes[c], want[c])
+
+
+def test_mesh_decode_tpu_backend_devices():
+    """Fused frame_step dispatches pinned per device of the mesh."""
+    from openhevc_tpu.tpu import TpuBackend
+    stream, recons = _multi_gop_stream(2, 2)
+    mdec = MeshDecoder(check_md5=False, use_native=False)
+    frames = mdec.decode_stream(stream)
+    assert len(frames) == len(recons)
+    for i, (f, want) in enumerate(zip(frames, recons)):
+        for c in range(3):
+            np.testing.assert_array_equal(f.planes[c], want[c],
+                                          err_msg=f"frame {i} plane {c}")
