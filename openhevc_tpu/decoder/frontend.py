@@ -167,8 +167,10 @@ class Frontend:
                          sao_luma=bool(sh.sao_luma), sao_chroma=bool(sh.sao_chroma),
                          deblock_disable=bool(sh.deblocking_filter_disabled),
                          beta_offset=sh.beta_offset, tc_offset=sh.tc_offset,
-                         cb_qp_offset=pps.cb_qp_offset + sh.slice_cb_qp_offset,
-                         cr_qp_offset=pps.cr_qp_offset + sh.slice_cr_qp_offset)
+                         # deblock chroma tc ignores slice-level offsets
+                         # (chroma_tc, hevc_filter.c:69-73)
+                         cb_qp_offset=pps.cb_qp_offset,
+                         cr_qp_offset=pps.cr_qp_offset)
         init_type = 0
         if sh.slice_type == P_SLICE:
             init_type = 2 if sh.cabac_init_flag else 1

@@ -28,10 +28,14 @@ def _mc_luma(ref_plane, x0, y0, w, h, mv, bd):
     return mc.qpel(win, mx, my, w, h, bd)
 
 
-def _mc_chroma(ref_plane, x0c, y0c, wc, hc, mv, bd):
-    mx, my = mv[0] & 7, mv[1] & 7
-    xoff = x0c + (mv[0] >> 3)
-    yoff = y0c + (mv[1] >> 3)
+def _mc_chroma(ref_plane, x0c, y0c, wc, hc, mv, bd, hs=1, vs=1):
+    # chroma MV precision follows the subsampling (chroma_mc_uni,
+    # hevc.c:1834): 1/8-pel for subsampled axes, 1/4-pel (even 8th phases)
+    # otherwise
+    mx = (mv[0] & ((1 << (2 + hs)) - 1)) << (1 - hs)
+    my = (mv[1] & ((1 << (2 + vs)) - 1)) << (1 - vs)
+    xoff = x0c + (mv[0] >> (2 + hs))
+    yoff = y0c + (mv[1] >> (2 + vs))
     win = _gather_window(ref_plane, xoff, yoff, wc, hc,
                          mc.EPEL_EXTRA_BEFORE, mc.EPEL_EXTRA_AFTER)
     return mc.epel(win, mx, my, wc, hc, bd)
@@ -57,9 +61,9 @@ def execute_inter_op(plan, planes, dpb, op):
         vals[0].append(_mc_luma(ref.planes[0], op.x, op.y, op.w, op.h,
                                 (mvx, mvy), bd))
         vals[1].append(_mc_chroma(ref.planes[1], x0c, y0c, wc, hc,
-                                  (mvx, mvy), bd))
+                                  (mvx, mvy), bd, hs, vs))
         vals[2].append(_mc_chroma(ref.planes[2], x0c, y0c, wc, hc,
-                                  (mvx, mvy), bd))
+                                  (mvx, mvy), bd, hs, vs))
 
     for c in range(3):
         if not vals[c]:

@@ -101,15 +101,16 @@ def deblock_frame(plan: FramePlan, planes):
             return plan.beta_offset, plan.tc_offset
         return int(bmap[y >> l2, x >> l2]), int(tmap[y >> l2, x >> l2])
 
-    def tc_off_h(x, y):
+    def tc_off_h(x, y, step=8):
         """Horizontal-pass tc offset: the reference's TC_CALC always reads
         the CURRENT CTB's tc_offset even for the left-CTB columns
         (hevc_filter.c: tc_offset is never reset to left in the horizontal
-        luma loop; chroma half 1 uses cur_tc_offset explicitly)."""
+        luma loop; chroma half 1 uses cur_tc_offset explicitly).  step is
+        the half spacing (8 luma, 4*hsub chroma)."""
         if tmap is None:
             return plan.tc_offset
         cw_ = tmap.shape[1]
-        return int(tmap[y >> l2, min((x + 8) >> l2, cw_ - 1)])
+        return int(tmap[y >> l2, min((x + step) >> l2, cw_ - 1)])
 
     # vertical edges: x multiple of 8, segments of 8 rows (2x4)
     if vbs is not None:
@@ -160,66 +161,82 @@ def deblock_frame(plan: FramePlan, planes):
             out = flt.deblock_luma(patch.T, beta, tc, no_p, no_q, bd).T
             luma[y - 4:y + 4, x:x + cols] = out[:, :cols]
 
-    # chroma (4:2:0): edges on 16-luma grid, bs == 2 only
-    if plan.chroma_format_idc == 1:
+    # chroma: edges on the chroma 8-grid (luma 8*hsub / 8*vsub grid),
+    # bs == 2 only (deblocking_filter_CTB chroma loops, hevc_filter.c:424)
+    if plan.chroma_format_idc in (1, 2, 3):
+        hsub = 2 if plan.chroma_format_idc in (1, 2) else 1
+        vsub = 2 if plan.chroma_format_idc == 1 else 1
         for c_idx in (1, 2):
             pl = planes[c_idx]
             ch, cw = pl.shape
             qp_off = plan.cb_qp_offset if c_idx == 1 else plan.cr_qp_offset
             if vbs is not None:
-                for x in range(16, w, 16):
-                    for y in range(0, h, 16):
+                for x in range(8 * hsub, w, 8 * hsub):
+                    for y in range(0, h, 8 * vsub):
                         bs = []
                         for j in range(2):
-                            yy = (y >> 2) + 2 * j
-                            bs.append(int(vbs[yy, x >> 3]) if yy < vbs.shape[0] else 0)
+                            yy = (y + 4 * vsub * j) >> 2
+                            bs.append(int(vbs[yy, x >> 3])
+                                      if yy < vbs.shape[0] else 0)
                         if not any(b == 2 for b in bs):
                             continue
-                        xc, yc = x >> 1, y >> 1
+                        xc, yc = x // hsub, y // vsub
                         rows = min(8, ch - yc)
                         tc = []
                         _, t_off = edge_offs(x, y)
                         for j, b in enumerate(bs):
                             if b == 2:
-                                qp = _chroma_edge_qp(plan, x - 1, min(y + 4 * j * 2, h - 1),
-                                                     x, min(y + 4 * j * 2, h - 1), qp_off)
-                                tc.append(int(flt.TC_TABLE[np.clip(qp + 2 + t_off, 0, 53)]))
+                                yl = min(y + 4 * vsub * j, h - 1)
+                                qp = _chroma_edge_qp(plan, x - 1, yl, x, yl,
+                                                     qp_off)
+                                tc.append(int(flt.TC_TABLE[
+                                    np.clip(qp + 2 + t_off, 0, 53)]))
                             else:
                                 tc.append(0)
                         patch = np.zeros((8, 4), np.int32)
                         patch[:rows] = pl[yc:yc + rows, xc - 2:xc + 2]
                         no_p = [0, 0] if nfm is None else \
-                            [int(nfm[min(y + 8 * j, h - 4) >> 2, (x - 1) >> 2]) for j in range(2)]
+                            [int(nfm[min(y + 4 * vsub * j, h - 4) >> 2,
+                                     (x - 1) >> 2]) for j in range(2)]
                         no_q = [0, 0] if nfm is None else \
-                            [int(nfm[min(y + 8 * j, h - 4) >> 2, x >> 2]) for j in range(2)]
+                            [int(nfm[min(y + 4 * vsub * j, h - 4) >> 2,
+                                     x >> 2]) for j in range(2)]
                         out = flt.deblock_chroma(patch, tc, no_p, no_q, bd)
                         pl[yc:yc + rows, xc - 2:xc + 2] = out[:rows]
-                for y in range(16, h, 16):
-                    for x in range(0, w, 16):
+                for y in range(8 * vsub, h, 8 * vsub):
+                    for x in range(0, w, 8 * hsub):
                         bs = []
                         for j in range(2):
-                            xx = (x >> 2) + 2 * j
-                            bs.append(int(hbs[y >> 3, xx]) if xx < hbs.shape[1] else 0)
+                            xx = (x + 4 * hsub * j) >> 2
+                            bs.append(int(hbs[y >> 3, xx])
+                                      if xx < hbs.shape[1] else 0)
                         if not any(b == 2 for b in bs):
                             continue
-                        xc, yc = x >> 1, y >> 1
+                        xc, yc = x // hsub, y // vsub
                         cols = min(8, cw - xc)
                         tc = []
                         for j, b in enumerate(bs):
                             if b == 2:
-                                t_off = tc_off_h(x + 8 * j, y)
-                                qp = _chroma_edge_qp(plan, min(x + 8 * j, w - 1), y - 1,
-                                                     min(x + 8 * j, w - 1), y, qp_off)
-                                tc.append(int(flt.TC_TABLE[np.clip(qp + 2 + t_off, 0, 53)]))
+                                t_off = tc_off_h(x + 4 * hsub * j, y,
+                                                 step=4 * hsub)
+                                xl = min(x + 4 * hsub * j, w - 1)
+                                qp = _chroma_edge_qp(plan, xl, y - 1, xl, y,
+                                                     qp_off)
+                                tc.append(int(flt.TC_TABLE[
+                                    np.clip(qp + 2 + t_off, 0, 53)]))
                             else:
                                 tc.append(0)
                         seg = pl[yc - 2:yc + 2, xc:xc + cols]
                         patch2 = np.zeros((8, 4), np.int32)
                         patch2[:cols, :] = seg.T
                         no_p = [0, 0] if nfm is None else \
-                            [int(nfm[(y - 1) >> 2, min(x + 8 * j, w - 4) >> 2]) for j in range(2)]
+                            [int(nfm[(y - 1) >> 2,
+                                     min(x + 4 * hsub * j, w - 4) >> 2])
+                             for j in range(2)]
                         no_q = [0, 0] if nfm is None else \
-                            [int(nfm[y >> 2, min(x + 8 * j, w - 4) >> 2]) for j in range(2)]
+                            [int(nfm[y >> 2,
+                                     min(x + 4 * hsub * j, w - 4) >> 2])
+                             for j in range(2)]
                         out = flt.deblock_chroma(patch2, tc, no_p, no_q, bd)
                         pl[yc - 2:yc + 2, xc:xc + cols] = out[:cols, :].T
     return planes
@@ -228,9 +245,12 @@ def deblock_frame(plan: FramePlan, planes):
 def _chroma_edge_qp(plan, xp, yp, xq, yq, qp_off):
     qp_map = plan.qp_map
     qp = (int(qp_map[yp >> 3, xp >> 3]) + int(qp_map[yq >> 3, xq >> 3]) + 1) >> 1
-    # chroma qp mapping (4:2:0)
+    # chroma qp mapping: 4:2:0 table, min(qp,51) otherwise (chroma_tc,
+    # hevc_filter.c:62-85)
     from ..syntax.ctu import _QP_C
     qp_i = max(0, min(57, qp + qp_off))
+    if plan.chroma_format_idc != 1:
+        return min(qp_i, 51)
     if qp_i < 30:
         return qp_i
     if qp_i > 43:
@@ -253,9 +273,12 @@ def sao_frame(plan: FramePlan, planes, ctb_size: int):
                 continue
             pl = planes[c_idx]
             ph, pw = pl.shape
-            cs = ctb_size >> (1 if c_idx and plan.chroma_format_idc == 1 else 0)
-            x0, y0 = rx * cs, ry * cs
-            x1, y1 = min(x0 + cs, pw), min(y0 + cs, ph)
+            hs_ = 1 if (c_idx and plan.chroma_format_idc in (1, 2)) else 0
+            vs_ = 1 if (c_idx and plan.chroma_format_idc == 1) else 0
+            csx = ctb_size >> hs_
+            csy = ctb_size >> vs_
+            x0, y0 = rx * csx, ry * csy
+            x1, y1 = min(x0 + csx, pw), min(y0 + csy, ph)
             if t == 1:      # band
                 out[c_idx][y0:y1, x0:x1] = flt.sao_band(
                     pl[y0:y1, x0:x1], sao.sao_offsets[c_idx][1:5],

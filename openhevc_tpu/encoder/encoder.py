@@ -42,6 +42,7 @@ class EncoderConfig:
     height: int = 0
     qp: int = 32
     bit_depth: int = 8
+    chroma_format: int = 1      # 1=4:2:0, 2=4:2:2, 3=4:4:4
     log2_ctb: int = 5
     sao: bool = False
     deblock: bool = True
@@ -98,6 +99,7 @@ class Encoder:
         self.vps = VPS()
         self.sps = SPS(width=cfg.width, height=cfg.height,
                        bit_depth=cfg.bit_depth, bit_depth_chroma=cfg.bit_depth,
+                       chroma_format_idc=cfg.chroma_format,
                        log2_ctb_size=cfg.log2_ctb,
                        log2_min_cb_size=3, log2_min_tb_size=2,
                        log2_max_tb_size=5,

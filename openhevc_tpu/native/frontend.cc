@@ -675,6 +675,7 @@ struct CuInfo {
     int x0, y0, log2, part_mode, pred_mode, tq_bypass, skip, intra_split;
     int rqt_root_cbf, merge_flag0, pcm;
     int intra_modes[4], intra_mode_c, chroma_mode;
+    int intra_modes_c[4];   // 4:4:4 NxN: per-partition (hevc.c:2286)
 };
 
 // spec 8.5.3.1.2 spatial merge candidates -> list (up to max_num_merge_cand)
@@ -1334,14 +1335,16 @@ static void code_transform_unit(Ctx &c, CuInfo &cu, int x0, int y0,
                                 int x_base, int y_base, int log2_tt,
                                 int depth, int blk_idx, int cbf_luma,
                                 const int cbf_cb[2], const int cbf_cr[2],
-                                int cur_mode) {
+                                int cur_mode, int cur_mode_c) {
     const SliceParams *p = c.p;
     int hs1 = p->chroma_format_idc != 3 ? 1 : 0;
     int vs1 = p->chroma_format_idc == 1 ? 1 : 0;
     int log2_tt_c = log2_tt - hs1;
     int size = 1 << log2_tt;
     int mode = cur_mode;
-    int mode_c = cu.intra_mode_c;
+    int mode_c = cur_mode_c;
+    // 4:2:2 codes two stacked square chroma TUs (hevc.c:1302-1363)
+    int nblk_c = p->chroma_format_idc == 2 ? 2 : 1;
     int32_t lv[32 * 32];
 
     if (cu.pred_mode == 1)   // intra luma pred
@@ -1376,17 +1379,21 @@ static void code_transform_unit(Ctx &c, CuInfo &cu, int x0, int y0,
             int tsz_v = 1 << (log2_tt_c + vs1);
             for (int ci = 1; ci <= 2; ci++) {
                 const int *cbf = ci == 1 ? cbf_cb : cbf_cr;
-                if (cu.pred_mode == 1)
-                    emit_intra_op(c, x0, y0, log2_tt_c, ci, mode_c, tsz_h,
-                                  tsz_v);
-                if (cbf[0]) {
-                    int tskip = decode_residual(c, ci, log2_tt_c, scan_idx_c,
-                                                cu.tq_bypass, lv);
-                    int kind = cu.tq_bypass ? 3 : (tskip ? 2 : 0);
-                    kind = pack_mid(p, cu.pred_mode, ci, cu.tq_bypass, tskip,
-                                    log2_tt_c, kind);
-                    emit_resid_op(c, ci, x0 >> hs1, y0 >> vs1, log2_tt_c,
-                                  chroma_qp(c, c.qp_y, ci), kind, lv);
+                for (int i = 0; i < nblk_c; i++) {
+                    int yb = y0 + (i << log2_tt_c);
+                    if (cu.pred_mode == 1)
+                        emit_intra_op(c, x0, yb, log2_tt_c, ci, mode_c,
+                                      tsz_h, tsz_v);
+                    if (cbf[i]) {
+                        int tskip = decode_residual(c, ci, log2_tt_c,
+                                                    scan_idx_c,
+                                                    cu.tq_bypass, lv);
+                        int kind = cu.tq_bypass ? 3 : (tskip ? 2 : 0);
+                        kind = pack_mid(p, cu.pred_mode, ci, cu.tq_bypass,
+                                        tskip, log2_tt_c, kind);
+                        emit_resid_op(c, ci, x0 >> hs1, yb >> vs1, log2_tt_c,
+                                      chroma_qp(c, c.qp_y, ci), kind, lv);
+                    }
                 }
             }
         } else if (blk_idx == 3) {
@@ -1394,31 +1401,41 @@ static void code_transform_unit(Ctx &c, CuInfo &cu, int x0, int y0,
             int tsz_v = 1 << (log2_tt + vs1);
             for (int ci = 1; ci <= 2; ci++) {
                 const int *cbf = ci == 1 ? cbf_cb : cbf_cr;
-                if (cu.pred_mode == 1)
-                    emit_intra_op(c, x_base, y_base, log2_tt, ci, mode_c,
-                                  tsz_h, tsz_v);
-                if (cbf[0]) {
-                    int tskip = decode_residual(c, ci, log2_tt, scan_idx_c,
-                                                cu.tq_bypass, lv);
-                    int kind = cu.tq_bypass ? 3 : (tskip ? 2 : 0);
-                    kind = pack_mid(p, cu.pred_mode, ci, cu.tq_bypass, tskip,
-                                    log2_tt, kind);
-                    emit_resid_op(c, ci, x_base >> hs1, y_base >> vs1,
-                                  log2_tt, chroma_qp(c, c.qp_y, ci), kind, lv);
+                for (int i = 0; i < nblk_c; i++) {
+                    int yb = y_base + (i << log2_tt);
+                    if (cu.pred_mode == 1)
+                        emit_intra_op(c, x_base, yb, log2_tt, ci, mode_c,
+                                      tsz_h, tsz_v);
+                    if (cbf[i]) {
+                        int tskip = decode_residual(c, ci, log2_tt,
+                                                    scan_idx_c,
+                                                    cu.tq_bypass, lv);
+                        int kind = cu.tq_bypass ? 3 : (tskip ? 2 : 0);
+                        kind = pack_mid(p, cu.pred_mode, ci, cu.tq_bypass,
+                                        tskip, log2_tt, kind);
+                        emit_resid_op(c, ci, x_base >> hs1, yb >> vs1,
+                                      log2_tt, chroma_qp(c, c.qp_y, ci),
+                                      kind, lv);
+                    }
                 }
             }
         }
     } else if (cu.pred_mode == 1) {
+        int nblk_c2 = p->chroma_format_idc == 2 ? 2 : 1;
         if (log2_tt > 2 || p->chroma_format_idc == 3) {
             int tsz_h = 1 << (log2_tt_c + hs1);
             int tsz_v = 1 << (log2_tt_c + vs1);
-            emit_intra_op(c, x0, y0, log2_tt_c, 1, mode_c, tsz_h, tsz_v);
-            emit_intra_op(c, x0, y0, log2_tt_c, 2, mode_c, tsz_h, tsz_v);
+            for (int ci = 1; ci <= 2; ci++)
+                for (int i = 0; i < nblk_c2; i++)
+                    emit_intra_op(c, x0, y0 + (i << log2_tt_c), log2_tt_c,
+                                  ci, mode_c, tsz_h, tsz_v);
         } else if (blk_idx == 3) {
             int tsz_h = 1 << (log2_tt + 1);
             int tsz_v = 1 << (log2_tt + vs1);
-            emit_intra_op(c, x_base, y_base, log2_tt, 1, mode_c, tsz_h, tsz_v);
-            emit_intra_op(c, x_base, y_base, log2_tt, 2, mode_c, tsz_h, tsz_v);
+            for (int ci = 1; ci <= 2; ci++)
+                for (int i = 0; i < nblk_c2; i++)
+                    emit_intra_op(c, x_base, y_base + (i << log2_tt),
+                                  log2_tt, ci, mode_c, tsz_h, tsz_v);
         }
     }
 }
@@ -1427,14 +1444,22 @@ static void code_transform_tree(Ctx &c, CuInfo &cu, int x0, int y0,
                                 int x_base, int y_base, int log2_tt,
                                 int depth, int blk_idx,
                                 const int pcb[2], const int pcr[2],
-                                int max_depth, int cur_mode) {
+                                int max_depth, int cur_mode,
+                                int cur_mode_c) {
     const SliceParams *p = c.p;
     Cabac &cc = c.cc;
     int cbf_cb[2] = {pcb[0], pcb[1]};
     int cbf_cr[2] = {pcr[0], pcr[1]};
     if (cu.intra_split) {
-        if (depth == 1) cur_mode = cu.intra_modes[blk_idx];
-    } else cur_mode = cu.intra_modes[0];
+        if (depth == 1) {
+            cur_mode = cu.intra_modes[blk_idx];
+            cur_mode_c = p->chroma_format_idc == 3 ?
+                cu.intra_modes_c[blk_idx] : cu.intra_modes_c[0];
+        }
+    } else {
+        cur_mode = cu.intra_modes[0];
+        cur_mode_c = cu.intra_modes_c[0];
+    }
 
     int split;
     if (log2_tt <= p->log2_max_tb && log2_tt > p->log2_min_tb &&
@@ -1460,13 +1485,16 @@ static void code_transform_tree(Ctx &c, CuInfo &cu, int x0, int y0,
     if (split) {
         int half = 1 << (log2_tt - 1);
         code_transform_tree(c, cu, x0, y0, x0, y0, log2_tt - 1, depth + 1, 0,
-                            cbf_cb, cbf_cr, max_depth, cur_mode);
+                            cbf_cb, cbf_cr, max_depth, cur_mode, cur_mode_c);
         code_transform_tree(c, cu, x0 + half, y0, x0, y0, log2_tt - 1,
-                            depth + 1, 1, cbf_cb, cbf_cr, max_depth, cur_mode);
+                            depth + 1, 1, cbf_cb, cbf_cr, max_depth, cur_mode,
+                            cur_mode_c);
         code_transform_tree(c, cu, x0, y0 + half, x0, y0, log2_tt - 1,
-                            depth + 1, 2, cbf_cb, cbf_cr, max_depth, cur_mode);
+                            depth + 1, 2, cbf_cb, cbf_cr, max_depth, cur_mode,
+                            cur_mode_c);
         code_transform_tree(c, cu, x0 + half, y0 + half, x0, y0, log2_tt - 1,
-                            depth + 1, 3, cbf_cb, cbf_cr, max_depth, cur_mode);
+                            depth + 1, 3, cbf_cb, cbf_cr, max_depth, cur_mode,
+                            cur_mode_c);
         return;
     }
     int cbf_luma = 1;
@@ -1474,7 +1502,8 @@ static void code_transform_tree(Ctx &c, CuInfo &cu, int x0, int y0,
         (p->chroma_format_idc == 2 && (cbf_cb[1] || cbf_cr[1])))
         cbf_luma = cc.decode_bin(CTX_CBF_LUMA + (depth == 0 ? 1 : 0));
     code_transform_unit(c, cu, x0, y0, x_base, y_base, log2_tt, depth,
-                        blk_idx, cbf_luma, cbf_cb, cbf_cr, cur_mode);
+                        blk_idx, cbf_luma, cbf_cb, cbf_cr, cur_mode,
+                        cur_mode_c);
     if (cbf_luma) {
         int lmt = c.p->log2_min_tb;
         int ntb = (1 << log2_tt) >> lmt;
@@ -1573,6 +1602,26 @@ static void code_intra_pred_info(Ctx &c, CuInfo &cu, int x0, int y0,
     if (side == 1)
         cu.intra_modes[1] = cu.intra_modes[2] = cu.intra_modes[3] =
             cu.intra_modes[0];
+    if (p->chroma_format_idc == 3) {
+        // one intra_chroma_pred_mode per partition (hevc.c:2286-2297)
+        for (int kk = 0; kk < side * side; kk++) {
+            int cm;
+            if (!cc.decode_bin(CTX_INTRA_CHROMA_PRED_MODE)) cm = 4;
+            else cm = cc.bypass_bits(2);
+            int mc;
+            if (cm != 4) {
+                if (cu.intra_modes[kk] == INTRA_CHROMA_TABLE[cm]) mc = 34;
+                else mc = INTRA_CHROMA_TABLE[cm];
+            } else mc = cu.intra_modes[kk];
+            cu.intra_modes_c[kk] = mc;
+            if (kk == 0) cu.chroma_mode = cm;
+        }
+        if (side == 1)
+            cu.intra_modes_c[1] = cu.intra_modes_c[2] = cu.intra_modes_c[3] =
+                cu.intra_modes_c[0];
+        cu.intra_mode_c = cu.intra_modes_c[0];
+        return;
+    }
     int chroma_mode;
     if (!cc.decode_bin(CTX_INTRA_CHROMA_PRED_MODE)) chroma_mode = 4;
     else chroma_mode = cc.bypass_bits(2);
@@ -1589,6 +1638,7 @@ static void code_intra_pred_info(Ctx &c, CuInfo &cu, int x0, int y0,
         mode_c = TAB[mode_c];
     }
     cu.intra_mode_c = mode_c;
+    for (int kk = 0; kk < 4; kk++) cu.intra_modes_c[kk] = mode_c;
 }
 
 // pcm_sample (syntax/ctu.py _code_pcm; reference hls_pcm_sample hevc.c:1587)
@@ -1691,9 +1741,10 @@ static void code_cu(Ctx &c, int x0, int y0, int log2_cb, int depth) {
             int max_depth = cu.pred_mode == 1
                 ? p->max_tt_depth_intra + (cu.intra_split ? 1 : 0)
                 : p->max_tt_depth_inter;
-            int cbf0[2] = {1, 1};
+            int cbf0[2] = {0, 0};  // base cbf (hevc.c:2473)
             code_transform_tree(c, cu, x0, y0, x0, y0, log2_cb, 0, 0,
-                                cbf0, cbf0, max_depth, cu.intra_modes[0]);
+                                cbf0, cbf0, max_depth, cu.intra_modes[0],
+                                cu.intra_modes_c[0]);
         } else {
             compute_bs(c, x0, y0, log2_cb);
         }

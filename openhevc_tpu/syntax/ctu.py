@@ -97,6 +97,8 @@ class CUData:
     mpm_idx: List[int] = field(default_factory=lambda: [0, 0, 0, 0])
     rem_mode: List[int] = field(default_factory=lambda: [0, 0, 0, 0])
     chroma_mode: int = 4        # raw coded value 0..4 (4 = derived)
+    # 4:4:4 NxN: one chroma mode per partition (hevc.c:2286-2297)
+    chroma_modes: Optional[List[int]] = None
     # inter
     pus: Optional[list] = None
     pcm_samples: Optional[list] = None   # encoder-supplied [Y, U, V] blocks
@@ -106,6 +108,7 @@ class CUData:
     # filled during walk
     intra_modes: List[int] = field(default_factory=lambda: [1, 1, 1, 1])
     intra_mode_c: int = 1
+    intra_modes_c: List[int] = field(default_factory=lambda: [1, 1, 1, 1])
 
 
 @dataclass
@@ -549,8 +552,10 @@ def code_cu(io: CabacIO, st: FrameState, x0, y0, log2_cb, depth, cu: CUData):
                              else sps.max_transform_hierarchy_depth_inter)
                 if cu.tt is None:
                     cu.tt = TTNode()
+                # base cbf entries start at 0 (hevc.c:2473): the 4:2:2
+                # second-chroma slots inherit when not explicitly coded
                 code_transform_tree(io, st, cu, x0, y0, x0, y0, log2_cb,
-                                    log2_cb, 0, 0, [1, 1], [1, 1], cu.tt,
+                                    log2_cb, 0, 0, [0, 0], [0, 0], cu.tt,
                                     max_depth, intra_split)
             else:
                 _mark_cu_edges(st, x0, y0, cb_size)
@@ -751,27 +756,49 @@ def _code_intra_pred_info(io: CabacIO, st: FrameState, cu: CUData, x0, y0, log2_
     if side == 1:
         cu.intra_modes[1] = cu.intra_modes[2] = cu.intra_modes[3] = cu.intra_modes[0]
 
-    # chroma mode (4:2:0 / 4:2:2: single)
-    cm = cu.chroma_mode if supply else None
-    first = io.bin(_CHROMA_MODE, (0 if cm == 4 else 1) if supply else None)
-    if not first:
-        chroma_mode = 4
-    else:
-        chroma_mode = io.bypass_bits(2, cm if supply else None)
-    cu.chroma_mode = chroma_mode
-    if chroma_mode != 4:
-        if cu.intra_modes[0] == INTRA_CHROMA_TABLE[chroma_mode]:
-            mode_c = 34
+    def _code_one_chroma(k, cm_supply):
+        first = io.bin(_CHROMA_MODE,
+                       (0 if cm_supply == 4 else 1) if supply else None)
+        if not first:
+            chroma_mode = 4
         else:
-            mode_c = INTRA_CHROMA_TABLE[chroma_mode]
+            chroma_mode = io.bypass_bits(2, cm_supply if supply else None)
+        if chroma_mode != 4:
+            if cu.intra_modes[k] == INTRA_CHROMA_TABLE[chroma_mode]:
+                mode_c = 34
+            else:
+                mode_c = INTRA_CHROMA_TABLE[chroma_mode]
+        else:
+            mode_c = cu.intra_modes[k]
+        return chroma_mode, mode_c
+
+    if sps.chroma_format_idc == 3:
+        # 4:4:4: one intra_chroma_pred_mode per partition (hevc.c:2286-2297)
+        cms = (cu.chroma_modes if cu.chroma_modes is not None
+               else [cu.chroma_mode] * 4)
+        for k in range(side * side):
+            cm, mode_c = _code_one_chroma(k, cms[k] if supply else None)
+            cms[k] = cm
+            cu.intra_modes_c[k] = mode_c
+        if side == 1:
+            cu.intra_modes_c[1] = cu.intra_modes_c[2] = \
+                cu.intra_modes_c[3] = cu.intra_modes_c[0]
+        cu.chroma_modes = cms
+        cu.chroma_mode = cms[0]
+        cu.intra_mode_c = cu.intra_modes_c[0]
     else:
-        mode_c = cu.intra_modes[0]
-    if sps.chroma_format_idc == 2:
-        _TAB_MODE_IDX = (0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17, 18,
-                         19, 20, 21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27,
-                         28, 28, 29, 29, 30, 31)
-        mode_c = _TAB_MODE_IDX[mode_c]
-    cu.intra_mode_c = mode_c
+        # single chroma mode (4:2:0 / 4:2:2; 4:2:2 remaps via the table,
+        # hevc.c:2299-2311)
+        chroma_mode, mode_c = _code_one_chroma(
+            0, cu.chroma_mode if supply else None)
+        cu.chroma_mode = chroma_mode
+        if sps.chroma_format_idc == 2:
+            _TAB_MODE_IDX = (0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15,
+                             17, 18, 19, 20, 21, 22, 23, 23, 24, 24, 25, 25,
+                             26, 27, 27, 28, 28, 29, 29, 30, 31)
+            mode_c = _TAB_MODE_IDX[mode_c]
+        cu.intra_mode_c = mode_c
+        cu.intra_modes_c = [mode_c] * 4
 
 
 # ---------------------------------------------------------------------------
@@ -786,12 +813,17 @@ def code_transform_tree(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
     supply = not io.decoding
     cbf_cb = list(parent_cbf_cb)
     cbf_cr = list(parent_cbf_cr)
-    # lc->tu.intra_pred_mode propagation (hevc.c:1461-1475)
+    # lc->tu.intra_pred_mode propagation (hevc.c:1461-1475); 4:4:4 also
+    # selects the chroma mode per depth-1 block
     if intra_split:
         if depth == 1:
             cur_mode = cu.intra_modes[blk_idx]
+            st._cur_mode_c = (cu.intra_modes_c[blk_idx]
+                              if sps.chroma_format_idc == 3
+                              else cu.intra_modes_c[0])
     else:
         cur_mode = cu.intra_modes[0]
+        st._cur_mode_c = cu.intra_modes_c[0]
 
     if (log2_tt <= sps.log2_max_tb_size and log2_tt > sps.log2_min_tb_size and
             depth < max_depth and not (intra_split and depth == 0)):
@@ -985,7 +1017,9 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
     size = 1 << log2_tt
 
     mode = cur_mode if cur_mode is not None else cu.intra_modes[0]
-    mode_c = cu.intra_mode_c
+    mode_c = getattr(st, "_cur_mode_c", None)
+    if mode_c is None:
+        mode_c = cu.intra_modes_c[0]
 
     if cu.pred_mode == MODE_INTRA:
         plan.ops.append(_intra_op(st, x0, y0, log2_tt, 0, mode, size, size))
@@ -1023,29 +1057,52 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
                 transquant_bypass=bool(cu.tq_bypass),
                 matrix_id=_scaling_mid(st, cu, 0, tskip, log2_tt)))
 
+        nblk_c = 2 if sps.chroma_format_idc == 2 else 1
         if log2_tt > 2 or sps.chroma_format_idc == 3:
             tsz_h = 1 << (log2_tt_c + sps.hshift[1])
             tsz_v = 1 << (log2_tt_c + sps.vshift[1])
+            # 4:2:2 codes two stacked square chroma TUs per component, the
+            # second predicted below the first (hevc.c:1302-1340)
             for c_idx, cbf_arr, lv_attr, sk_attr in (
                     (1, tu.cbf_cb, "levels_cb", "tskip_cb"),
                     (2, tu.cbf_cr, "levels_cr", "tskip_cr")):
-                if cu.pred_mode == MODE_INTRA:
-                    plan.ops.append(_intra_op(st, x0, y0, log2_tt_c, c_idx,
-                                              mode_c, tsz_h, tsz_v))
-                if cbf_arr[0]:
-                    levels, tskip = _code_residual(
-                        io, st, cu, c_idx, log2_tt_c, scan_idx_c, mode_c,
-                        getattr(tu, lv_attr), getattr(tu, sk_attr),
-                        x=x0 >> sps.hshift[1], y=y0 >> sps.vshift[1])
-                    setattr(tu, lv_attr, levels)
-                    setattr(tu, sk_attr, tskip)
-                    plan.ops.append(ResidualOp(
-                        c_idx=c_idx, x=x0 >> sps.hshift[1], y=y0 >> sps.vshift[1],
-                        log2_size=log2_tt_c, levels=levels,
-                        qp=st.chroma_qp(st.qp_y, c_idx), transform_skip=tskip,
-                        transquant_bypass=bool(cu.tq_bypass),
-                        matrix_id=_scaling_mid(st, cu, c_idx, tskip,
-                                               log2_tt_c)))
+                for i in range(nblk_c):
+                    yb = y0 + (i << log2_tt_c)
+                    if cu.pred_mode == MODE_INTRA:
+                        plan.ops.append(_intra_op(st, x0, yb, log2_tt_c,
+                                                  c_idx, mode_c, tsz_h,
+                                                  tsz_v))
+                    if cbf_arr[i]:
+                        lv = getattr(tu, lv_attr)
+                        sk = getattr(tu, sk_attr)
+                        levels, tskip = _code_residual(
+                            io, st, cu, c_idx, log2_tt_c, scan_idx_c, mode_c,
+                            lv[i] if isinstance(lv, list) else lv,
+                            sk[i] if isinstance(sk, list) else sk,
+                            x=x0 >> sps.hshift[1], y=yb >> sps.vshift[1])
+                        if nblk_c == 2:
+                            cur = getattr(tu, lv_attr)
+                            if not isinstance(cur, list):
+                                cur = [None, None]
+                            curs = getattr(tu, sk_attr)
+                            if not isinstance(curs, list):
+                                curs = [False, False]
+                            cur[i] = levels
+                            curs[i] = tskip
+                            setattr(tu, lv_attr, cur)
+                            setattr(tu, sk_attr, curs)
+                        else:
+                            setattr(tu, lv_attr, levels)
+                            setattr(tu, sk_attr, tskip)
+                        plan.ops.append(ResidualOp(
+                            c_idx=c_idx, x=x0 >> sps.hshift[1],
+                            y=yb >> sps.vshift[1],
+                            log2_size=log2_tt_c, levels=levels,
+                            qp=st.chroma_qp(st.qp_y, c_idx),
+                            transform_skip=tskip,
+                            transquant_bypass=bool(cu.tq_bypass),
+                            matrix_id=_scaling_mid(st, cu, c_idx, tskip,
+                                                   log2_tt_c)))
         elif blk_idx == 3:
             # chroma for the four 4x4 luma TUs, at the parent location
             tsz_h = 1 << (log2_tt + 1)
@@ -1053,37 +1110,61 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
             for c_idx, cbf_arr, lv_attr, sk_attr in (
                     (1, tu.cbf_cb, "levels_cb", "tskip_cb"),
                     (2, tu.cbf_cr, "levels_cr", "tskip_cr")):
-                if cu.pred_mode == MODE_INTRA:
-                    plan.ops.append(_intra_op(st, x_base, y_base, log2_tt,
-                                              c_idx, mode_c, tsz_h, tsz_v))
-                if cbf_arr[0]:
-                    levels, tskip = _code_residual(
-                        io, st, cu, c_idx, log2_tt, scan_idx_c, mode_c,
-                        getattr(tu, lv_attr), getattr(tu, sk_attr),
-                        x=x_base >> sps.hshift[1], y=y_base >> sps.vshift[1])
-                    setattr(tu, lv_attr, levels)
-                    setattr(tu, sk_attr, tskip)
-                    plan.ops.append(ResidualOp(
-                        c_idx=c_idx, x=x_base >> sps.hshift[1],
-                        y=y_base >> sps.vshift[1], log2_size=log2_tt,
-                        levels=levels, qp=st.chroma_qp(st.qp_y, c_idx),
-                        transform_skip=tskip,
-                        transquant_bypass=bool(cu.tq_bypass),
-                        matrix_id=_scaling_mid(st, cu, c_idx, tskip,
-                                               log2_tt)))
+                for i in range(nblk_c):
+                    yb = y_base + (i << log2_tt)
+                    if cu.pred_mode == MODE_INTRA:
+                        plan.ops.append(_intra_op(st, x_base, yb, log2_tt,
+                                                  c_idx, mode_c, tsz_h,
+                                                  tsz_v))
+                    if cbf_arr[i]:
+                        lv = getattr(tu, lv_attr)
+                        sk = getattr(tu, sk_attr)
+                        levels, tskip = _code_residual(
+                            io, st, cu, c_idx, log2_tt, scan_idx_c, mode_c,
+                            lv[i] if isinstance(lv, list) else lv,
+                            sk[i] if isinstance(sk, list) else sk,
+                            x=x_base >> sps.hshift[1],
+                            y=yb >> sps.vshift[1])
+                        if nblk_c == 2:
+                            cur = getattr(tu, lv_attr)
+                            if not isinstance(cur, list):
+                                cur = [None, None]
+                            curs = getattr(tu, sk_attr)
+                            if not isinstance(curs, list):
+                                curs = [False, False]
+                            cur[i] = levels
+                            curs[i] = tskip
+                            setattr(tu, lv_attr, cur)
+                            setattr(tu, sk_attr, curs)
+                        else:
+                            setattr(tu, lv_attr, levels)
+                            setattr(tu, sk_attr, tskip)
+                        plan.ops.append(ResidualOp(
+                            c_idx=c_idx, x=x_base >> sps.hshift[1],
+                            y=yb >> sps.vshift[1], log2_size=log2_tt,
+                            levels=levels, qp=st.chroma_qp(st.qp_y, c_idx),
+                            transform_skip=tskip,
+                            transquant_bypass=bool(cu.tq_bypass),
+                            matrix_id=_scaling_mid(st, cu, c_idx, tskip,
+                                                   log2_tt)))
     elif cu.pred_mode == MODE_INTRA:
+        nblk_c = 2 if sps.chroma_format_idc == 2 else 1
         if log2_tt > 2 or sps.chroma_format_idc == 3:
             tsz_h = 1 << (log2_tt_c + sps.hshift[1])
             tsz_v = 1 << (log2_tt_c + sps.vshift[1])
-            plan.ops.append(_intra_op(st, x0, y0, log2_tt_c, 1, mode_c, tsz_h, tsz_v))
-            plan.ops.append(_intra_op(st, x0, y0, log2_tt_c, 2, mode_c, tsz_h, tsz_v))
+            for c_idx in (1, 2):
+                for i in range(nblk_c):
+                    plan.ops.append(_intra_op(
+                        st, x0, y0 + (i << log2_tt_c), log2_tt_c, c_idx,
+                        mode_c, tsz_h, tsz_v))
         elif blk_idx == 3:
             tsz_h = 1 << (log2_tt + 1)
             tsz_v = 1 << (log2_tt + sps.vshift[1])
-            plan.ops.append(_intra_op(st, x_base, y_base, log2_tt, 1, mode_c,
-                                      tsz_h, tsz_v))
-            plan.ops.append(_intra_op(st, x_base, y_base, log2_tt, 2, mode_c,
-                                      tsz_h, tsz_v))
+            for c_idx in (1, 2):
+                for i in range(nblk_c):
+                    plan.ops.append(_intra_op(
+                        st, x_base, y_base + (i << log2_tt), log2_tt, c_idx,
+                        mode_c, tsz_h, tsz_v))
 
 
 def _scaling_mid(st: FrameState, cu: CUData, c_idx, tskip, log2) -> int:

@@ -182,7 +182,7 @@ class TpuBackend:
                             np.asarray(plan.no_filter_map).any()) or
                            plan.sao_restore is not None)
             for c in range(3):
-                cs = ctb >> (1 if c and cfmt == 1 else 0)
+                cs = (ctb >> (hs if c else 0), ctb >> (vs if c else 0))
                 shape = (plan.height >> (vs if c else 0),
                          plan.width >> (hs if c else 0))
                 tm, bm, em, om = build_sao_maps(plan, c, cs, shape)

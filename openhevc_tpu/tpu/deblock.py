@@ -179,10 +179,12 @@ def deblock_luma_horizontal(luma, hbs, qp_map, beta_off, tc_off, nfm, bit_depth=
     return luma.at[4:h - 4, :].set(a2.T)
 
 
-@partial(jax.jit, static_argnames=("bit_depth", "c_off"))
+@partial(jax.jit, static_argnames=("bit_depth", "c_off", "hsub", "vsub",
+                                   "four20"))
 def deblock_chroma_vertical(pl, vbs, qp_map, qp_off, tc_off, nfm, qpc_table,
-                            bit_depth=8, c_off=0):
-    """4:2:0 chroma vertical edges (16-luma grid). pl (H/2, W/2)."""
+                            bit_depth=8, c_off=0, hsub=2, vsub=2, four20=True):
+    """Chroma vertical edges on the chroma 8-grid (luma 8*hsub grid).
+    pl (H>>vs, W>>hs); hsub/vsub = chroma subsampling factors (2 or 1)."""
     ch, cw = pl.shape
     ne = cw // 8 - 1
     if ne <= 0:
@@ -190,23 +192,30 @@ def deblock_chroma_vertical(pl, vbs, qp_map, qp_off, tc_off, nfm, qpc_table,
     nr = ch // 8
     a = pl[:, 4:cw - 4].reshape(ch, ne, 8)[..., 2:6]                   # P1P0Q0Q1
     blk = a.reshape(nr, 8, ne, 4).transpose(0, 2, 1, 3)
-    # luma coords: x = 16(e+1), y = 16r + 8j
-    ex = (jnp.arange(ne) + 1) * 2                                      # x/8
-    ey = jnp.arange(nr) * 2
-    bs0 = vbs[ey[:, None] * 2, ex[None, :]]
-    bs1 = vbs[(ey[:, None] + 1) * 2, ex[None, :]]
+    # luma coords: x = 8*hsub*(e+1), y = vsub*(8r + 4j)
+    ex = (jnp.arange(ne) + 1) * hsub                                   # x/8
+    ey = jnp.arange(nr)
+    y4_0 = 2 * vsub * ey                                               # y/4, j=0
+    y4_1 = 2 * vsub * ey + vsub
+    bs0 = vbs[y4_0[:, None], ex[None, :]]
+    bs1 = vbs[y4_1[:, None], ex[None, :]]
     bs = jnp.stack([bs0, bs1], axis=-1)
-    qp0 = (qp_map[ey[:, None], ex[None, :] - 1] + qp_map[ey[:, None], ex[None, :]] + 1) >> 1
-    qp1 = (qp_map[ey[:, None] + 1, ex[None, :] - 1] + qp_map[ey[:, None] + 1, ex[None, :]] + 1) >> 1
+    qy0 = y4_0 >> 1
+    qy1 = y4_1 >> 1
+    qp0 = (qp_map[qy0[:, None], ex[None, :] - 1] + qp_map[qy0[:, None], ex[None, :]] + 1) >> 1
+    qp1 = (qp_map[qy1[:, None], ex[None, :] - 1] + qp_map[qy1[:, None], ex[None, :]] + 1) >> 1
     qpj = jnp.stack([qp0, qp1], axis=-1)
     qpi = jnp.clip(qpj + qp_off, 0, 57)
-    qpc = jnp.where(qpi < 30, qpi, jnp.where(qpi > 43, qpi - 6,
-                    qpc_table[jnp.clip(qpi - 30, 0, 13)]))
+    if four20:
+        qpc = jnp.where(qpi < 30, qpi, jnp.where(qpi > 43, qpi - 6,
+                        qpc_table[jnp.clip(qpi - 30, 0, 13)]))
+    else:
+        qpc = jnp.minimum(qpi, 51)      # chroma_tc, hevc_filter.c:76-85
     tc_off = jnp.broadcast_to(jnp.asarray(tc_off), qpc.shape)
     tcv = jnp.where(bs == 2, _TC[jnp.clip(qpc + 2 + tc_off, 0, 53)], 0)
-    # pcm/bypass masks at luma 4x4: (x-1, y+8j) and (x, y+8j)
+    # pcm/bypass masks at luma 4x4
     x4 = ex * 2
-    y4 = ey[:, None] * 2 + jnp.arange(2)[None, :] * 2                  # (nr, 2)
+    y4 = jnp.stack([y4_0, y4_1], axis=-1)                              # (nr, 2)
     no_p = nfm[y4[:, None, :], (x4 - 1)[None, :, None]]
     no_q = nfm[y4[:, None, :], x4[None, :, None]]
     out_blk = _filter_chroma_blocks(blk, tcv, no_p, no_q, bit_depth)
@@ -216,9 +225,11 @@ def deblock_chroma_vertical(pl, vbs, qp_map, qp_off, tc_off, nfm, qpc_table,
     return pl.at[:, 4:cw - 4].set(a2)
 
 
-@partial(jax.jit, static_argnames=("bit_depth", "c_off"))
+@partial(jax.jit, static_argnames=("bit_depth", "c_off", "hsub", "vsub",
+                                   "four20"))
 def deblock_chroma_horizontal(pl, hbs, qp_map, qp_off, tc_off, nfm, qpc_table,
-                              bit_depth=8, c_off=0):
+                              bit_depth=8, c_off=0, hsub=2, vsub=2,
+                              four20=True):
     ch, cw = pl.shape
     ne = ch // 8 - 1
     if ne <= 0:
@@ -227,22 +238,29 @@ def deblock_chroma_horizontal(pl, hbs, qp_map, qp_off, tc_off, nfm, qpc_table,
     plt = pl.T
     a = plt[:, 4:ch - 4].reshape(cw, ne, 8)[..., 2:6]
     blk = a.reshape(nc, 8, ne, 4).transpose(0, 2, 1, 3)                # (nc, ne, 8, 4)
-    # luma coords: y = 16(e+1), x = 16c + 8j
-    ey = (jnp.arange(ne) + 1) * 2                                      # y/8
-    ex = jnp.arange(nc) * 2
-    bs0 = hbs[ey[:, None], ex[None, :] * 2]
-    bs1 = hbs[ey[:, None], ex[None, :] * 2 + 2]
+    # luma coords: y = 8*vsub*(e+1), x = hsub*(8c + 4j)
+    ey = (jnp.arange(ne) + 1) * vsub                                   # y/8
+    ec = jnp.arange(nc)
+    x4_0 = 2 * hsub * ec
+    x4_1 = 2 * hsub * ec + hsub
+    bs0 = hbs[ey[:, None], x4_0[None, :]]
+    bs1 = hbs[ey[:, None], x4_1[None, :]]
     bs = jnp.stack([bs0, bs1], axis=-1).transpose(1, 0, 2)             # (nc, ne, 2)
-    qp0 = (qp_map[ey[:, None] - 1, ex[None, :]] + qp_map[ey[:, None], ex[None, :]] + 1) >> 1
-    qp1 = (qp_map[ey[:, None] - 1, ex[None, :] + 1] + qp_map[ey[:, None], ex[None, :] + 1] + 1) >> 1
+    qx0 = x4_0 >> 1
+    qx1 = x4_1 >> 1
+    qp0 = (qp_map[ey[:, None] - 1, qx0[None, :]] + qp_map[ey[:, None], qx0[None, :]] + 1) >> 1
+    qp1 = (qp_map[ey[:, None] - 1, qx1[None, :]] + qp_map[ey[:, None], qx1[None, :]] + 1) >> 1
     qpj = jnp.stack([qp0, qp1], axis=-1).transpose(1, 0, 2)
     qpi = jnp.clip(qpj + qp_off, 0, 57)
-    qpc = jnp.where(qpi < 30, qpi, jnp.where(qpi > 43, qpi - 6,
-                    qpc_table[jnp.clip(qpi - 30, 0, 13)]))
+    if four20:
+        qpc = jnp.where(qpi < 30, qpi, jnp.where(qpi > 43, qpi - 6,
+                        qpc_table[jnp.clip(qpi - 30, 0, 13)]))
+    else:
+        qpc = jnp.minimum(qpi, 51)
     tc_off = jnp.broadcast_to(jnp.asarray(tc_off), qpc.shape)
     tcv = jnp.where(bs == 2, _TC[jnp.clip(qpc + 2 + tc_off, 0, 53)], 0)
     y4 = ey * 2
-    x4 = ex[:, None] * 2 + jnp.arange(2)[None, :] * 2                  # (nc, 2)
+    x4 = jnp.stack([x4_0, x4_1], axis=-1)                              # (nc, 2)
     no_p = nfm[(y4 - 1)[None, :, None], x4[:, None, :]]
     no_q = nfm[y4[None, :, None], x4[:, None, :]]
     out_blk = _filter_chroma_blocks(blk, tcv, no_p, no_q, bit_depth)

@@ -108,10 +108,11 @@ def frame_step(refs, packed, prof):
         if use_pallas:
             Hc, Wc = refs[c].shape[1], refs[c].shape[2]
             sy, sx, ro, co, fx, fy = _clamp_starts(
-                xs, ys, mvx, mvy, wc, hc, Wc, Hc, c == 0, _B)
+                xs, ys, mvx, mvy, wc, hc, Wc, Hc, c == 0, _B, hs, vs)
             return mc_batch_pallas(refs_p[c], sel, sy, sx, ro, co, fx, fy,
                                    wc, hc, c == 0, bd)
-        return mc_batch(refs[c], sel, xs, ys, mvx, mvy, wc, hc, c == 0, bd)
+        return mc_batch(refs[c], sel, xs, ys, mvx, mvy, wc, hc, c == 0, bd,
+                        hs=hs, vs=vs)
 
     for (w, h) in inter_sizes:
         b = {f: arrays[("inter", w, h, f)]
@@ -233,7 +234,8 @@ def frame_step(refs, packed, prof):
                     sflg = lax.dynamic_slice_in_dim(d["flags"], off, C)
                     valid = jnp.arange(C) < cnt
                     preds = intra_batch(plane, sxs, sys_, smod, sflg, n,
-                                        min(c, 1), bd, strong)
+                                        min(c, 1), bd, strong,
+                                        chroma_444=(cfmt == 3 and c > 0))
                     if R is not None:
                         # fuse the residual add: recon = clip(pred + res)
                         gy = sys_[:, None, None] + jnp.arange(n)[None, :, None]
@@ -276,15 +278,22 @@ def frame_step(refs, packed, prof):
             # TC_CALC's tc_offset stays cur in the horizontal luma loop)
             ch_tc = jnp.minimum((jnp.arange(Wp // 8) + 1) >> s3, cw_m - 1)
             t_lh = tmap[eh[None, :], ch_tc[:, None]]
-            rcv = jnp.arange(Hp // 16) >> s4             # chroma v rows
-            ecv = (jnp.arange(max(1, Wp // 16 - 1)) + 1) >> s4
+            hsub_ = 2 if cfmt in (1, 2) else 1
+            vsub_ = 2 if cfmt == 1 else 1
+            # chroma v: luma y = 8*vsub*r, x = 8*hsub*(e+1)
+            rcv = (jnp.arange(Hp // (8 * vsub_)) * vsub_) >> s3
+            ecv = ((jnp.arange(max(1, Wp // (8 * hsub_) - 1)) + 1) *
+                   hsub_) >> s3
             t_cv = tmap[rcv[:, None], ecv[None, :]][..., None]
-            # chroma h: per-half (x + 8j + 8 containing CTB, clamped)
-            cch = jnp.arange(Wp // 16)                   # x/16
-            ech = (jnp.arange(max(1, Hp // 16 - 1)) + 1) >> s4
+            # chroma h: per-half, luma x = hsub*(8c + 4j), tc from the CTB
+            # containing x + 4*hsub (cur for the left-CTB first half)
+            cch = jnp.arange(Wp // (8 * hsub_))
+            ech = ((jnp.arange(max(1, Hp // (8 * vsub_) - 1)) + 1) *
+                   vsub_) >> s3
             jj = jnp.arange(2)
             cch_j = jnp.minimum(
-                (2 * cch[:, None] + jj[None, :] + 1) >> s3, cw_m - 1)
+                ((8 * cch[:, None] + 4 * jj[None, :] + 4) * hsub_) >> log2_ctb,
+                cw_m - 1)
             t_ch = tmap[ech[None, :, None], cch_j[:, None, :]]
         else:
             b_lv = t_lv = b_lh = t_lh = None
@@ -298,20 +307,25 @@ def frame_step(refs, packed, prof):
             b_lh if b_lh is not None else beta_off,
             t_lh if t_lh is not None else tc_off, nfm, bd)
         planes[0] = luma[:H, :W]
-        if cfmt == 1:
+        if cfmt in (1, 2, 3):
+            hsub = 2 if cfmt in (1, 2) else 1
+            vsub = 2 if cfmt == 1 else 1
             for c in (1, 2):
                 off = cb_off if c == 1 else cr_off
                 ch, cw = planes[c].shape
-                pl = jnp.pad(planes[c], ((0, ph // 2), (0, pw // 2))) \
+                pl = jnp.pad(planes[c],
+                             ((0, ph // vsub), (0, pw // hsub))) \
                     if (ph or pw) else planes[c]
                 pl = dbk.deblock_chroma_vertical(
                     pl, vbs, qp_map, off,
                     t_cv if beta_off == "map" else tc_off,
-                    nfm, _QP_C, bd)
+                    nfm, _QP_C, bd, hsub=hsub, vsub=vsub,
+                    four20=(cfmt == 1))
                 pl = dbk.deblock_chroma_horizontal(
                     pl, hbs, qp_map, off,
                     t_ch if beta_off == "map" else tc_off,
-                    nfm, _QP_C, bd)
+                    nfm, _QP_C, bd, hsub=hsub, vsub=vsub,
+                    four20=(cfmt == 1))
                 planes[c] = pl[:ch, :cw]
 
     # ---- SAO ----

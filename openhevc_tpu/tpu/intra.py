@@ -19,9 +19,10 @@ _ANGLE = jnp.asarray(np.asarray(INTRA_PRED_ANGLE), jnp.int32)      # mode-2
 _INV_ANGLE = jnp.asarray(np.asarray(INV_ANGLE), jnp.int32)         # mode-11
 
 
-@partial(jax.jit, static_argnames=("n", "c_idx", "bit_depth", "strong"))
+@partial(jax.jit, static_argnames=("n", "c_idx", "bit_depth", "strong",
+                                   "chroma_444"))
 def intra_batch(plane, xs, ys, modes, flags, n, c_idx, bit_depth=8,
-                strong=False):
+                strong=False, chroma_444=False):
     """Predict a batch of n x n blocks.
 
     plane (H, W) int32; xs/ys (N,) int32 block origins; modes (N,) int32;
@@ -89,8 +90,8 @@ def intra_batch(plane, xs, ys, modes, flags, n, c_idx, bit_depth=8,
     top = jnp.concatenate([corner[:, None], top_lo, top_hi], axis=1)    # (N, 2n+1)
     left = jnp.concatenate([corner[:, None], left_lo, left_hi], axis=1)
 
-    # ---- reference smoothing (spec 8.4.4.2.3) ----
-    if c_idx == 0:
+    # ---- reference smoothing (spec 8.4.4.2.3): luma, or 4:4:4 chroma ----
+    if c_idx == 0 or chroma_444:
         thresh = {8: 7, 16: 1, 32: 0}.get(n, -1)
         min_dist = jnp.minimum(jnp.abs(modes - 26), jnp.abs(modes - 10))
         do_filter = (modes != 1) & (n != 4) & (min_dist > thresh)
@@ -99,7 +100,7 @@ def intra_batch(plane, xs, ys, modes, flags, n, c_idx, bit_depth=8,
         fcorner = (left[:, 1] + 2 * corner + top[:, 1] + 2) >> 2
         ftop = ftop.at[:, 0].set(fcorner)
         fleft = fleft.at[:, 0].set(fcorner)
-        if strong and n == 32:
+        if strong and n == 32 and c_idx == 0:
             th = 1 << (bit_depth - 5)
             bi = ((jnp.abs(top[:, 0] + top[:, 64] - 2 * top[:, 32]) < th) &
                   (jnp.abs(left[:, 0] + left[:, 64] - 2 * left[:, 32]) < th))

@@ -20,25 +20,32 @@ _QPEL = jnp.asarray(np.vstack([[0, 0, 0, 64, 0, 0, 0, 0], QPEL_FILTERS]),
 _EPEL = jnp.asarray(np.vstack([[0, 64, 0, 0], EPEL_FILTERS]), jnp.int32)  # (8, 4)
 
 
-@partial(jax.jit, static_argnames=("w", "h", "is_luma", "bit_depth"))
-def mc_batch(refs, ref_sel, xs, ys, mvx, mvy, w, h, is_luma, bit_depth=8):
+@partial(jax.jit, static_argnames=("w", "h", "is_luma", "bit_depth",
+                                   "hs", "vs"))
+def mc_batch(refs, ref_sel, xs, ys, mvx, mvy, w, h, is_luma, bit_depth=8,
+             hs=1, vs=1):
     """refs (R, H, W) int32 stacked reference planes; per-PU ref_sel/xs/ys/mv.
 
-    Returns (N, h, w) int32 14-bit intermediates (the reference's
-    put_hevc_qpel/epel output).
+    hs/vs: chroma subsampling shifts — chroma MV precision is 1/8-pel per
+    subsampled axis, 1/4-pel (even 8th phases) otherwise (chroma_mc_uni,
+    hevc.c:1834).  Returns (N, h, w) int32 14-bit intermediates (the
+    reference's put_hevc_qpel/epel output).
     """
     _, H, W = refs.shape
     if is_luma:
-        before, taps, fbits = 3, 8, 2
+        before, taps = 3, 8
         table = _QPEL
+        fx = mvx & 3
+        fy = mvy & 3
+        bx = xs + (mvx >> 2)
+        by = ys + (mvy >> 2)
     else:
-        before, taps, fbits = 1, 4, 3
+        before, taps = 1, 4
         table = _EPEL
-    frac_mask = (1 << fbits) - 1
-    fx = mvx & frac_mask
-    fy = mvy & frac_mask
-    bx = xs + (mvx >> fbits)
-    by = ys + (mvy >> fbits)
+        fx = (mvx & ((1 << (2 + hs)) - 1)) << (1 - hs)
+        fy = (mvy & ((1 << (2 + vs)) - 1)) << (1 - vs)
+        bx = xs + (mvx >> (2 + hs))
+        by = ys + (mvy >> (2 + vs))
 
     rows = jnp.clip(by[:, None] - before + jnp.arange(h + taps - 1), 0, H - 1)
     cols = jnp.clip(bx[:, None] - before + jnp.arange(w + taps - 1), 0, W - 1)

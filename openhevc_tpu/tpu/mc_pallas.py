@@ -109,24 +109,32 @@ def pad_refs(refs, border):
                           (border, border + TAIL_C)), mode="edge")
 
 
-def clamp_starts(xs, ys, mvx, mvy, w, h, W, H, is_luma, border):
+def clamp_starts(xs, ys, mvx, mvy, w, h, W, H, is_luma, border,
+                 hs=1, vs=1):
     """Per-block clamped, tile-aligned window starts in padded coords.
 
+    hs/vs: chroma subsampling shifts (see tpu/mc.py mc_batch).
     -> (sy_aligned, sx_aligned, row_off, col_off, frac_x, frac_y)
     """
     before = 3 if is_luma else 1
-    fbits = 2 if is_luma else 3
     taps = 8 if is_luma else 4
-    bx = xs + (mvx >> fbits) - before
-    by = ys + (mvy >> fbits) - before
+    if is_luma:
+        fx = mvx & 3
+        fy = mvy & 3
+        bx = xs + (mvx >> 2) - before
+        by = ys + (mvy >> 2) - before
+    else:
+        fx = (mvx & ((1 << (2 + hs)) - 1)) << (1 - hs)
+        fy = (mvy & ((1 << (2 + vs)) - 1)) << (1 - vs)
+        bx = xs + (mvx >> (2 + hs)) - before
+        by = ys + (mvy >> (2 + vs)) - before
     sx = jnp.clip(bx, -border, W + border - (w + taps - 1)) + border
     sy = jnp.clip(by, -border, H + border - (h + taps - 1)) + border
     ro = sy & 7
     co = sx & 127
     return ((sy >> 3).astype(jnp.int32), (sx >> 7).astype(jnp.int32),
             ro.astype(jnp.int32), co.astype(jnp.int32),
-            (mvx & ((1 << fbits) - 1)).astype(jnp.int32),
-            (mvy & ((1 << fbits) - 1)).astype(jnp.int32))
+            fx.astype(jnp.int32), fy.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------

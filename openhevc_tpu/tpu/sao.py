@@ -67,9 +67,11 @@ def sao_plane(src, type_map, band_pos_map, eo_map, offset_map, bit_depth=8):
 
 
 def build_sao_maps(plan, c_idx, ctb_size, plane_shape):
-    """Host-side: per-CTB params -> per-pixel maps (NumPy)."""
+    """Host-side: per-CTB params -> per-pixel maps (NumPy).  ctb_size may
+    be (csx, csy) for non-square chroma CTBs (4:2:2)."""
     h, w = plane_shape
-    cs = ctb_size
+    csx, csy = ctb_size if isinstance(ctb_size, tuple) else (ctb_size,
+                                                            ctb_size)
     type_map = np.zeros((h, w), np.int32)
     band_map = np.zeros((h, w), np.int32)
     eo_map = np.zeros((h, w), np.int32)
@@ -77,10 +79,10 @@ def build_sao_maps(plan, c_idx, ctb_size, plane_shape):
     if plan.sao is None:
         return type_map, band_map, eo_map, off_map
     for (rx, ry), sao in plan.sao.items():
-        x0, y0 = rx * cs, ry * cs
+        x0, y0 = rx * csx, ry * csy
         if x0 >= w or y0 >= h:
             continue
-        x1, y1 = min(x0 + cs, w), min(y0 + cs, h)
+        x1, y1 = min(x0 + csx, w), min(y0 + csy, h)
         type_map[y0:y1, x0:x1] = int(sao.sao_type[c_idx])
         band_map[y0:y1, x0:x1] = int(sao.sao_band_position[c_idx])
         eo_map[y0:y1, x0:x1] = int(sao.sao_eo_class[c_idx])
