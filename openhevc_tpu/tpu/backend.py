@@ -8,6 +8,8 @@ cost ~1s each over the tunnel, so the whole plan ships as ONE device_put).
 Bit-exact with the NumPy scalar pipeline (recon_np); the tests enforce it.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -17,6 +19,7 @@ from .plan_compile import compile_plan, pad_batch
 from .wavefront import schedule_slots
 from .frame_step import frame_step
 from .sao import build_sao_maps
+from . import intra_pallas
 
 
 def _canonical_pu_sizes(ctb):
@@ -46,6 +49,7 @@ class TpuBackend:
         self._slot_T = {"I": {}, "PB": {}}
         self._flat_len = {"I": {}, "PB": {}}
         self._resid_len = {"I": {}, "PB": {}}
+        self._ipal_chunks = {"I": {}, "PB": {}}
 
     def decode_frame(self, plan: FramePlan, dpb):
         args = self.prepare(plan, dpb)
@@ -104,9 +108,41 @@ class TpuBackend:
             # dummy refs keep the pytree structure stable
             refs = [jnp.zeros((1, 8, 8), jnp.int32) for _ in range(3)]
 
+        # ---- intra reconstruction path selection ----
+        # on a real TPU the sequential Pallas kernel replaces the lax.scan
+        # wavefront whenever the plane fits VMEM (OPENHEVC_IPAL=interp
+        # forces it in interpreter mode for CPU tests; =off disables)
+        ipal_env = os.environ.get("OPENHEVC_IPAL", "")
+        use_ipal = (ipal_env != "off"
+                    and (jax.default_backend() not in ("cpu",)
+                         or ipal_env == "interp")
+                    and intra_pallas.fits_vmem(plan.height, plan.width))
+        ipal = ()
+        if use_ipal:
+            from ..decoder.plan import IntraOp
+            iops = [op for op in plan.ops if isinstance(op, IntraOp)]
+            c444 = cfmt == 3
+            for c in range(3):
+                meta = intra_pallas.build_meta(iops, c, c444)
+                if meta is None:
+                    continue
+                tgt = max(meta.shape[0],
+                          self._ipal_chunks[fam].get(c, 1))
+                if meta.shape[0] < tgt:
+                    meta = np.concatenate(
+                        [meta, np.zeros((tgt - meta.shape[0],) +
+                                        meta.shape[1:], np.int32)])
+                self._ipal_chunks[fam][c] = tgt
+                add(("ipal", c), meta)
+                ipal += ((c, tgt),)
+
         # ---- wavefront slots (flat, slot-ordered layout) ----
-        T, caps, data, resid = schedule_slots(plan,
-                                              min_caps=self._slot_caps[fam])
+        if use_ipal:
+            T, caps, data, resid = schedule_slots(plan, min_caps=None,
+                                                  intra=False)
+        else:
+            T, caps, data, resid = schedule_slots(
+                plan, min_caps=self._slot_caps[fam])
         self._slot_caps[fam] = dict(caps)
         tmin = self._slot_T[fam].get("T", 1)
         if T < tmin:
@@ -241,5 +277,6 @@ class TpuBackend:
                 "map" if db_maps else plan.beta_offset,
                 "map" if db_maps else plan.tc_offset,
                 plan.cb_qp_offset, plan.cr_qp_offset,
-                has_base, has_scaling, tuple(layout), plan.log2_ctb_size)
+                has_base, has_scaling, tuple(layout), plan.log2_ctb_size,
+                ipal)
         return (refs, packed, prof)

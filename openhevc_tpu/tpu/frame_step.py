@@ -71,14 +71,16 @@ def frame_step(refs, packed, prof):
 
     prof: (bd, strong, chroma_fmt, H, W, inter_sizes, slot_keys, slot_caps,
            resid_keys, deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off,
-           has_base, has_scaling, layout, log2_ctb)
+           has_base, has_scaling, layout, log2_ctb, ipal)
     beta_off/tc_off: slice-0 scalars, or the string "map" when the frame
     carries per-CTB offset maps (multi-slice pictures, hevc.c:2677).
+    ipal: () for the lax.scan wavefront, else ((c, n_chunks), ...) selecting
+    the sequential Pallas intra kernel (intra_pallas.intra_seq).
     refs: [3 stacked ref tensors] (device); packed: flat int32 plan buffer.
     """
     (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, resid_keys,
      deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
-     has_scaling, layout, log2_ctb) = prof
+     has_scaling, layout, log2_ctb, ipal) = prof
     arrays = _unpack(packed, layout)
     hs = 1 if cfmt in (1, 2) else 0
     vs = 1 if cfmt == 1 else 0
@@ -201,6 +203,20 @@ def frame_step(refs, packed, prof):
         # inter/PCM-base pixels become final here: recon = clip(pred + res);
         # intra block pixels hold junk until their scan step overwrites them
         planes = [jnp.clip(planes[c] + rcanvas[c], 0, maxv) for c in range(3)]
+
+    # ---- intra reconstruction ----
+    # Pallas path: the whole plane's intra blocks reconstruct sequentially
+    # in decode order inside ONE kernel (plane resident in VMEM)
+    if ipal:
+        from .intra_pallas import intra_seq
+        interp = jax.default_backend() in ("cpu",)
+        for (c, _nch) in ipal:
+            hc, wc = shapes[c]
+            rc = rcanvas[c] if rcanvas is not None \
+                else jnp.zeros((hc, wc), jnp.int32)
+            planes[c] = intra_seq(planes[c], rc, arrays[("ipal", c)],
+                                  hc, wc, min(c, 1), bd, strong,
+                                  cfmt == 3 and c > 0, interpret=interp)
 
     # ---- intra wavefront scan ----
     # flat slot-ordered arrays stay loop-invariant; each scan step

@@ -55,7 +55,7 @@ def canonical_resid_keys(chroma_format_idc):
     return tuple(sorted(keys))
 
 
-def schedule_slots(plan, min_caps=None):
+def schedule_slots(plan, min_caps=None, intra=True):
     """Pack intra ops into balanced dependency slots; batch residuals flat.
 
     Returns (T, caps, data, resid):
@@ -81,7 +81,8 @@ def schedule_slots(plan, min_caps=None):
     intra_ops = []
     for op in plan.ops:
         if isinstance(op, IntraOp):
-            intra_ops.append(op)
+            if intra:
+                intra_ops.append(op)
         elif isinstance(op, ResidualOp):
             resid_rows.setdefault((op.c_idx, 1 << op.log2_size),
                                   []).append(op)
@@ -181,6 +182,8 @@ def schedule_slots(plan, min_caps=None):
     # ships ~fill-factor less data than dense (T, C, ...) tensors, which
     # dominates host->device time on a remote TPU.
     data = {}
+    if not intra:
+        return 1, {}, data, resid
     for key in canonical_keys(plan.chroma_format_idc):
         items = rows.get(key, [])
         caps.setdefault(key, 8)
