@@ -102,13 +102,19 @@ for _it in range(3):
 
 
 class ContextSet:
-    """All context models for one entropy-coding state (one substream)."""
+    """All context models for one entropy-coding state (one substream).
 
-    __slots__ = ("state", "mps")
+    stat_coeff is the RExt persistent-rice state: reset with the context
+    init (cabac_init_state, hevc_cabac.c:602-604) but NOT saved/loaded by
+    WPP snapshots (ff_hevc_save_states copies cabac_state only) — callers
+    carry it across substreams in decode order instead."""
+
+    __slots__ = ("state", "mps", "stat_coeff")
 
     def __init__(self, init_type: int = 0, qp: int = 26):
         self.state = np.zeros(NUM_CONTEXTS, np.uint8)
         self.mps = np.zeros(NUM_CONTEXTS, np.uint8)
+        self.stat_coeff = np.zeros(4, np.int32)
         row = INIT_VALUES[init_type]
         for i in range(NUM_CONTEXTS):
             s, m = init_state(int(row[i]), qp)

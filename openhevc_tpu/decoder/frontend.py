@@ -74,7 +74,8 @@ class Frontend:
                           vps_list=self.vps_list)
             self.sps_list[s.sps_id] = s
         elif t == nalmod.NAL_PPS:
-            p = parse_pps(nal.rbsp, layer_id=nal.layer_id)
+            p = parse_pps(nal.rbsp, layer_id=nal.layer_id,
+              sps_list=self.sps_list)
             self.pps_list[p.pps_id] = p
         elif t in (nalmod.NAL_SEI_PREFIX, nalmod.NAL_SEI_SUFFIX):
             from .sei import parse_sei
@@ -164,6 +165,8 @@ class Frontend:
                          conf_win=tuple(sps.conf_win),
                          chroma_format_idc=sps.chroma_format_idc,
                          strong_intra_smoothing=bool(sps.strong_intra_smoothing_enabled),
+                         intra_smoothing_disabled=bool(
+                             sps.intra_smoothing_disabled),
                          sao_luma=bool(sh.sao_luma), sao_chroma=bool(sh.sao_chroma),
                          deblock_disable=bool(sh.deblocking_filter_disabled),
                          beta_offset=sh.beta_offset, tc_offset=sh.tc_offset,
@@ -185,6 +188,9 @@ class Frontend:
             self._pcm_sps = sps
         st = FrameState(sps, pps, sh, plan, init_type=init_type,
                         pcm_map=self._pcm_sticky)
+        # stale lc->pu intra modes persist across pictures in the
+        # reference's single-threaded local context (hevc.c:1472)
+        st._pu_stale = getattr(self, '_pu_stale_carry', (0, 0))
         if self.encrypt_params:
             if self.crypto is None:
                 from ..crypto import HevcCrypto
@@ -303,7 +309,16 @@ class Frontend:
         ts0 = int(pps.ctb_addr_rs_to_ts[sh.slice_segment_addr])
         assert ts0 == cur["next_ts"], \
             f"slice starts at ts {ts0}, expected {cur['next_ts']}"
-        if self.use_native:
+        use_native = self.use_native
+        if use_native and (sps.implicit_rdpcm_enabled
+                           or sps.explicit_rdpcm_enabled
+                           or sps.persistent_rice_adaptation_enabled
+                           or sps.transform_skip_context_enabled
+                           or sps.transform_skip_rotation_enabled
+                           or pps.cross_component_prediction_enabled):
+            # RExt coding tools not in the C front-end yet: python walker
+            use_native = False
+        if use_native:
             cur["next_ts"] = self._decode_slice_native(
                 sh, sps, pps, init_type, payload, cur,
                 data_start, skipped) + 1
@@ -320,6 +335,7 @@ class Frontend:
             offsets = [0, len(payload)]
         loads, saves = _substream_ctx_rules(sps, pps, bounds)
         saved_ctx = None
+        prev_ctx = cur["ctx_cont"]
         for si, (b0, b1) in enumerate(bounds):
             if si == 0 and sh.dependent_slice_segment and \
                     cur["ctx_cont"] is not None:
@@ -328,6 +344,12 @@ class Frontend:
                 ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
             if loads[si] and saved_ctx is not None:
                 ctx.load(saved_ctx)
+                # WPP rows have no cabac_init_state: the persistent-rice
+                # stats continue from the previous substream in decode
+                # order (single-threaded reference semantics)
+                if prev_ctx is not None and ctx is not prev_ctx:
+                    ctx.stat_coeff[:] = prev_ctx.stat_coeff
+            prev_ctx = ctx
             cur["ctx_cont"] = ctx
             dec = CabacDecoder(payload[offsets[si]:offsets[si + 1]], ctx)
             io = CabacIO(dec=dec)
@@ -355,6 +377,7 @@ class Frontend:
         plan, st, sps = cur["plan"], cur["st"], cur["sps"]
         sh0 = cur["sh0"]
         plan.md5 = cur["md5"]
+        self._pu_stale_carry = getattr(st, "_pu_stale", (0, 0))
         if cur["native_pic"] is not None:
             self._finish_native(plan, sps, cur)
             self._apply_slice_filter_maps(plan, cur)

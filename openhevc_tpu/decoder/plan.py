@@ -59,6 +59,8 @@ class ResidualOp:
     use_dst: bool = False       # 4x4 intra luma DST-VII
     transquant_bypass: bool = False
     rdpcm_dir: int = -1         # -1 none, 0 horizontal, 1 vertical
+    rot: bool = False           # 4x4 transform-skip rotation (RExt)
+    cc_alpha: int = 0           # cross-component ResScaleVal (RExt, 4:4:4)
     matrix_id: int = -1         # scaling-list matrix id, -1 = flat (16)
 
 
@@ -97,6 +99,10 @@ class FramePlan:
     sao: Optional[dict] = None   # {(rx, ry): CtbFilterParams}
     deblock_disable: bool = False
     strong_intra_smoothing: bool = False
+    intra_smoothing_disabled: bool = False   # RExt sps flag
+    # cross-component execution state (last luma TU residual) — lives on
+    # the plan so incremental execution (encoder lazy recon) persists it
+    cc_state: dict = field(default_factory=dict)
     cb_qp_offset: int = 0
     cr_qp_offset: int = 0
     sao_luma: bool = False

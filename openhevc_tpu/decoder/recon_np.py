@@ -28,6 +28,7 @@ def execute_plan(plan: FramePlan, planes=None, dpb=None):
     if planes is None:
         planes = alloc_frame(plan)
     bd = plan.bit_depth
+    cc_state = getattr(plan, "cc_state", {})
     for op in plan.ops:
         if isinstance(op, IntraOp):
             pl = planes[op.c_idx]
@@ -35,10 +36,11 @@ def execute_plan(plan: FramePlan, planes=None, dpb=None):
                 pl, op.x, op.y, op.size, op.cand_bottom_left, op.cand_left,
                 op.cand_up_left, op.cand_up, op.cand_up_right,
                 op.bottom_left_size, op.top_right_size, bd)
-            top, left = ipred.filter_reference_samples(
-                top, left, op.mode, op.size, op.c_idx, bd,
-                strong_intra_smoothing=plan.strong_intra_smoothing,
-                chroma_444=(plan.chroma_format_idc == 3))
+            if not plan.intra_smoothing_disabled:
+                top, left = ipred.filter_reference_samples(
+                    top, left, op.mode, op.size, op.c_idx, bd,
+                    strong_intra_smoothing=plan.strong_intra_smoothing,
+                    chroma_444=(plan.chroma_format_idc == 3))
             pl[op.y:op.y + op.size, op.x:op.x + op.size] = \
                 ipred.predict(op.mode, top, left, op.size, op.c_idx, bd)
         elif isinstance(op, ResidualOp):
@@ -46,6 +48,8 @@ def execute_plan(plan: FramePlan, planes=None, dpb=None):
             pl = planes[op.c_idx]
             if op.transquant_bypass:
                 res = op.levels
+                if op.rdpcm_dir >= 0:
+                    res = tr.transform_rdpcm(res, op.rdpcm_dir == 1)
             else:
                 sm = None
                 if plan.scaling is not None and op.matrix_id >= 0:
@@ -55,6 +59,10 @@ def execute_plan(plan: FramePlan, planes=None, dpb=None):
                                  dc_scale=int(sm[0, 0]) if sm is not None
                                  else 16)
                 if op.transform_skip:
+                    if op.rot:
+                        # RExt 4x4 transform-skip rotation: full coefficient
+                        # reversal before scaling (hevc_cabac.c:1876-1882)
+                        deq = deq[::-1, ::-1]
                     res = tr.transform_skip(deq, op.log2_size, bd)
                 elif op.use_dst:
                     res = tr.idst4x4(deq, bd)
@@ -66,6 +74,15 @@ def execute_plan(plan: FramePlan, planes=None, dpb=None):
                         res = tr.idct2d(deq, bd)
                 if op.rdpcm_dir >= 0:
                     res = tr.transform_rdpcm(res, op.rdpcm_dir == 1)
+            if op.c_idx == 0:
+                cc_state["luma"] = (op.x, op.y, op.log2_size, res)
+            elif op.cc_alpha:
+                # cross-component prediction: add the scaled collocated luma
+                # residual with int16 wraparound (hevc_cabac.c:1942-1947)
+                lx, ly_, ll, lres = cc_state["luma"]
+                assert (lx, ly_, ll) == (op.x, op.y, op.log2_size)
+                res = (res + ((op.cc_alpha * lres) >> 3)) \
+                    .astype(np.int16).astype(np.int32)
             blk = pl[op.y:op.y + n, op.x:op.x + n]
             pl[op.y:op.y + n, op.x:op.x + n] = tr.transform_add(blk, res, bd)
         elif isinstance(op, PcmOp):

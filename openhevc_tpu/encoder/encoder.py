@@ -79,6 +79,15 @@ class EncoderConfig:
     # per-slice filter params: random beta/tc offsets, per-slice deblock
     # disable and SAO enables (hevc.c:2677 s->deblock[ctb] coverage)
     slice_filter_variants: bool = False
+    # RExt coding tools (sps/pps range extensions)
+    transform_skip_rotation: bool = False
+    transform_skip_context: bool = False
+    implicit_rdpcm: bool = False
+    explicit_rdpcm: bool = False
+    persistent_rice: bool = False
+    intra_smoothing_disabled: bool = False
+    cross_component: bool = False   # requires chroma_format == 3
+    transquant_bypass: float = 0.0  # per-CU bypass probability (RExt paths)
 
 
 class Encoder:
@@ -112,6 +121,22 @@ class Encoder:
             self.sps.num_reorder_pics = [cfg.reorder_pics]
         if cfg.bit_depth > 8:
             self.sps.ptl.profile_idc = 2
+        s = self.sps
+        s.transform_skip_rotation_enabled = int(cfg.transform_skip_rotation)
+        s.transform_skip_context_enabled = int(cfg.transform_skip_context)
+        s.implicit_rdpcm_enabled = int(cfg.implicit_rdpcm)
+        s.explicit_rdpcm_enabled = int(cfg.explicit_rdpcm)
+        s.intra_smoothing_disabled = int(cfg.intra_smoothing_disabled)
+        s.persistent_rice_adaptation_enabled = int(cfg.persistent_rice)
+        if cfg.cross_component:
+            assert cfg.chroma_format == 3, "cross-component needs 4:4:4"
+        if (cfg.transform_skip_rotation or cfg.transform_skip_context
+                or cfg.implicit_rdpcm or cfg.explicit_rdpcm
+                or cfg.persistent_rice or cfg.intra_smoothing_disabled
+                or cfg.cross_component or cfg.chroma_format != 1
+                or cfg.transquant_bypass):
+            # the reference gates pps_range_extensions on the RExt profile
+            s.ptl.profile_idc = 4
         if cfg.scaling_lists:
             self.sps.scaling_list_enabled = 1
             if cfg.scaling_lists in ("custom", "pps"):
@@ -145,6 +170,11 @@ class Encoder:
         self.pps = PPS(sign_data_hiding=1 if cfg.sign_data_hiding else 0,
                        transform_skip_enabled=1 if cfg.transform_skip else 0,
                        init_qp=26)
+        if cfg.transquant_bypass:
+            self.pps.transquant_bypass_enabled = 1
+        if cfg.cross_component:
+            self.pps.cross_component_prediction_enabled = 1
+            self.pps.has_range_ext = 1
         if cfg.wpp:
             self.pps.entropy_coding_sync_enabled = 1
         if cfg.tiles:
@@ -280,6 +310,8 @@ class Encoder:
                          chroma_format_idc=sps.chroma_format_idc,
                          log2_ctb_size=sps.log2_ctb_size,
                          strong_intra_smoothing=bool(sps.strong_intra_smoothing_enabled),
+                         intra_smoothing_disabled=bool(
+                             sps.intra_smoothing_disabled),
                          sao_luma=bool(sh.sao_luma), sao_chroma=bool(sh.sao_chroma),
                          deblock_disable=not cfg.deblock or bool(sh.deblocking_filter_disabled))
         plan.poc = self.poc
@@ -294,6 +326,7 @@ class Encoder:
                                         np.uint8)
         st = FrameState(sps, pps, sh, plan, init_type=init_type,
                         pcm_map=self._pcm_sticky)
+        st._pu_stale = getattr(self, "_pu_stale_carry", (0, 0))
         st.crypto = self.crypto
         st.encrypt_params = cfg.encrypt_params
         if sps.scaling_list_enabled:
@@ -326,6 +359,8 @@ class Encoder:
         self.recon = recon_np.alloc_frame(plan)
         self._exec_pos = 0
         st.level_provider = self._level_provider
+        if self.cfg.cross_component:
+            st.cc_provider = self._cc_provider
         self._plan = plan
 
         nctbs = sps.pic_size_in_ctbs
@@ -375,6 +410,7 @@ class Encoder:
             payload = b""
             entry_points = []       # unescaped substream lengths
             saved_ctx = None
+            prev_ctx = cont_ctx
             for si, (ts0, ts1) in enumerate(bounds):
                 if si == 0 and sli > 0 and cfg.dependent_slices and \
                         cont_ctx is not None:
@@ -383,6 +419,9 @@ class Encoder:
                     ctx = ContextSet(init_type=init_type, qp=sh.slice_qp)
                 if loads[si] and saved_ctx is not None:
                     ctx.load(saved_ctx)
+                    if prev_ctx is not None and ctx is not prev_ctx:
+                        ctx.stat_coeff[:] = prev_ctx.stat_coeff
+                prev_ctx = ctx
                 cont_ctx = ctx
                 enc = CabacEncoder(ctx)
                 io = CabacIO(enc=enc)
@@ -469,6 +508,7 @@ class Encoder:
                              for p in self.recon]),
                         layer_id=self.layer_id)
         self.poc += 1
+        self._pu_stale_carry = getattr(st, "_pu_stale", (0, 0))
         return nal + sei, self.recon, plan
 
     # ------------------------------------------------------------ decisions
@@ -538,6 +578,8 @@ class Encoder:
             if cfg.cu_qp_delta:
                 cu.cu_qp_delta = 0
             return cu
+        if cfg.transquant_bypass and rng.random() < cfg.transquant_bypass:
+            cu.tq_bypass = 1
         nxn = (log2 == sps.log2_min_cb_size and rng.random() < cfg.p_nxn)
         cu.part_mode = PART_NxN if nxn else PART_2Nx2N
         # luma modes chosen from source-pixel heuristic + randomness
@@ -609,6 +651,8 @@ class Encoder:
             cu2 = self._plan_intra_cu_payload(x0, y0, log2)
             return cu2
         cu.pred_mode = MODE_INTER
+        if cfg.transquant_bypass and rng.random() < cfg.transquant_bypass:
+            cu.tq_bypass = 1
         if rng.random() < cfg.p_skip:
             cu.skip = 1
             cu.pred_mode = MODE_INTER
@@ -741,6 +785,11 @@ class Encoder:
         srcb = self.src[c_idx][y:y + n, x:x + n]
         resid = srcb.astype(np.int32) - pred
         bd = self.sps.bit_depth
+        if cu.tq_bypass:
+            levels = np.clip(resid, -32768, 32767).astype(np.int32)
+            if not levels.any():
+                levels[0, 0] = 1
+            return (levels, False) + self._pick_erd(cu, tskip=False)
         tskip = (self.cfg.transform_skip and log2_size == 2 and
                  self.rng.random() < 0.5)
         if tskip:
@@ -758,7 +807,18 @@ class Encoder:
             levels[0, 0] = 1
         if self.cfg.sign_data_hiding:
             levels = _fix_sign_hiding(levels, scan_idx, log2_size)
-        return levels, tskip
+        return (levels, tskip) + self._pick_erd(cu, tskip)
+
+    def _pick_erd(self, cu, tskip):
+        """Explicit-RDPCM (flag, dir) choice for eligible inter TUs."""
+        if (self.cfg.explicit_rdpcm and cu.pred_mode == MODE_INTER and
+                (tskip or cu.tq_bypass) and self.rng.random() < 0.6):
+            return (True, self.rng.randrange(2))
+        return (False, 0)
+
+    def _cc_provider(self, st, cu, c_idx):
+        """Cross-component ResScaleVal choice (log2|alpha| in 0..3)."""
+        return self.rng.choice([0, 1, -1, 2, -2, 4, -4, 8, -8])
 
 
 def _substream_bounds(sps, pps):

@@ -166,7 +166,8 @@ class HevcParser:
                                   vps_list=self.vps_list)
                     self.sps_list[s.sps_id] = s
                 elif t == nalmod.NAL_PPS:
-                    p = parse_pps(nal.rbsp, layer_id=nal.layer_id)
+                    p = parse_pps(nal.rbsp, layer_id=nal.layer_id,
+                                  sps_list=self.sps_list)
                     self.pps_list[p.pps_id] = p
                 elif nalmod.is_vcl(t) and nal.layer_id == 0:
                     got = self._probe_slice(nal)

@@ -333,6 +333,18 @@ class SPS:
     temporal_mvp_enabled: int = 0
     strong_intra_smoothing_enabled: int = 0
     vui_present: int = 0
+    # range extension (hevc_ps.c:1920-1959); extended_precision /
+    # high_precision_offsets / cabac_bypass_alignment parse-only (the
+    # reference logs "not yet implemented" for them, hevc_ps.c:1938-1958)
+    transform_skip_rotation_enabled: int = 0
+    transform_skip_context_enabled: int = 0
+    implicit_rdpcm_enabled: int = 0
+    explicit_rdpcm_enabled: int = 0
+    extended_precision_processing: int = 0
+    intra_smoothing_disabled: int = 0
+    high_precision_offsets_enabled: int = 0
+    persistent_rice_adaptation_enabled: int = 0
+    cabac_bypass_alignment_enabled: int = 0
     # SHVC multilayer SPS (hevc_ps.c:1556-1618): geometry comes from the
     # VPS-extension rep_format instead of explicit fields
     layer_id: int = 0
@@ -498,7 +510,21 @@ def parse_sps(rbsp: bytes, layer_id: int = 0, vps_list=None) -> SPS:
     s.temporal_mvp_enabled = r.u1()
     s.strong_intra_smoothing_enabled = r.u1()
     s.vui_present = r.u1()
-    # VUI + extensions ignored (display-only metadata)
+    # VUI ignored (display-only metadata); the range extension follows it,
+    # so it is only reachable for streams without VUI (ours never carry it)
+    if not s.vui_present and r.u1():        # sps_extension_present_flag
+        range_ext = r.u1()                  # sps_range_extension_flag
+        r.u(7)                              # sps_extension_7bits
+        if range_ext:
+            s.transform_skip_rotation_enabled = r.u1()
+            s.transform_skip_context_enabled = r.u1()
+            s.implicit_rdpcm_enabled = r.u1()
+            s.explicit_rdpcm_enabled = r.u1()
+            s.extended_precision_processing = r.u1()
+            s.intra_smoothing_disabled = r.u1()
+            s.high_precision_offsets_enabled = r.u1()
+            s.persistent_rice_adaptation_enabled = r.u1()
+            s.cabac_bypass_alignment_enabled = r.u1()
     return s
 
 
@@ -572,7 +598,28 @@ def write_sps(s: SPS) -> bytes:
     w.u1(s.temporal_mvp_enabled)
     w.u1(s.strong_intra_smoothing_enabled)
     w.u1(0)                                 # vui_parameters_present_flag
-    w.u1(0)                                 # sps_extension_flag
+    rext = (s.transform_skip_rotation_enabled
+            or s.transform_skip_context_enabled or s.implicit_rdpcm_enabled
+            or s.explicit_rdpcm_enabled or s.extended_precision_processing
+            or s.intra_smoothing_disabled
+            or s.high_precision_offsets_enabled
+            or s.persistent_rice_adaptation_enabled
+            or s.cabac_bypass_alignment_enabled)
+    if rext:
+        w.u1(1)                             # sps_extension_present_flag
+        w.u1(1)                             # sps_range_extension_flag
+        w.u(0, 7)                           # sps_extension_7bits
+        w.u1(s.transform_skip_rotation_enabled)
+        w.u1(s.transform_skip_context_enabled)
+        w.u1(s.implicit_rdpcm_enabled)
+        w.u1(s.explicit_rdpcm_enabled)
+        w.u1(s.extended_precision_processing)
+        w.u1(s.intra_smoothing_disabled)
+        w.u1(s.high_precision_offsets_enabled)
+        w.u1(s.persistent_rice_adaptation_enabled)
+        w.u1(s.cabac_bypass_alignment_enabled)
+    else:
+        w.u1(0)                             # sps_extension_flag
     w.rbsp_trailing_bits()
     return w.get_bytes()
 
@@ -625,6 +672,18 @@ class PPS:
     lists_modification_present: int = 0
     log2_parallel_merge_level: int = 2
     slice_header_extension_present: int = 0
+    # range extension (hevc_ps.c:2086-2151); chroma_qp_offset_list and
+    # log2_max_transform_skip_block_size>2 parse-only, mirroring the
+    # reference's partial support
+    log2_max_transform_skip_block_size: int = 2
+    cross_component_prediction_enabled: int = 0
+    chroma_qp_offset_list_enabled: int = 0
+    diff_cu_chroma_qp_offset_depth: int = 0
+    cb_qp_offset_list: List[int] = field(default_factory=list)
+    cr_qp_offset_list: List[int] = field(default_factory=list)
+    log2_sao_offset_scale_luma: int = 0
+    log2_sao_offset_scale_chroma: int = 0
+    has_range_ext: int = 0
 
     # derived (filled by finalize(sps))
     col_bd: Optional[np.ndarray] = None
@@ -711,7 +770,7 @@ class PPS:
         self.min_tb_addr_zs = zs
 
 
-def parse_pps(rbsp: bytes, layer_id: int = 0) -> PPS:
+def parse_pps(rbsp: bytes, layer_id: int = 0, sps_list=None) -> PPS:
     r = BitReader(rbsp)
     p = PPS()
     p.layer_id = layer_id
@@ -768,6 +827,26 @@ def parse_pps(rbsp: bytes, layer_id: int = 0) -> PPS:
     p.lists_modification_present = r.u1()
     p.log2_parallel_merge_level = r.ue() + 2
     p.slice_header_extension_present = r.u1()
+    # the reference gates pps_range_extensions on the RExt profile
+    # (hevc_ps.c:2421-2427)
+    if r.u1():                              # pps_extension_present_flag
+        range_ext = r.u1()
+        r.u(7)                              # pps_extension_7bits
+        sps = (sps_list or {}).get(p.sps_id)
+        if range_ext and sps is not None and sps.ptl.profile_idc == 4:
+            p.has_range_ext = 1
+            if p.transform_skip_enabled:
+                p.log2_max_transform_skip_block_size = r.ue() + 2
+            p.cross_component_prediction_enabled = r.u1()
+            p.chroma_qp_offset_list_enabled = r.u1()
+            if p.chroma_qp_offset_list_enabled:
+                p.diff_cu_chroma_qp_offset_depth = r.ue()
+                n = r.ue() + 1
+                for _ in range(n):
+                    p.cb_qp_offset_list.append(r.se())
+                    p.cr_qp_offset_list.append(r.se())
+            p.log2_sao_offset_scale_luma = r.ue()
+            p.log2_sao_offset_scale_chroma = r.ue()
     return p
 
 
@@ -825,6 +904,27 @@ def write_pps(p: PPS, sps: SPS) -> bytes:
     w.u1(p.lists_modification_present)
     w.ue(p.log2_parallel_merge_level - 2)
     w.u1(p.slice_header_extension_present)
-    w.u1(0)                                 # pps_extension_flag
+    rext = (p.has_range_ext or p.cross_component_prediction_enabled
+            or p.log2_max_transform_skip_block_size > 2
+            or p.chroma_qp_offset_list_enabled
+            or p.log2_sao_offset_scale_luma or p.log2_sao_offset_scale_chroma)
+    if rext:
+        w.u1(1)                             # pps_extension_present_flag
+        w.u1(1)                             # pps_range_extension_flag
+        w.u(0, 7)
+        if p.transform_skip_enabled:
+            w.ue(p.log2_max_transform_skip_block_size - 2)
+        w.u1(p.cross_component_prediction_enabled)
+        w.u1(p.chroma_qp_offset_list_enabled)
+        if p.chroma_qp_offset_list_enabled:
+            w.ue(p.diff_cu_chroma_qp_offset_depth)
+            w.ue(len(p.cb_qp_offset_list) - 1)
+            for cb, cr in zip(p.cb_qp_offset_list, p.cr_qp_offset_list):
+                w.se(cb)
+                w.se(cr)
+        w.ue(p.log2_sao_offset_scale_luma)
+        w.ue(p.log2_sao_offset_scale_chroma)
+    else:
+        w.u1(0)                             # pps_extension_flag
     w.rbsp_trailing_bits()
     return w.get_bytes()

@@ -16,7 +16,12 @@ from ..cabac.contexts import CTX_OFFSET
 from ..decoder.plan import (IntraOp, ResidualOp, PcmOp, CtbFilterParams,
                             FramePlan)
 from .io import CabacIO
-from .residual import RCParams, decode_residual, encode_residual
+from .residual import (RCParams, decode_residual, encode_residual,
+                       derive_rext_transform)
+from ..cabac.contexts import CTX_OFFSET as _CTXOFF
+
+_RS_ABS = _CTXOFF["log2_res_scale_abs"]
+_RS_SIGN = _CTXOFF["res_scale_sign_flag"]
 from .scans import SCAN_DIAG, SCAN_HORIZ, SCAN_VERT
 
 MODE_INTER = 0
@@ -786,6 +791,7 @@ def _code_intra_pred_info(io: CabacIO, st: FrameState, cu: CUData, x0, y0, log2_
         cu.chroma_modes = cms
         cu.chroma_mode = cms[0]
         cu.intra_mode_c = cu.intra_modes_c[0]
+        st._pu_stale = (cu.intra_modes[0], cu.intra_modes_c[0])
     else:
         # single chroma mode (4:2:0 / 4:2:2; 4:2:2 remaps via the table,
         # hevc.c:2299-2311)
@@ -799,6 +805,7 @@ def _code_intra_pred_info(io: CabacIO, st: FrameState, cu: CUData, x0, y0, log2_
             mode_c = _TAB_MODE_IDX[mode_c]
         cu.intra_mode_c = mode_c
         cu.intra_modes_c = [mode_c] * 4
+        st._pu_stale = (cu.intra_modes[0], cu.intra_modes_c[0])
 
 
 # ---------------------------------------------------------------------------
@@ -818,12 +825,26 @@ def code_transform_tree(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
     if intra_split:
         if depth == 1:
             cur_mode = cu.intra_modes[blk_idx]
-            st._cur_mode_c = (cu.intra_modes_c[blk_idx]
-                              if sps.chroma_format_idc == 3
-                              else cu.intra_modes_c[0])
-    else:
+            if sps.chroma_format_idc == 3:
+                st._cur_mode_c = cu.intra_modes_c[blk_idx]
+                st._cur_cm_c = (cu.chroma_modes[blk_idx]
+                                if cu.chroma_modes is not None
+                                else cu.chroma_mode)
+            else:
+                st._cur_mode_c = cu.intra_modes_c[0]
+                st._cur_cm_c = (cu.chroma_modes[0]
+                                if cu.chroma_modes is not None
+                                else cu.chroma_mode)
+    elif cu.pred_mode == MODE_INTRA:
         cur_mode = cu.intra_modes[0]
         st._cur_mode_c = cu.intra_modes_c[0]
+        st._cur_cm_c = (cu.chroma_modes[0] if cu.chroma_modes is not None
+                        else cu.chroma_mode)
+    else:
+        # inter CUs read the STALE lc->pu modes of the last intra CU in
+        # this entropy context (hevc.c:1472-1474; the reference never
+        # clears them) — reachable via the RExt bypass-RDPCM gates
+        cur_mode, st._cur_mode_c = getattr(st, "_pu_stale", (0, 0))
 
     if (log2_tt <= sps.log2_max_tb_size and log2_tt > sps.log2_min_tb_size and
             depth < max_depth and not (intra_split and depth == 0)):
@@ -1045,27 +1066,40 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
         qp_y = st.qp_y + sps.qp_bd_offset
 
         if tu.cbf_luma:
-            levels, tskip = _code_residual(io, st, cu, 0, log2_tt, scan_idx,
-                                           mode, tu.levels_y, tu.tskip_y,
-                                           x=x0, y=y0)
+            levels, tskip, rot, rdir = _code_residual(
+                io, st, cu, 0, log2_tt, scan_idx, mode, tu.levels_y,
+                tu.tskip_y, x=x0, y=y0)
             tu.levels_y = levels
             tu.tskip_y = tskip
             plan.ops.append(ResidualOp(
                 c_idx=0, x=x0, y=y0, log2_size=log2_tt, levels=levels,
                 qp=qp_y, transform_skip=tskip,
                 use_dst=(cu.pred_mode == MODE_INTRA and log2_tt == 2),
-                transquant_bypass=bool(cu.tq_bypass),
+                transquant_bypass=bool(cu.tq_bypass), rot=rot,
+                rdpcm_dir=rdir,
                 matrix_id=_scaling_mid(st, cu, 0, tskip, log2_tt)))
 
         nblk_c = 2 if sps.chroma_format_idc == 2 else 1
         if log2_tt > 2 or sps.chroma_format_idc == 3:
             tsz_h = 1 << (log2_tt_c + sps.hshift[1])
             tsz_v = 1 << (log2_tt_c + sps.vshift[1])
+            # cross-component prediction (4:4:4 only; hevc.c:1295-1298);
+            # the intra gate tests the chroma-mode SYNTAX value (4 = DM,
+            # lc->tu.chroma_mode_c), not the derived prediction mode
+            cross_pf = bool(pps.cross_component_prediction_enabled and
+                            tu.cbf_luma and sps.chroma_format_idc == 3 and
+                            (cu.pred_mode != MODE_INTRA or
+                             getattr(st, "_cur_cm_c", 0) == 4))
             # 4:2:2 codes two stacked square chroma TUs per component, the
             # second predicted below the first (hevc.c:1302-1340)
             for c_idx, cbf_arr, lv_attr, sk_attr in (
                     (1, tu.cbf_cb, "levels_cb", "tskip_cb"),
                     (2, tu.cbf_cr, "levels_cr", "tskip_cr")):
+                alpha = 0
+                if cross_pf:
+                    sup = (st.cc_provider(st, cu, c_idx)
+                           if getattr(st, "cc_provider", None) else 0)
+                    alpha = _code_cc_alpha(io, st, c_idx - 1, sup)
                 for i in range(nblk_c):
                     yb = y0 + (i << log2_tt_c)
                     if cu.pred_mode == MODE_INTRA:
@@ -1075,7 +1109,7 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
                     if cbf_arr[i]:
                         lv = getattr(tu, lv_attr)
                         sk = getattr(tu, sk_attr)
-                        levels, tskip = _code_residual(
+                        levels, tskip, rot, rdir = _code_residual(
                             io, st, cu, c_idx, log2_tt_c, scan_idx_c, mode_c,
                             lv[i] if isinstance(lv, list) else lv,
                             sk[i] if isinstance(sk, list) else sk,
@@ -1101,8 +1135,20 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
                             qp=st.chroma_qp(st.qp_y, c_idx),
                             transform_skip=tskip,
                             transquant_bypass=bool(cu.tq_bypass),
+                            rot=rot, rdpcm_dir=rdir, cc_alpha=alpha,
                             matrix_id=_scaling_mid(st, cu, c_idx, tskip,
                                                    log2_tt_c)))
+                    elif cross_pf and alpha:
+                        # no coded chroma levels: the scaled luma residual
+                        # alone is added (hevc.c:1315-1330)
+                        import numpy as _np
+                        plan.ops.append(ResidualOp(
+                            c_idx=c_idx, x=x0 >> sps.hshift[1],
+                            y=yb >> sps.vshift[1], log2_size=log2_tt_c,
+                            levels=_np.zeros((1 << log2_tt_c,) * 2,
+                                             _np.int32),
+                            qp=st.chroma_qp(st.qp_y, c_idx),
+                            cc_alpha=alpha, matrix_id=-1))
         elif blk_idx == 3:
             # chroma for the four 4x4 luma TUs, at the parent location
             tsz_h = 1 << (log2_tt + 1)
@@ -1119,7 +1165,7 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
                     if cbf_arr[i]:
                         lv = getattr(tu, lv_attr)
                         sk = getattr(tu, sk_attr)
-                        levels, tskip = _code_residual(
+                        levels, tskip, rot, rdir = _code_residual(
                             io, st, cu, c_idx, log2_tt, scan_idx_c, mode_c,
                             lv[i] if isinstance(lv, list) else lv,
                             sk[i] if isinstance(sk, list) else sk,
@@ -1145,6 +1191,7 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
                             levels=levels, qp=st.chroma_qp(st.qp_y, c_idx),
                             transform_skip=tskip,
                             transquant_bypass=bool(cu.tq_bypass),
+                            rot=rot, rdpcm_dir=rdir,
                             matrix_id=_scaling_mid(st, cu, c_idx, tskip,
                                                    log2_tt)))
     elif cu.pred_mode == MODE_INTRA:
@@ -1178,21 +1225,62 @@ def _scaling_mid(st: FrameState, cu: CUData, c_idx, tskip, log2) -> int:
 def _code_residual(io: CabacIO, st: FrameState, cu: CUData, c_idx, log2_size,
                    scan_idx, pred_mode_intra, supply_levels, supply_tskip,
                    x=0, y=0):
+    sps = st.sps
+    ctxset = io.dec.ctx if io.decoding else io.enc.ctx
     p = RCParams(c_idx=c_idx, log2_size=log2_size, scan_idx=scan_idx,
                  sign_data_hiding=bool(st.pps.sign_data_hiding),
                  transform_skip_enabled=bool(st.pps.transform_skip_enabled),
+                 log2_max_transform_skip_size=int(getattr(
+                     st.pps, "log2_max_transform_skip_block_size", 2)),
                  transquant_bypass=bool(cu.tq_bypass),
                  is_intra=(cu.pred_mode == MODE_INTRA),
                  pred_mode_intra=pred_mode_intra,
+                 implicit_rdpcm=bool(sps.implicit_rdpcm_enabled),
+                 explicit_rdpcm=bool(sps.explicit_rdpcm_enabled),
+                 persistent_rice=bool(sps.persistent_rice_adaptation_enabled),
+                 transform_skip_context=bool(
+                     sps.transform_skip_context_enabled),
+                 rotation_enabled=bool(sps.transform_skip_rotation_enabled),
+                 stat_coeff=ctxset.stat_coeff,
                  crypto=st.crypto, encrypt_params=st.encrypt_params)
     if io.decoding:
         return decode_residual(io.dec, p)
     if supply_levels is None:
-        # lazy level computation by the encoder's decision hook
-        supply_levels, supply_tskip = st.level_provider(
+        # lazy level computation by the encoder's decision hook; providers
+        # may also choose an explicit-rdpcm (flag, dir) for inter TS/bypass
+        got = st.level_provider(
             st, cu, c_idx, x, y, log2_size, scan_idx, pred_mode_intra)
+        if len(got) == 4:
+            supply_levels, supply_tskip, ef, ed = got
+            p.supply_erd = (bool(ef), int(ed))
+        else:
+            supply_levels, supply_tskip = got
     encode_residual(io.enc, p, supply_levels, transform_skip=bool(supply_tskip))
-    return supply_levels, bool(supply_tskip)
+    rot, rdir = derive_rext_transform(p, p.erd_flag,
+                                      p.supply_erd[1] if p.erd_flag else 0)
+    return supply_levels, bool(supply_tskip), rot, rdir
+
+
+def _code_cc_alpha(io: CabacIO, st: FrameState, idx, supply_alpha):
+    """cross-component ResScaleVal syntax (hls_cross_component_pred,
+    hevc.c:1186-1196): TR-coded log2_res_scale_abs_plus1 + sign."""
+    if io.decoding:
+        i = 0
+        while i < 4 and io.dec.decode_bin(_RS_ABS + 4 * idx + i):
+            i += 1
+        if i == 0:
+            return 0
+        sign = io.dec.decode_bin(_RS_SIGN + idx)
+        return (1 << (i - 1)) * (1 - 2 * sign)
+    a = supply_alpha
+    mag = 0 if a == 0 else abs(a).bit_length()   # log2(|a|)+1
+    for i in range(mag):
+        io.enc.encode_bin(_RS_ABS + 4 * idx + i, 1)
+    if mag < 4:
+        io.enc.encode_bin(_RS_ABS + 4 * idx + mag, 0)
+    if mag:
+        io.enc.encode_bin(_RS_SIGN + idx, 1 if a < 0 else 0)
+    return a
 
 
 def get_qpy_pred(st: FrameState, x_base, y_base):

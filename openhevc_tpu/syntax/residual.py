@@ -20,6 +20,8 @@ _SIG = CTX_OFFSET["significant_coeff_flag"]
 _G1 = CTX_OFFSET["coeff_abs_level_greater1_flag"]
 _G2 = CTX_OFFSET["coeff_abs_level_greater2_flag"]
 _TSKIP = CTX_OFFSET["transform_skip_flag"]
+_ERD = CTX_OFFSET["explicit_rdpcm_flag"]
+_ERD_DIR = CTX_OFFSET["explicit_rdpcm_dir_flag"]
 
 # sig_coeff_flag context patterns (hevc_cabac.c:1622-1628 / spec 9.3.4.2.5)
 _CTX_IDX_MAP = (
@@ -45,9 +47,13 @@ class RCParams:
     pred_mode_intra: int = 1
     # RExt switches (all off for Main/Main10)
     implicit_rdpcm: bool = False
-    explicit_rdpcm: bool = False
+    explicit_rdpcm: bool = False        # SPS enable; per-TU flag is decoded
     persistent_rice: bool = False
     transform_skip_context: bool = False
+    rotation_enabled: bool = False      # sps transform_skip_rotation
+    stat_coeff: object = None           # shared int32[4] persistent-rice state
+    # encoder-side supplied explicit-rdpcm choice for this TU
+    supply_erd: tuple = (False, 0)
     # selective encryption (crypto.cpp parity)
     crypto: object = None
     encrypt_params: int = 0
@@ -91,7 +97,7 @@ def _sig_ctx_dc(p: RCParams, i, scf_offset):
 
 
 def decode_residual(dec, p: RCParams):
-    """-> (levels int32 (n,n), transform_skip_flag, rdpcm_dir or None)."""
+    """-> (levels int32 (n,n), transform_skip_flag, rot, rdpcm_dir)."""
     n = 1 << p.log2_size
     levels = np.zeros((n, n), np.int32)
 
@@ -100,7 +106,15 @@ def decode_residual(dec, p: RCParams):
             p.log2_size <= p.log2_max_transform_skip_size):
         p.transform_skip = bool(dec.decode_bin(_TSKIP + (1 if p.c_idx else 0)))
 
-    # (explicit rdpcm not supported yet: RExt)
+    # explicit RDPCM (inter, transform-skip/bypass; hevc_cabac.c:1502-1508)
+    erd_flag = False
+    erd_dir = 0
+    if ((not p.is_intra) and p.explicit_rdpcm and
+            (p.transform_skip or p.transquant_bypass)):
+        erd_flag = bool(dec.decode_bin(_ERD + (1 if p.c_idx else 0)))
+        if erd_flag:
+            erd_dir = dec.decode_bin(_ERD_DIR + (1 if p.c_idx else 0))
+    p.erd_flag = erd_flag
 
     # last significant coefficient position
     offset_c, shift_c = _last_ctx_params(p.c_idx, p.log2_size)
@@ -202,7 +216,7 @@ def decode_residual(dec, p: RCParams):
             elif 0 < greater1_ctx < 3:
                 greater1_ctx += 1
 
-        if p.transquant_bypass or p.explicit_rdpcm or (
+        if p.transquant_bypass or erd_flag or (
                 p.is_intra and p.implicit_rdpcm and p.transform_skip and
                 p.pred_mode_intra in (10, 26)):
             sign_hidden = False
@@ -219,7 +233,8 @@ def decode_residual(dec, p: RCParams):
             coeff_signs = xform_signs(p.crypto, coeff_signs, nb_signs)
         coeff_signs <<= 16 - nb_signs
 
-        c_rice = 0
+        c_rice, sb_type = _rice_init(p)
+        rice_stat_done = False
         sum_abs = 0
         for m in range(n_sig):
             sn = sig_idx[m]
@@ -230,13 +245,15 @@ def decode_residual(dec, p: RCParams):
                 if level == (3 if m == first_g1_idx else 2):
                     rem = _decode_remaining(dec, c_rice, p, base=level)
                     level += rem
-                    if level > (3 << c_rice):
-                        c_rice = min(c_rice + 1, 4)
+                    c_rice = _rice_update(p, c_rice, level, rem, sb_type,
+                                          rice_stat_done)
+                    rice_stat_done = True
             else:
                 rem = _decode_remaining(dec, c_rice, p, base=1)
                 level = 1 + rem
-                if level > (3 << c_rice):
-                    c_rice = min(c_rice + 1, 4)
+                c_rice = _rice_update(p, c_rice, level, rem, sb_type,
+                                      rice_stat_done)
+                rice_stat_done = True
             if p.sign_data_hiding and sign_hidden:
                 sum_abs += level
                 if sn == first_nz and (sum_abs & 1):
@@ -246,7 +263,54 @@ def decode_residual(dec, p: RCParams):
             coeff_signs = (coeff_signs << 1) & 0xFFFF
             levels[y_c, x_c] = level
 
-    return levels, p.transform_skip
+    rot, rdir = derive_rext_transform(p, erd_flag, erd_dir)
+    return levels, p.transform_skip, rot, rdir
+
+
+def _rice_init(p: RCParams):
+    """Per-subset rice parameter init (hevc_cabac.c:1718-1724)."""
+    if not p.persistent_rice:
+        return 0, 0
+    sb_type = 2 * (1 if p.c_idx == 0 else 0)
+    if p.transform_skip or p.transquant_bypass:
+        sb_type += 1
+    return int(p.stat_coeff[sb_type]) // 4, sb_type
+
+
+def _rice_update(p: RCParams, c_rice, level, rem, sb_type, stat_done):
+    """Rice escalation + once-per-subset stat_coeff adaptation
+    (hevc_cabac.c:1776-1788)."""
+    if level > (3 << c_rice):
+        c_rice = c_rice + 1 if p.persistent_rice else min(c_rice + 1, 4)
+    if p.persistent_rice and not stat_done:
+        init = int(p.stat_coeff[sb_type]) // 4
+        if rem >= (3 << init):
+            p.stat_coeff[sb_type] += 1
+        elif 2 * rem < (1 << init):
+            if p.stat_coeff[sb_type] > 0:
+                p.stat_coeff[sb_type] -= 1
+    return c_rice
+
+
+def derive_rext_transform(p: RCParams, erd_flag, erd_dir):
+    """-> (rot, rdpcm_dir) mirroring the residual-coding tail
+    (hevc_cabac.c:1868-1895).  Note the fork gates the implicit-RDPCM of
+    transform-skip blocks on transform_skip_ROTATION_enabled (not
+    implicit_rdpcm_enabled, an upstream divergence) — mirrored for parity.
+    rdpcm_dir: -1 none, 0 horizontal, 1 vertical."""
+    rot = False
+    rdir = -1
+    if p.transquant_bypass:
+        if erd_flag or (p.implicit_rdpcm and p.pred_mode_intra in (10, 26)):
+            rdir = ((1 if p.pred_mode_intra == 26 else 0)
+                    if p.implicit_rdpcm else erd_dir)
+    elif p.transform_skip:
+        rot = (p.rotation_enabled and p.log2_size == 2 and p.is_intra)
+        if erd_flag or (p.rotation_enabled and p.is_intra and
+                        p.pred_mode_intra in (10, 26)):
+            rdir = erd_dir if erd_flag else (1 if p.pred_mode_intra == 26
+                                             else 0)
+    return rot, rdir
 
 
 def _decode_remaining(dec, rice, p=None, base=1):
@@ -313,7 +377,9 @@ def _encode_last_prefix(enc, value, max_v, base, offset_c, shift_c):
 
 def encode_residual(enc, p: RCParams, levels: np.ndarray,
                     transform_skip: bool = False):
-    """Encode one TU's coefficient levels. levels must be non-all-zero."""
+    """Encode one TU's coefficient levels. levels must be non-all-zero.
+    Sets p.erd_flag and returns via derive_rext_transform-compatible state
+    (the caller re-derives rot/rdpcm from p + p.supply_erd)."""
     n = 1 << p.log2_size
     assert levels.shape == (n, n)
 
@@ -321,6 +387,16 @@ def encode_residual(enc, p: RCParams, levels: np.ndarray,
             p.log2_size <= p.log2_max_transform_skip_size):
         enc.encode_bin(_TSKIP + (1 if p.c_idx else 0), 1 if transform_skip else 0)
     p.transform_skip = transform_skip
+
+    erd_flag, erd_dir = p.supply_erd
+    if ((not p.is_intra) and p.explicit_rdpcm and
+            (transform_skip or p.transquant_bypass)):
+        enc.encode_bin(_ERD + (1 if p.c_idx else 0), 1 if erd_flag else 0)
+        if erd_flag:
+            enc.encode_bin(_ERD_DIR + (1 if p.c_idx else 0), erd_dir)
+    else:
+        erd_flag, erd_dir = False, 0
+    p.erd_flag = erd_flag
 
     coeff_scan, cg_scan, full_inv = select_scans(p.scan_idx, p.log2_size)
     nz = levels != 0
@@ -440,7 +516,7 @@ def encode_residual(enc, p: RCParams, levels: np.ndarray,
             elif 0 < greater1_ctx < 3:
                 greater1_ctx += 1
 
-        if p.transquant_bypass or p.explicit_rdpcm or (
+        if p.transquant_bypass or erd_flag or (
                 p.is_intra and p.implicit_rdpcm and transform_skip and
                 p.pred_mode_intra in (10, 26)):
             sign_hidden = False
@@ -465,16 +541,19 @@ def encode_residual(enc, p: RCParams, levels: np.ndarray,
             # hidden sign must equal parity of sum of abs levels
             assert (sum(abs(v) for v in vals) & 1) == (1 if vals[-1] < 0 else 0)
 
-        c_rice = 0
+        c_rice, sb_type = _rice_init(p)
+        rice_stat_done = False
         for m in range(n_sig):
             a = abs(vals[m])
             if m < 8:
                 base = 3 if m == first_g1_idx else 2
                 if a >= base:
                     _encode_remaining(enc, a - base, c_rice, p, base=base)
-                    if a > (3 << c_rice):
-                        c_rice = min(c_rice + 1, 4)
+                    c_rice = _rice_update(p, c_rice, a, a - base, sb_type,
+                                          rice_stat_done)
+                    rice_stat_done = True
             else:
                 _encode_remaining(enc, a - 1, c_rice, p, base=1)
-                if a > (3 << c_rice):
-                    c_rice = min(c_rice + 1, 4)
+                c_rice = _rice_update(p, c_rice, a, a - 1, sb_type,
+                                      rice_stat_done)
+                rice_stat_done = True

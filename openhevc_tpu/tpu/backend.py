@@ -115,26 +115,36 @@ class TpuBackend:
         ipal_env = os.environ.get("OPENHEVC_IPAL", "")
         use_ipal = (ipal_env != "off"
                     and (jax.default_backend() not in ("cpu",)
-                         or ipal_env == "interp")
-                    and intra_pallas.fits_vmem(plan.height, plan.width))
+                         or ipal_env == "interp"))
         ipal = ()
         if use_ipal:
             from ..decoder.plan import IntraOp
             iops = [op for op in plan.ops if isinstance(op, IntraOp)]
             c444 = cfmt == 3
+            ctb = 1 << (plan.log2_ctb_size or 6)
+            bands_l = intra_pallas.band_plan(plan.height, plan.width, ctb)
             for c in range(3):
-                meta = intra_pallas.build_meta(iops, c, c444)
-                if meta is None:
-                    continue
-                tgt = max(meta.shape[0],
-                          self._ipal_chunks[fam].get(c, 1))
-                if meta.shape[0] < tgt:
-                    meta = np.concatenate(
-                        [meta, np.zeros((tgt - meta.shape[0],) +
-                                        meta.shape[1:], np.int32)])
-                self._ipal_chunks[fam][c] = tgt
-                add(("ipal", c), meta)
-                ipal += ((c, tgt),)
+                shs, svs = (hs, vs) if c else (0, 0)
+                hc, wc = plan.height >> svs, plan.width >> shs
+                bands = [(s >> svs, e >> svs) for (s, e) in bands_l]
+                metas = intra_pallas.split_meta_bands(
+                    iops, c, c444, bands,
+                    smoothing_off=bool(plan.intra_smoothing_disabled))
+                entry = ()
+                for bi, ((s, e), meta) in enumerate(zip(bands, metas)):
+                    if meta is None:
+                        continue
+                    tgt = max(meta.shape[0],
+                              self._ipal_chunks[fam].get((c, bi), 1))
+                    if meta.shape[0] < tgt:
+                        meta = np.concatenate(
+                            [meta, np.zeros((tgt - meta.shape[0],) +
+                                            meta.shape[1:], np.int32)])
+                    self._ipal_chunks[fam][(c, bi)] = tgt
+                    add(("ipal", c, bi), meta)
+                    entry += ((s, e, tgt),)
+                if entry:
+                    ipal += ((c, entry),)
 
         # ---- wavefront slots (flat, slot-ordered layout) ----
         if use_ipal:
@@ -181,7 +191,7 @@ class TpuBackend:
             self._resid_len[fam][key] = tgt
             valid = np.zeros(tgt, np.int32)
             valid[:n_rows] = 1
-            for f in ("xs", "ys", "qp", "kind", "mid", "levels"):
+            for f in ("xs", "ys", "qp", "kind", "mid", "xtra", "levels"):
                 v = d[f]
                 if len(v) < tgt:
                     v = np.concatenate(
@@ -190,6 +200,23 @@ class TpuBackend:
             add(("resid", c, n, "valid"), valid)
             resid_keys.append((c, n, tgt))
         resid_keys = tuple(resid_keys)
+
+        # ---- cross-component alpha maps (RExt 4:4:4) ----
+        from ..decoder.plan import ResidualOp as _ROp
+        has_cc = False
+        if cfmt == 3:
+            for c in (1, 2):
+                amap = None
+                for op in plan.ops:
+                    if isinstance(op, _ROp) and op.c_idx == c and op.cc_alpha:
+                        if amap is None:
+                            amap = np.zeros((plan.height, plan.width),
+                                            np.int32)
+                        nn = 1 << op.log2_size
+                        amap[op.y:op.y + nn, op.x:op.x + nn] = op.cc_alpha
+                if amap is not None:
+                    add(("ccmap", c), amap)
+                    has_cc = True
 
         # ---- filter maps ----
         deblock_on = not plan.deblock_disable
@@ -278,5 +305,5 @@ class TpuBackend:
                 "map" if db_maps else plan.tc_offset,
                 plan.cb_qp_offset, plan.cr_qp_offset,
                 has_base, has_scaling, tuple(layout), plan.log2_ctb_size,
-                ipal)
+                ipal, has_cc, bool(plan.intra_smoothing_disabled))
         return (refs, packed, prof)

@@ -80,7 +80,7 @@ def frame_step(refs, packed, prof):
     """
     (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, resid_keys,
      deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
-     has_scaling, layout, log2_ctb, ipal) = prof
+     has_scaling, layout, log2_ctb, ipal, has_cc, smooth_off) = prof
     arrays = _unpack(packed, layout)
     hs = 1 if cfmt in (1, 2) else 0
     vs = 1 if cfmt == 1 else 0
@@ -101,10 +101,10 @@ def frame_step(refs, packed, prof):
     if inter_sizes and use_pallas:
         from .mc_pallas import (mc_batch_pallas, pad_refs as _pad_refs,
                                 clamp_starts as _clamp_starts,
-                                paint_cells, plane_to_cells, cells_to_plane)
+                                scatter_tiles, scatter_pad_shape)
         _B = 32
         refs_p = [_pad_refs(refs[c], _B) for c in range(3)]
-        cell_acc = {0: [], 1: [], 2: []}        # (cells, dst) per plane
+        tile_acc = {0: [], 1: [], 2: []}        # (tiles, xs, ys, valid, h, w)
 
     def _mc(c, b, xs, ys, mvx, mvy, sel, wc, hc):
         if use_pallas:
@@ -150,31 +150,20 @@ def frame_step(refs, packed, prof):
                             (bd - 8))) >> (log2wd + 1), 0, maxv)
             vals = jnp.where((b["pf"] == 3)[:, None, None], bi, uni)
             if use_pallas:
-                # decompose into paint cells (luma 4x4, chroma 2x2)
-                cs = 4 >> (sh_ if c else 0)
-                nh, nw = hc // cs, wc // cs
-                cells = vals.reshape(-1, nh, cs, nw, cs) \
-                    .transpose(0, 1, 3, 2, 4).reshape(-1, cs, cs)
-                Wc4 = planes[c].shape[1] // cs
-                S = (planes[c].shape[0] // cs) * Wc4 + 1
-                dy = (ys // cs)[:, None, None] + \
-                    jnp.arange(nh)[None, :, None]
-                dx = (xs // cs)[:, None, None] + \
-                    jnp.arange(nw)[None, None, :]
-                dst = jnp.where(valid[:, None, None], dy * Wc4 + dx, S - 1)
-                cell_acc[c].append((cells, dst.reshape(-1)))
+                tile_acc[c].append((vals.astype(jnp.int16), xs, ys,
+                                    valid.astype(jnp.int32), hc, wc))
             else:
                 planes[c] = _scatter_set(planes[c], xs, ys, vals, valid)
 
     if inter_sizes and use_pallas:
         for c in range(3):
             Hc, Wc = planes[c].shape
-            cs = 4 >> (hs if c else 0)
-            cv = plane_to_cells(planes[c], cs, cs)
-            cells = jnp.concatenate([a for a, _ in cell_acc[c]])
-            dst = jnp.concatenate([d for _, d in cell_acc[c]])
-            cv = paint_cells(cv, cells, dst.astype(jnp.int32), cs, cs)
-            planes[c] = cells_to_plane(cv, Hc, Wc, cs, cs)
+            Hp, Wp = scatter_pad_shape(Hc, Wc)
+            p16 = jnp.pad(planes[c],
+                          ((0, Hp - Hc), (0, Wp - Wc))).astype(jnp.int16)
+            for (tiles, xs, ys, valid, hc2, wc2) in tile_acc[c]:
+                p16 = scatter_tiles(p16, tiles, xs, ys, valid, hc2, wc2)
+            planes[c] = p16[:Hc, :Wc].astype(jnp.int32)
 
     # ---- residual canvas: the WHOLE frame's dequant+IDCT in one batched
     # dispatch per (plane, size) — residuals never depend on reconstruction,
@@ -185,13 +174,14 @@ def frame_step(refs, packed, prof):
         rcanvas = [jnp.zeros(s, jnp.int32) for s in shapes]
         for (c, n, N) in resid_keys:
             d = {f: arrays[("resid", c, n, f)]
-                 for f in ("xs", "ys", "qp", "kind", "mid", "levels",
+                 for f in ("xs", "ys", "qp", "kind", "mid", "xtra", "levels",
                            "valid")}
             if scalemats is not None:
                 res = residual_batch(d["levels"], d["qp"], d["kind"], n, bd,
-                                     d["mid"], scalemats[n])
+                                     d["mid"], scalemats[n], d["xtra"])
             else:
-                res = residual_batch(d["levels"], d["qp"], d["kind"], n, bd)
+                res = residual_batch(d["levels"], d["qp"], d["kind"], n, bd,
+                                     xtra=d["xtra"])
             h, w = rcanvas[c].shape
             gy = d["ys"][:, None, None] + jnp.arange(n)[None, :, None]
             gx = d["xs"][:, None, None] + jnp.arange(n)[None, None, :]
@@ -200,23 +190,41 @@ def frame_step(refs, packed, prof):
                              jnp.clip(res, -32768, 32767), 0).reshape(-1)
             rcanvas[c] = rcanvas[c].reshape(-1).at[flat_idx].add(vals) \
                 .reshape(h, w)
+        # cross-component prediction (RExt 4:4:4): add the scaled luma
+        # residual canvas with int16 wraparound in flagged TU areas
+        if has_cc:
+            for c in (1, 2):
+                if ("ccmap", c) in arrays:
+                    mixed = (rcanvas[c] +
+                             ((arrays[("ccmap", c)] * rcanvas[0]) >> 3))
+                    rcanvas[c] = ((mixed + 0x8000) & 0xFFFF) - 0x8000
         # inter/PCM-base pixels become final here: recon = clip(pred + res);
         # intra block pixels hold junk until their scan step overwrites them
         planes = [jnp.clip(planes[c] + rcanvas[c], 0, maxv) for c in range(3)]
 
     # ---- intra reconstruction ----
-    # Pallas path: the whole plane's intra blocks reconstruct sequentially
-    # in decode order inside ONE kernel (plane resident in VMEM)
+    # Pallas path: intra blocks reconstruct sequentially in decode order
+    # inside one kernel per (plane, band); <=1080p planes are a single
+    # VMEM-resident band, 4K splits into CTB-row-aligned bands
     if ipal:
-        from .intra_pallas import intra_seq
+        from .intra_pallas import _intra_seq_raw
         interp = jax.default_backend() in ("cpu",)
-        for (c, _nch) in ipal:
+        for (c, bands) in ipal:
             hc, wc = shapes[c]
             rc = rcanvas[c] if rcanvas is not None \
                 else jnp.zeros((hc, wc), jnp.int32)
-            planes[c] = intra_seq(planes[c], rc, arrays[("ipal", c)],
-                                  hc, wc, min(c, 1), bd, strong,
-                                  cfmt == 3 and c > 0, interpret=interp)
+            pc = planes[c]
+            for bi, (s, e, _nch) in enumerate(bands):
+                base = 0 if s == 0 else s - 8
+                hb = e - base
+                band = lax.dynamic_slice_in_dim(pc, base, hb, 0)
+                rband = lax.dynamic_slice_in_dim(rc, base, hb, 0)
+                hprime = hb if e == hc else hb + 64
+                got = _intra_seq_raw(band, rband, arrays[("ipal", c, bi)],
+                                     hprime, hb, wc, min(c, 1), bd, strong,
+                                     cfmt == 3 and c > 0, interp)
+                pc = lax.dynamic_update_slice_in_dim(pc, got, base, 0)
+            planes[c] = pc
 
     # ---- intra wavefront scan ----
     # flat slot-ordered arrays stay loop-invariant; each scan step
@@ -251,7 +259,8 @@ def frame_step(refs, packed, prof):
                     valid = jnp.arange(C) < cnt
                     preds = intra_batch(plane, sxs, sys_, smod, sflg, n,
                                         min(c, 1), bd, strong,
-                                        chroma_444=(cfmt == 3 and c > 0))
+                                        chroma_444=(cfmt == 3 and c > 0),
+                                        smoothing_off=smooth_off)
                     if R is not None:
                         # fuse the residual add: recon = clip(pred + res)
                         gy = sys_[:, None, None] + jnp.arange(n)[None, :, None]

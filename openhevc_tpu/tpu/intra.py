@@ -20,9 +20,9 @@ _INV_ANGLE = jnp.asarray(np.asarray(INV_ANGLE), jnp.int32)         # mode-11
 
 
 @partial(jax.jit, static_argnames=("n", "c_idx", "bit_depth", "strong",
-                                   "chroma_444"))
+                                   "chroma_444", "smoothing_off"))
 def intra_batch(plane, xs, ys, modes, flags, n, c_idx, bit_depth=8,
-                strong=False, chroma_444=False):
+                strong=False, chroma_444=False, smoothing_off=False):
     """Predict a batch of n x n blocks.
 
     plane (H, W) int32; xs/ys (N,) int32 block origins; modes (N,) int32;
@@ -90,8 +90,9 @@ def intra_batch(plane, xs, ys, modes, flags, n, c_idx, bit_depth=8,
     top = jnp.concatenate([corner[:, None], top_lo, top_hi], axis=1)    # (N, 2n+1)
     left = jnp.concatenate([corner[:, None], left_lo, left_hi], axis=1)
 
-    # ---- reference smoothing (spec 8.4.4.2.3): luma, or 4:4:4 chroma ----
-    if c_idx == 0 or chroma_444:
+    # ---- reference smoothing (spec 8.4.4.2.3): luma, or 4:4:4 chroma;
+    # skipped entirely under the RExt intra_smoothing_disabled flag ----
+    if (c_idx == 0 or chroma_444) and not smoothing_off:
         thresh = {8: 7, 16: 1, 32: 0}.get(n, -1)
         min_dist = jnp.minimum(jnp.abs(modes - 26), jnp.abs(modes - 10))
         do_filter = (modes != 1) & (n != 4) & (min_dist > thresh)

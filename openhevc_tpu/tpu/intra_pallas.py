@@ -50,7 +50,7 @@ def _pad_shape(H, W):
     return Hp, Wp
 
 
-def build_meta(ops, c_idx, chroma_444):
+def build_meta(ops, c_idx, chroma_444, smoothing_off=False):
     """Pack one plane's IntraOps (in decode order) into (n_chunks, CHUNK, NF)
     int32 metadata, n_chunks padded to a power of two for profile stability.
     Returns None when the plane has no intra blocks."""
@@ -67,7 +67,7 @@ def build_meta(ops, c_idx, chroma_444):
                  | (4 if op.cand_up_left else 0)
                  | (8 if op.cand_up else 0)
                  | (16 if op.cand_up_right else 0))
-        if c_idx == 0 or chroma_444:
+        if (c_idx == 0 or chroma_444) and not smoothing_off:
             thresh = {8: 7, 16: 1, 32: 0}.get(n, -1)
             if (mode != 1 and n != 4
                     and min(abs(mode - 26), abs(mode - 10)) > thresh):
@@ -438,23 +438,114 @@ def _kernel(meta, plane_in, resid, plane, *, sizes, c_idx, bd, strong,
 
 def intra_seq(plane, resid, meta, H, W, c_idx, bd, strong, c444,
               interpret=False):
-    """Reconstruct all intra blocks of one plane in decode order.
+    """Reconstruct all intra blocks of one plane in decode order (single
+    VMEM-resident band; see intra_seq_banded for planes over budget)."""
+    if not fits_vmem(H, W):
+        raise ValueError("plane exceeds the whole-plane VMEM budget; "
+                         "use intra_seq_banded")
+    return _intra_seq_raw(plane, resid, meta, H, H, W, c_idx, bd, strong,
+                          c444, interpret)
 
-    plane: (H, W) int32 with inter/residual pixels final (intra areas junk);
-    resid: (H, W) int32 residual canvas; meta: (n_chunks, CHUNK, NF) int32.
-    Returns the updated (H, W) int32 plane.
-    """
-    sizes = (4, 8, 16, 32) if (c_idx == 0 or c444) else (4, 8, 16)
+
+def fits_vmem(H, W):
+    """Whole-plane-resident budget: padded plane + residual in int16."""
     Hp, Wp = _pad_shape(H, W)
-    pp = jnp.pad(plane, ((0, Hp - H), (0, Wp - W)), mode="edge") \
+    return (Hp + H + 16) * Wp * 2 <= 11 * 2 ** 20
+
+
+def band_plan(H, W, ctb, budget=11 * 2 ** 20):
+    """Split picture rows into CTB-row-aligned bands whose working set
+    (band plane + residual, int16) fits the VMEM budget.  Returns a list of
+    (start, end) row ranges; a single (0, H) band means no banding."""
+    Hp, Wp = _pad_shape(H, W)
+    if (Hp + H + 16) * Wp * 2 <= budget:
+        return [(0, H)]
+    per_row_bytes = 2 * Wp * 2
+    overhead = (PAD + 16 + 24) * Wp * 2 * 2
+    rows = max(ctb, ((budget - overhead) // per_row_bytes) // ctb * ctb)
+    bands = []
+    s = 0
+    while s < H:
+        e = min(H, s + rows)
+        if H - e < ctb and e < H:      # avoid a tiny tail band
+            e = H
+        bands.append((s, e))
+        s = e
+    return bands
+
+
+def split_meta_bands(ops, c_idx, chroma_444, bands, smoothing_off=False):
+    """build_meta per band: block (x, y) with y in [s, e) goes to that
+    band, y rebased to the band buffer (origin s - 8 rows of context,
+    except band 0 which starts at row 0)."""
+    out = []
+    for (s, e) in bands:
+        base = 0 if s == 0 else s - 8
+        sel = [op for op in ops
+               if op.c_idx == c_idx and s <= op.y < e]
+
+        class _R:      # rebased view
+            pass
+
+        rops = []
+        for op in sel:
+            r = _R()
+            r.c_idx = op.c_idx
+            r.x = op.x
+            r.y = op.y - base
+            r.size = op.size
+            r.mode = op.mode
+            r.cand_bottom_left = op.cand_bottom_left
+            r.cand_left = op.cand_left
+            r.cand_up_left = op.cand_up_left
+            r.cand_up = op.cand_up
+            r.cand_up_right = op.cand_up_right
+            rops.append(r)
+        out.append(build_meta(rops, c_idx, chroma_444, smoothing_off))
+    return out
+
+
+def intra_seq_banded(plane, resid, metas, bands, H, W, c_idx, bd, strong,
+                     c444, interpret=False):
+    """Banded variant for planes over the VMEM budget (4K).
+
+    Bands are CTB-row aligned, so bottom-left references never cross a
+    band boundary with cand_bottom_left set (the below-left CTB row is
+    later in decode order); reads below the band edge hit masked junk.
+    Each band buffer carries 8 context rows above (the previous band's
+    final pixels) and PAD apron rows below.
+    """
+    out = plane
+    for (s, e), meta in zip(bands, metas):
+        if meta is None:
+            continue
+        base = 0 if s == 0 else s - 8
+        hb = e - base
+        band = lax.dynamic_slice_in_dim(out, base, hb, 0)
+        rband = lax.dynamic_slice_in_dim(resid, base, hb, 0)
+        # middle bands never trigger the bottom apron (no block reaches
+        # the buffer's H'), the last band replicates the picture edge
+        hprime = hb if e == H else hb + PAD
+        got = _intra_seq_raw(band, rband, meta, hprime, hb, W, c_idx, bd,
+                             strong, c444, interpret)
+        out = lax.dynamic_update_slice_in_dim(out, got, base, 0)
+    return out
+
+
+def _intra_seq_raw(plane, resid, meta, H_edge, hb, W, c_idx, bd, strong,
+                   c444, interpret):
+    """One band kernel launch: `plane` is the (hb, W) band buffer,
+    H_edge the row count that triggers bottom-apron replication."""
+    sizes = (4, 8, 16, 32) if (c_idx == 0 or c444) else (4, 8, 16)
+    Hp, Wp = _pad_shape(hb, W)
+    pp = jnp.pad(plane, ((0, Hp - hb), (0, Wp - W)), mode="edge") \
         .astype(jnp.int16)
     rp = jnp.pad(jnp.clip(resid, -32768, 32767).astype(jnp.int16),
                  ((0, 16), (0, Wp - W)))
     n_chunks = meta.shape[0]
-
     kern = partial(_kernel, sizes=sizes, c_idx=c_idx, bd=bd,
-                   strong=bool(strong), c444=c444, H=H, W=W)
-    out = pl.pallas_call(
+                   strong=bool(strong), c444=c444, H=H_edge, W=W)
+    got = pl.pallas_call(
         kern,
         grid=(n_chunks,),
         in_specs=[
@@ -462,7 +553,7 @@ def intra_seq(plane, resid, meta, H, W, c_idx, bd, strong, c444,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((Hp, Wp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H + 16, Wp), lambda i: (0, 0),
+            pl.BlockSpec((hb + 16, Wp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Hp, Wp), lambda i: (0, 0),
@@ -471,10 +562,4 @@ def intra_seq(plane, resid, meta, H, W, c_idx, bd, strong, c444,
         input_output_aliases={1: 0},
         interpret=interpret,
     )(meta, pp, rp)
-    return out[:H, :W].astype(jnp.int32)
-
-
-def fits_vmem(H, W):
-    """Whole-plane-resident budget: padded plane + residual in int16."""
-    Hp, Wp = _pad_shape(H, W)
-    return (Hp + H + 16) * Wp * 2 <= 11 * 2 ** 20
+    return got[:hb, :W].astype(jnp.int32)

@@ -184,3 +184,77 @@ def plane_to_cells(plane, ch=4, cw=4):
 def cells_to_plane(cells, H, W, ch=4, cw=4):
     c = cells[:-1].reshape(H // ch, W // cw, ch, cw).transpose(0, 2, 1, 3)
     return c.reshape(H, W)
+
+
+# ---------------------------------------------------------------------------
+# Tile scatter: write combined MC tiles straight into the padded plane.
+#
+# Replaces the 4x4 cell paint (grid step per cell + full-plane cell-major
+# reshapes, ~100 ms/frame at 1080p) with one RMW band store per PU tile:
+# the aligned 256-lane band containing the tile is loaded, the tile rotated
+# into lane position (dynamic roll) and shifted into sublane position
+# (0/2/4/6 static-concat select), and the masked merge stored back.  Tiles
+# are spatially disjoint, so the sequential grid needs no ordering.
+# ---------------------------------------------------------------------------
+
+SBAND = 256
+
+
+def _scatter_kernel(xs_ref, ys_ref, valid_ref, tiles_ref, plane_in, plane,
+                    *, h, w):
+    del plane_in                       # aliased with the output ref
+    i = pl.program_id(0)
+
+    @pl.when(valid_ref[i] != 0)
+    def _():
+        x = xs_ref[i]
+        y = ys_ref[i]
+        xb = pl.multiple_of((x >> 7) << 7, 128)
+        off = x - xb
+        y8 = pl.multiple_of((y >> 3) << 3, 8)
+        d = y - y8                     # 0/2/4/6 (tile origins are 2-aligned)
+        tile = tiles_ref[0].astype(jnp.int32)
+        tb = jnp.pad(tile, ((0, 0), (0, SBAND - w)))
+        tr = pltpu.roll(tb, off, axis=1)
+        R = h + 8
+        z = jnp.zeros((8, SBAND), jnp.int32)
+        cats = [jnp.concatenate([tr, z], axis=0)] + [
+            jnp.concatenate([z[:dd, :], tr, z[:8 - dd, :]], axis=0)
+            for dd in (2, 4, 6)]
+        vd = jnp.where(d == 0, cats[0],
+              jnp.where(d == 2, cats[1],
+               jnp.where(d == 4, cats[2], cats[3])))
+        ri = jax.lax.broadcasted_iota(jnp.int32, (R, SBAND), 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (R, SBAND), 1)
+        mask = ((ri >= d) & (ri < d + h) &
+                (li >= off) & (li < off + w))
+        sub = plane[pl.ds(y8, R), pl.ds(xb, SBAND)]
+        plane[pl.ds(y8, R), pl.ds(xb, SBAND)] = \
+            jnp.where(mask, vd, sub.astype(jnp.int32)).astype(plane.dtype)
+
+
+def scatter_tiles(plane, tiles, xs, ys, valid, h, w, interpret=False):
+    """RMW-store (N, h, w) tiles into the padded (Hp, Wp) int16 plane at
+    (ys, xs); rows of `valid`==0 are skipped.  Returns the updated plane."""
+    N = tiles.shape[0]
+    Hp, Wp = plane.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i, xs, ys, v: (i, 0, 0)),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        partial(_scatter_kernel, h=h, w=w),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), plane.dtype),
+        input_output_aliases={4: 0},   # plane (after 3 prefetch + tiles)
+        interpret=interpret,
+    )(xs, ys, valid, tiles, plane)
+
+
+def scatter_pad_shape(H, W):
+    Hp = -(-(H + 8) // 8) * 8
+    Wp = -(-W // 128) * 128 + SBAND
+    return Hp, Wp

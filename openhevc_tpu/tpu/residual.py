@@ -38,12 +38,15 @@ def _inv_stage(mat, coeffs, shift):
 
 
 @partial(jax.jit, static_argnames=("n", "bit_depth"))
-def residual_batch(levels, qp, kind, n, bit_depth=8, mids=None, smats=None):
+def residual_batch(levels, qp, kind, n, bit_depth=8, mids=None, smats=None,
+                   xtra=None):
     """levels (N, n, n) int32, qp (N,) int32, kind (N,) int32 -> residuals.
 
     dequant: clip16((lv * m * levelScale[qp%6] << (qp/6) + add) >> shift)
     with m = 16 (flat) or the scaling-list factor; then per-kind inverse
     transform.  mids (N,) selects into smats (6, n, n); mid -1 = flat.
+    xtra (N,) packs the RExt per-block transforms: bits 0-1 rdpcm
+    (0 none / 1 horizontal / 2 vertical), bit 2 transform-skip rotation.
     """
     shift = bit_depth + (n.bit_length() - 1) - 5
     scale = (_LEVEL_SCALE[qp % 6] << (qp // 6))[:, None, None]
@@ -79,15 +82,25 @@ def residual_batch(levels, qp, kind, n, bit_depth=8, mids=None, smats=None):
                                       20 - bit_depth), 1, 2)
         out = jnp.where((kind == KIND_DST)[:, None, None], dst, out)
 
-    # transform skip
+    # transform skip (RExt rotation: reverse dequantized 4x4 coeffs first)
+    deq_s = deq
+    if xtra is not None and n == 4:
+        rot = ((xtra >> 2) & 1)[:, None, None]
+        deq_s = jnp.where(rot == 1, jnp.flip(jnp.flip(deq, 1), 2), deq)
     ts_shift = 15 - bit_depth - (n.bit_length() - 1)
     if ts_shift > 0:
-        skip = (deq + (1 << (ts_shift - 1))) >> ts_shift
+        skip = (deq_s + (1 << (ts_shift - 1))) >> ts_shift
     else:
-        skip = deq << -ts_shift
+        skip = deq_s << -ts_shift
     out = jnp.where((kind == KIND_SKIP)[:, None, None], skip, out)
     # transquant bypass: raw levels
     out = jnp.where((kind == KIND_BYPASS)[:, None, None], levels, out)
+    if xtra is not None:
+        # RDPCM: int16-wraparound cumulative sums (transform_rdpcm)
+        rd = (xtra & 3)[:, None, None]
+        wrap = lambda v: ((v + 0x8000) & 0xFFFF) - 0x8000
+        out = jnp.where(rd == 1, wrap(jnp.cumsum(out, axis=2)),
+               jnp.where(rd == 2, wrap(jnp.cumsum(out, axis=1)), out))
     return out
 
 

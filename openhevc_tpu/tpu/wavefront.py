@@ -97,6 +97,7 @@ def schedule_slots(plan, min_caps=None, intra=True):
         qp = np.zeros(N, np.int32)
         kind = np.zeros(N, np.int32)
         mid = np.full(N, -1, np.int32)
+        xtra = np.zeros(N, np.int32)
         levels = np.zeros((N, n, n), np.int32)
         for i, op in enumerate(items):
             xs[i] = op.x
@@ -111,9 +112,10 @@ def schedule_slots(plan, min_caps=None, intra=True):
                 kind[i] = KIND_DST
             else:
                 kind[i] = KIND_DCT
+            xtra[i] = (op.rdpcm_dir + 1) | ((4 if op.rot else 0))
             levels[i] = op.levels
         resid[key] = dict(xs=xs, ys=ys, qp=qp, kind=kind, mid=mid,
-                          levels=levels)
+                          xtra=xtra, levels=levels)
 
     # first pass: natural wave assignment to size the capacities
     natural = []

@@ -80,3 +80,29 @@ def test_paint_cells(cs):
         y, x = (dst[i] // Wc) * cs, (dst[i] % Wc) * cs
         want[y:y + cs, x:x + cs] = cells[i]
     np.testing.assert_array_equal(out, want)
+
+
+def test_scatter_tiles_rmw():
+    """Tile scatter (RMW band stores) leaves untouched pixels intact and
+    places every valid tile exactly, at awkward plane sizes."""
+    import jax.numpy as jnp
+    from openhevc_tpu.tpu.mc_pallas import scatter_tiles, scatter_pad_shape
+    rng = np.random.default_rng(0)
+    H, W = 36, 150
+    Hp, Wp = scatter_pad_shape(H, W)
+    plane = rng.integers(0, 1023, (Hp, Wp)).astype(np.int16)
+    ref = plane.copy()
+    for (h, w) in ((16, 16), (4, 16), (2, 8), (8, 2)):
+        N = 7
+        xs = (rng.integers(0, (W - w) // 2, N) * 2).astype(np.int32)
+        ys = (rng.integers(0, (H - h) // 2, N) * 2).astype(np.int32)
+        valid = rng.integers(0, 2, N).astype(np.int32)
+        valid[0] = 1
+        tiles = rng.integers(0, 1023, (N, h, w)).astype(np.int16)
+        for i in range(N):
+            if valid[i]:
+                ref[ys[i]:ys[i] + h, xs[i]:xs[i] + w] = tiles[i]
+        plane = np.asarray(scatter_tiles(
+            jnp.asarray(plane), jnp.asarray(tiles), jnp.asarray(xs),
+            jnp.asarray(ys), jnp.asarray(valid), h, w, interpret=True))
+    assert np.array_equal(plane, ref)
