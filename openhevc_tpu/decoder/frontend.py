@@ -309,16 +309,7 @@ class Frontend:
         ts0 = int(pps.ctb_addr_rs_to_ts[sh.slice_segment_addr])
         assert ts0 == cur["next_ts"], \
             f"slice starts at ts {ts0}, expected {cur['next_ts']}"
-        use_native = self.use_native
-        if use_native and (sps.implicit_rdpcm_enabled
-                           or sps.explicit_rdpcm_enabled
-                           or sps.persistent_rice_adaptation_enabled
-                           or sps.transform_skip_context_enabled
-                           or sps.transform_skip_rotation_enabled
-                           or pps.cross_component_prediction_enabled):
-            # RExt coding tools not in the C front-end yet: python walker
-            use_native = False
-        if use_native:
+        if self.use_native:
             cur["next_ts"] = self._decode_slice_native(
                 sh, sps, pps, init_type, payload, cur,
                 data_start, skipped) + 1
@@ -447,11 +438,15 @@ class Frontend:
             cur["native_pic"] = alloc_pic_buffers(sps, pps, sh,
                                                   pcm_map=self._pcm_sticky)
         ts0 = int(pps.ctb_addr_rs_to_ts[sh.slice_segment_addr])
+        if not hasattr(self, "_native_rext"):
+            import numpy as _np
+            self._native_rext = _np.zeros(6, _np.int32)
         out = decode_slice_native(sps, pps, sh, self.nal_type, payload,
                                   plan.poc, st.rpl, collocated, init_type,
                                   ts0, sps.pic_size_in_ctbs - 1,
                                   pic=cur["native_pic"], rpl_lt=st.rpl_lt,
-                                  data_start=data_start, skipped=skipped)
+                                  data_start=data_start, skipped=skipped,
+                                  rext_state=self._native_rext)
         cur["native_out"] = out
         return out["last_ts"]
 

@@ -43,6 +43,8 @@ _PARAM_FIELDS = [
     "init_state", "slice_start", "stop_at_eos", "ctx_load", "wpp_save_ctx",
     "save_ctx_end",
     "has_wp", "wp_denom_y", "wp_denom_c",
+    "implicit_rdpcm", "explicit_rdpcm", "persistent_rice", "ts_context",
+    "ts_rotation", "cross_component",
 ]
 
 
@@ -123,7 +125,8 @@ def alloc_pic_buffers(sps, pps, sh, pcm_map=None):
 def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
                         rpl, collocated, init_type, first_ts, last_ts,
                         pcm_map=None, pic=None, stop_at_eos=False,
-                        rpl_lt=None, data_start=0, skipped=()):
+                        rpl_lt=None, data_start=0, skipped=(),
+                        rext_state=None):
     """Run the native CTU walk; returns raw output arrays.
 
     -> dict with ops, levels, mvf_*, vbs, hbs, qp_y_tab, pcm_map, sao, err,
@@ -132,6 +135,8 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
     instead of a fixed CTB range (multi-slice pictures).
     """
     lib = get_lib()
+    if rext_state is None:
+        rext_state = np.zeros(6, np.int32)
     p = SliceParams()
     p.width, p.height = sps.width, sps.height
     p.bit_depth = sps.bit_depth
@@ -145,6 +150,11 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
     p.amp_enabled = sps.amp_enabled
     p.sao_enabled_sps = sps.sao_enabled
     p.strong_intra_smoothing = sps.strong_intra_smoothing_enabled
+    p.implicit_rdpcm = sps.implicit_rdpcm_enabled
+    p.explicit_rdpcm = sps.explicit_rdpcm_enabled
+    p.persistent_rice = sps.persistent_rice_adaptation_enabled
+    p.ts_context = sps.transform_skip_context_enabled
+    p.ts_rotation = sps.transform_skip_rotation_enabled
     p.pcm_enabled = sps.pcm_enabled
     p.pcm_log2_min = sps.pcm_log2_min_size
     p.pcm_log2_max = sps.pcm_log2_max_size
@@ -161,6 +171,7 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
     p.cr_qp_offset = pps.cr_qp_offset + sh.slice_cr_qp_offset
     p.transquant_bypass_enabled = pps.transquant_bypass_enabled
     p.transform_skip_enabled = pps.transform_skip_enabled
+    p.cross_component = pps.cross_component_prediction_enabled
     p.tiles_enabled = pps.tiles_enabled
     p.entropy_coding_sync = pps.entropy_coding_sync_enabled
     p.loop_filter_across_tiles = pps.loop_filter_across_tiles_enabled
@@ -299,7 +310,8 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
             cp(levels[lv_total:]), ctypes.c_int64(lv_cap - lv_total),
             cp(mvf_mv), cp(mvf_poc), cp(mvf_pred), cp(mvf_ref_idx),
             cp(vbs), cp(hbs), cp(qp_y_tab), cp(pcm_map), cp(sao_out),
-            cp(cbf_luma), cp(scratch), cp(ctx_io), cp(out_sizes))
+            cp(cbf_luma), cp(scratch), cp(ctx_io), cp(rext_state),
+            cp(out_sizes))
         if out_sizes[2] != 0 or ops_total + out_sizes[0] > ops_cap or \
                 lv_total + out_sizes[1] > lv_cap:
             raise RuntimeError(f"native front-end error {out_sizes[2]}")
@@ -328,7 +340,7 @@ def _rebase_levels(ops, delta, has_wp=False):
             i += 11
         elif t == 2:
             ops[i + 7] += delta
-            i += 8
+            i += 9
         elif t == 3:
             i += 12 + (14 if has_wp else 0)
         elif t == 4:                    # PCM: samples live in the level buffer
@@ -368,9 +380,9 @@ def ops_to_plan_ops(raw_ops, raw_levels, sps, has_wp=False):
                                top_right_size=max(0, trs)))
             i += 11
         elif t == 2:
-            c_idx, x, y, log2n, qp, kind, off = (
+            c_idx, x, y, log2n, qp, kind, off, rext = (
                 int(o[i+1]), int(o[i+2]), int(o[i+3]), int(o[i+4]),
-                int(o[i+5]), int(o[i+6]), int(o[i+7]))
+                int(o[i+5]), int(o[i+6]), int(o[i+7]), int(o[i+8]))
             nn = 1 << log2n
             lv = raw_levels[off:off + nn * nn].reshape(nn, nn)
             mid = (kind >> 3) - 1           # packed matrix id, -1 = flat
@@ -380,8 +392,11 @@ def ops_to_plan_ops(raw_ops, raw_levels, sps, has_wp=False):
                                   transform_skip=(kind == 2),
                                   use_dst=(kind == 1),
                                   transquant_bypass=(kind == 3),
+                                  rdpcm_dir=(rext & 3) - 1,
+                                  rot=bool(rext & 4),
+                                  cc_alpha=((rext >> 8) & 63) - 16,
                                   matrix_id=mid))
-            i += 8
+            i += 9
         elif t == 3:
             x, y, w, h, pf = (int(o[i+1]), int(o[i+2]), int(o[i+3]),
                               int(o[i+4]), int(o[i+5]))

@@ -131,6 +131,9 @@ struct SliceParams {                 // keep in sync with native/__init__.py
     int32_t save_ctx_end;                // 1 = save ctx at end of segment
                                          //     (dependent slice segments)
     int32_t has_wp, wp_denom_y, wp_denom_c;
+    // RExt tool enables (sps/pps range extensions)
+    int32_t implicit_rdpcm, explicit_rdpcm, persistent_rice, ts_context,
+        ts_rotation, cross_component;
     int32_t wp_w[2][16][3];              // [list][ref][y/cb/cr] weights
     int32_t wp_o[2][16][3];              // offsets
     int32_t rpl_lt[2][16];               // long-term flag per (list, ref)
@@ -171,6 +174,9 @@ struct Ctx {
     int end_of_tiles_x, end_of_tiles_y;
     int boundary_up, boundary_left; // slice|tile<<1
     int qp_y, qp_y_pred, first_qp_group, is_cu_qp_delta_coded, cu_qp_delta;
+    // persistent RExt state (borrowed, decoder lifetime):
+    // [0..3] stat_coeff, [4] stale pu intra mode, [5] stale pu chroma mode
+    int32_t *rext;
     int cur_cu_x0, cur_cu_y0;
     int ct_depth_cur;
     int min_cb_w, min_cb_h, w4, h4, w8, h8;
@@ -358,9 +364,11 @@ static inline int decode_remaining(Cabac &cc, int rice) {
     return (((1 << pm3) + 2) << rice) + cc.bypass_bits(pm3 + rice);
 }
 
-// returns transform_skip flag; levels written (n*n int32, row-major)
+// returns transform_skip flag; levels written (n*n int32, row-major);
+// out_rot/out_rdir receive the RExt post-transforms (rot 0/1, rdir -1/0/1)
 static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
-                           int tq_bypass, int32_t *lv) {
+                           int tq_bypass, int is_intra, int pred_intra,
+                           int32_t *lv, int *out_rot, int *out_rdir) {
     const SliceParams *p = c.p;
     Cabac &cc = c.cc;
     int n = 1 << log2n;
@@ -369,6 +377,15 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
     int tskip = 0;
     if (!tq_bypass && p->transform_skip_enabled && log2n <= 2)
         tskip = cc.decode_bin(CTX_TRANSFORM_SKIP_FLAG + (c_idx ? 1 : 0));
+
+    // explicit RDPCM (inter, transform-skip/bypass; hevc_cabac.c:1502-1508)
+    int erd_flag = 0, erd_dir = 0;
+    if (!is_intra && p->explicit_rdpcm && (tskip || tq_bypass)) {
+        erd_flag = cc.decode_bin(CTX_EXPLICIT_RDPCM_FLAG + (c_idx ? 1 : 0));
+        if (erd_flag)
+            erd_dir = cc.decode_bin(CTX_EXPLICIT_RDPCM_DIR_FLAG +
+                                    (c_idx ? 1 : 0));
+    }
 
     // last significant position
     int offset_c, shift_c;
@@ -435,7 +452,12 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
         if (csbf[y_cg][x_cg] && n_end >= 0) {
             const uint8_t *map;
             int scf_offset = c_idx ? 27 : 0;
-            if (log2n == 2) map = CTX_IDX_MAP[0];
+            int ts_ctx = p->ts_context && (tskip || tq_bypass);
+            if (ts_ctx) {
+                // transform-skip sig contexts (hevc_cabac.c:1633-1640)
+                map = CTX_IDX_MAP[4];
+                scf_offset = c_idx ? 14 + 27 : 40;
+            } else if (log2n == 2) map = CTX_IDX_MAP[0];
             else {
                 map = CTX_IDX_MAP[prev_sig + 1];
                 if (c_idx == 0) {
@@ -457,7 +479,8 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
             }
             if (implicit_nz == 0) {
                 int off0;
-                if (i == 0) off0 = c_idx ? 27 : 0;
+                if (ts_ctx) off0 = c_idx ? 16 + 27 : 42;
+                else if (i == 0) off0 = c_idx ? 27 : 0;
                 else off0 = 2 + scf_offset;
                 if (cc.decode_bin(CTX_SIGNIFICANT_COEFF_FLAG + off0))
                     sig_idx[n_sig++] = 0;
@@ -482,7 +505,12 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
                 if (first_g1 == -1) first_g1 = m;
             } else if (greater1_ctx > 0 && greater1_ctx < 3) greater1_ctx++;
         }
-        int sign_hidden = tq_bypass ? 0 : ((last_nz - first_nz) >= 4);
+        int sign_hidden;
+        if (tq_bypass || erd_flag ||
+            (is_intra && p->implicit_rdpcm && tskip &&
+             (pred_intra == 10 || pred_intra == 26)))
+            sign_hidden = 0;
+        else sign_hidden = (last_nz - first_nz) >= 4;
         if (first_g1 != -1)
             g1[first_g1] += cc.decode_bin(CTX_COEFF_ABS_LEVEL_GREATER2_FLAG +
                                           ctx_set + (c_idx ? 4 : 0));
@@ -490,23 +518,43 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
         int nb_signs = n_sig - (hide ? 1 : 0);
         uint32_t signs = cc.bypass_bits(nb_signs) << (16 - nb_signs);
 
-        int c_rice = 0;
+        int c_rice = 0, sb_type = 0, rice_done = 0;
+        if (p->persistent_rice) {
+            sb_type = 2 * (c_idx == 0 ? 1 : 0) +
+                      ((tskip || tq_bypass) ? 1 : 0);
+            c_rice = c.rext[sb_type] / 4;
+        }
         int64_t sum_abs = 0;
         for (int m = 0; m < n_sig; m++) {
             int sn = sig_idx[m];
             int xc = (x_cg << 2) + sc.cx[sn];
             int yc = (y_cg << 2) + sc.cy[sn];
             int64_t level;
+            int rem = -1;
             if (m < 8) {
                 level = 1 + g1[m];
                 int esc = (m == first_g1) ? 3 : 2;
                 if (level == esc) {
-                    level += decode_remaining(cc, c_rice);
-                    if (level > (3 << c_rice) && c_rice < 4) c_rice++;
+                    rem = decode_remaining(cc, c_rice);
+                    level += rem;
                 }
             } else {
-                level = 1 + decode_remaining(cc, c_rice);
-                if (level > (3 << c_rice) && c_rice < 4) c_rice++;
+                rem = decode_remaining(cc, c_rice);
+                level = 1 + rem;
+            }
+            if (rem >= 0) {
+                if (level > (3 << c_rice))
+                    c_rice = p->persistent_rice ? c_rice + 1
+                                                : (c_rice < 4 ? c_rice + 1
+                                                              : c_rice);
+                // once-per-subset stat adaptation (hevc_cabac.c:1780-1788)
+                if (p->persistent_rice && !rice_done) {
+                    int ci = c.rext[sb_type] / 4;
+                    if (rem >= (3 << ci)) c.rext[sb_type]++;
+                    else if (2 * rem < (1 << ci) && c.rext[sb_type] > 0)
+                        c.rext[sb_type]--;
+                    rice_done = 1;
+                }
             }
             if (hide) {
                 sum_abs += level;
@@ -519,7 +567,32 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
             lv[yc * n + xc] = (int32_t)level;
         }
     }
+    // RExt post-transform derivation (hevc_cabac.c:1868-1895; the fork
+    // gates the transform-skip implicit path on ts_ROTATION, mirrored)
+    int rot = 0, rdir = -1;
+    if (tq_bypass) {
+        if (erd_flag || (p->implicit_rdpcm &&
+                         (pred_intra == 10 || pred_intra == 26)))
+            rdir = p->implicit_rdpcm ? (pred_intra == 26) : erd_dir;
+    } else if (tskip) {
+        rot = p->ts_rotation && log2n == 2 && is_intra;
+        if (erd_flag || (p->ts_rotation && is_intra &&
+                         (pred_intra == 10 || pred_intra == 26)))
+            rdir = erd_flag ? erd_dir : (pred_intra == 26);
+    }
+    *out_rot = rot;
+    *out_rdir = rdir;
     return tskip;
+}
+
+// cross-component ResScaleVal (hls_cross_component_pred, hevc.c:1186-1196)
+static int decode_cc_alpha(Ctx &c, int idx) {
+    Cabac &cc = c.cc;
+    int i = 0;
+    while (i < 4 && cc.decode_bin(CTX_LOG2_RES_SCALE_ABS + 4 * idx + i)) i++;
+    if (!i) return 0;
+    int sign = cc.decode_bin(CTX_RES_SCALE_SIGN_FLAG + idx);
+    return (1 << (i - 1)) * (1 - 2 * sign);
 }
 
 // ---------------------------------------------------------------------------
@@ -676,6 +749,7 @@ struct CuInfo {
     int rqt_root_cbf, merge_flag0, pcm;
     int intra_modes[4], intra_mode_c, chroma_mode;
     int intra_modes_c[4];   // 4:4:4 NxN: per-partition (hevc.c:2286)
+    int chroma_modes[4];    // chroma-mode SYNTAX values (4 = DM)
 };
 
 // spec 8.5.3.1.2 spatial merge candidates -> list (up to max_num_merge_cand)
@@ -1268,10 +1342,13 @@ static inline int pack_mid(const SliceParams *p, int pred_mode, int c_idx,
 }
 
 static void emit_resid_op(Ctx &c, int c_idx, int x, int y, int log2n, int qp,
-                          int kind, const int32_t *lv) {
+                          int kind, const int32_t *lv, int rot = 0,
+                          int rdir = -1, int alpha = 0) {
     int n = 1 << log2n;
+    // rext word: bits 0-1 rdpcm_dir+1, bit 2 rotation, bits 8-13 alpha+16
+    int rext = (rdir + 1) | (rot ? 4 : 0) | ((alpha + 16) << 8);
     emit(c, 2); emit(c, c_idx); emit(c, x); emit(c, y); emit(c, log2n);
-    emit(c, qp); emit(c, kind); emit(c, (int32_t)c.lv_pos);
+    emit(c, qp); emit(c, kind); emit(c, (int32_t)c.lv_pos); emit(c, rext);
     if (c.lv_pos + n * n <= c.lv_cap)
         memcpy(c.levels + c.lv_pos, lv, sizeof(int32_t) * n * n);
     c.lv_pos += n * n;
@@ -1335,7 +1412,7 @@ static void code_transform_unit(Ctx &c, CuInfo &cu, int x0, int y0,
                                 int x_base, int y_base, int log2_tt,
                                 int depth, int blk_idx, int cbf_luma,
                                 const int cbf_cb[2], const int cbf_cr[2],
-                                int cur_mode, int cur_mode_c) {
+                                int cur_mode, int cur_mode_c, int cur_cm_c) {
     const SliceParams *p = c.p;
     int hs1 = p->chroma_format_idc != 3 ? 1 : 0;
     int vs1 = p->chroma_format_idc == 1 ? 1 : 0;
@@ -1366,33 +1443,52 @@ static void code_transform_unit(Ctx &c, CuInfo &cu, int x0, int y0,
             decode_cu_qp_delta(c, cu);
         int qp_y = c.qp_y + p->qp_bd_offset;
         if (cbf_luma) {
+            int rot, rdir;
             int tskip = decode_residual(c, 0, log2_tt, scan_idx,
-                                        cu.tq_bypass, lv);
+                                        cu.tq_bypass, cu.pred_mode == 1,
+                                        mode, lv, &rot, &rdir);
             int kind = cu.tq_bypass ? 3 : (tskip ? 2 :
                        (cu.pred_mode == 1 && log2_tt == 2 ? 1 : 0));
             kind = pack_mid(p, cu.pred_mode, 0, cu.tq_bypass, tskip,
                             log2_tt, kind);
-            emit_resid_op(c, 0, x0, y0, log2_tt, qp_y, kind, lv);
+            emit_resid_op(c, 0, x0, y0, log2_tt, qp_y, kind, lv, rot, rdir);
         }
         if (log2_tt > 2 || p->chroma_format_idc == 3) {
             int tsz_h = 1 << (log2_tt_c + hs1);
             int tsz_v = 1 << (log2_tt_c + vs1);
+            // cross-component prediction (4:4:4 only; hevc.c:1295-1298);
+            // the intra gate tests the chroma-mode SYNTAX value (4 = DM)
+            int cross_pf = p->cross_component && cbf_luma &&
+                           p->chroma_format_idc == 3 &&
+                           (cu.pred_mode != 1 || cur_cm_c == 4);
             for (int ci = 1; ci <= 2; ci++) {
                 const int *cbf = ci == 1 ? cbf_cb : cbf_cr;
+                int alpha = 0;
+                if (cross_pf) alpha = decode_cc_alpha(c, ci - 1);
                 for (int i = 0; i < nblk_c; i++) {
                     int yb = y0 + (i << log2_tt_c);
                     if (cu.pred_mode == 1)
                         emit_intra_op(c, x0, yb, log2_tt_c, ci, mode_c,
                                       tsz_h, tsz_v);
                     if (cbf[i]) {
+                        int rot, rdir;
                         int tskip = decode_residual(c, ci, log2_tt_c,
                                                     scan_idx_c,
-                                                    cu.tq_bypass, lv);
+                                                    cu.tq_bypass,
+                                                    cu.pred_mode == 1,
+                                                    mode_c, lv, &rot, &rdir);
                         int kind = cu.tq_bypass ? 3 : (tskip ? 2 : 0);
                         kind = pack_mid(p, cu.pred_mode, ci, cu.tq_bypass,
                                         tskip, log2_tt_c, kind);
                         emit_resid_op(c, ci, x0 >> hs1, yb >> vs1, log2_tt_c,
-                                      chroma_qp(c, c.qp_y, ci), kind, lv);
+                                      chroma_qp(c, c.qp_y, ci), kind, lv,
+                                      rot, rdir, alpha);
+                    } else if (cross_pf && alpha) {
+                        // scaled luma residual alone (hevc.c:1315-1330)
+                        memset(lv, 0, sizeof(int32_t) << (2 * log2_tt_c));
+                        emit_resid_op(c, ci, x0 >> hs1, yb >> vs1, log2_tt_c,
+                                      chroma_qp(c, c.qp_y, ci), 0, lv,
+                                      0, -1, alpha);
                     }
                 }
             }
@@ -1407,15 +1503,18 @@ static void code_transform_unit(Ctx &c, CuInfo &cu, int x0, int y0,
                         emit_intra_op(c, x_base, yb, log2_tt, ci, mode_c,
                                       tsz_h, tsz_v);
                     if (cbf[i]) {
+                        int rot, rdir;
                         int tskip = decode_residual(c, ci, log2_tt,
                                                     scan_idx_c,
-                                                    cu.tq_bypass, lv);
+                                                    cu.tq_bypass,
+                                                    cu.pred_mode == 1,
+                                                    mode_c, lv, &rot, &rdir);
                         int kind = cu.tq_bypass ? 3 : (tskip ? 2 : 0);
                         kind = pack_mid(p, cu.pred_mode, ci, cu.tq_bypass,
                                         tskip, log2_tt, kind);
                         emit_resid_op(c, ci, x_base >> hs1, yb >> vs1,
                                       log2_tt, chroma_qp(c, c.qp_y, ci),
-                                      kind, lv);
+                                      kind, lv, rot, rdir);
                     }
                 }
             }
@@ -1450,15 +1549,23 @@ static void code_transform_tree(Ctx &c, CuInfo &cu, int x0, int y0,
     Cabac &cc = c.cc;
     int cbf_cb[2] = {pcb[0], pcb[1]};
     int cbf_cr[2] = {pcr[0], pcr[1]};
+    int cur_cm_c = cu.chroma_modes[0];
     if (cu.intra_split) {
         if (depth == 1) {
             cur_mode = cu.intra_modes[blk_idx];
-            cur_mode_c = p->chroma_format_idc == 3 ?
-                cu.intra_modes_c[blk_idx] : cu.intra_modes_c[0];
+            if (p->chroma_format_idc == 3) {
+                cur_mode_c = cu.intra_modes_c[blk_idx];
+                cur_cm_c = cu.chroma_modes[blk_idx];
+            } else cur_mode_c = cu.intra_modes_c[0];
         }
-    } else {
+    } else if (cu.pred_mode == 1) {
         cur_mode = cu.intra_modes[0];
         cur_mode_c = cu.intra_modes_c[0];
+    } else {
+        // inter CUs read the STALE lc->pu modes of the last intra CU
+        // (hevc.c:1472-1474) — reachable via RExt bypass-RDPCM gates
+        cur_mode = c.rext[4];
+        cur_mode_c = c.rext[5];
     }
 
     int split;
@@ -1503,7 +1610,7 @@ static void code_transform_tree(Ctx &c, CuInfo &cu, int x0, int y0,
         cbf_luma = cc.decode_bin(CTX_CBF_LUMA + (depth == 0 ? 1 : 0));
     code_transform_unit(c, cu, x0, y0, x_base, y_base, log2_tt, depth,
                         blk_idx, cbf_luma, cbf_cb, cbf_cr, cur_mode,
-                        cur_mode_c);
+                        cur_mode_c, cur_cm_c);
     if (cbf_luma) {
         int lmt = c.p->log2_min_tb;
         int ntb = (1 << log2_tt) >> lmt;
@@ -1614,12 +1721,18 @@ static void code_intra_pred_info(Ctx &c, CuInfo &cu, int x0, int y0,
                 else mc = INTRA_CHROMA_TABLE[cm];
             } else mc = cu.intra_modes[kk];
             cu.intra_modes_c[kk] = mc;
+            cu.chroma_modes[kk] = cm;
             if (kk == 0) cu.chroma_mode = cm;
         }
-        if (side == 1)
+        if (side == 1) {
             cu.intra_modes_c[1] = cu.intra_modes_c[2] = cu.intra_modes_c[3] =
                 cu.intra_modes_c[0];
+            cu.chroma_modes[1] = cu.chroma_modes[2] = cu.chroma_modes[3] =
+                cu.chroma_modes[0];
+        }
         cu.intra_mode_c = cu.intra_modes_c[0];
+        c.rext[4] = cu.intra_modes[0];
+        c.rext[5] = cu.intra_modes_c[0];
         return;
     }
     int chroma_mode;
@@ -1638,7 +1751,12 @@ static void code_intra_pred_info(Ctx &c, CuInfo &cu, int x0, int y0,
         mode_c = TAB[mode_c];
     }
     cu.intra_mode_c = mode_c;
-    for (int kk = 0; kk < 4; kk++) cu.intra_modes_c[kk] = mode_c;
+    for (int kk = 0; kk < 4; kk++) {
+        cu.intra_modes_c[kk] = mode_c;
+        cu.chroma_modes[kk] = chroma_mode;
+    }
+    c.rext[4] = cu.intra_modes[0];
+    c.rext[5] = cu.intra_modes_c[0];
 }
 
 // pcm_sample (syntax/ctu.py _code_pcm; reference hls_pcm_sample hevc.c:1587)
@@ -1874,7 +1992,8 @@ extern "C" int64_t decode_slice_data(
     int32_t *mvf_mv, int32_t *mvf_poc, uint8_t *mvf_pred, int8_t *mvf_ref_idx,
     uint8_t *vbs, uint8_t *hbs, int8_t *qp_y_tab, uint8_t *is_pcm_or_bypass,
     int32_t *sao_out, uint8_t *cbf_luma_buf, uint8_t *scratch,
-    uint8_t *ctx_io, int64_t *out_sizes /* [ops, levels, err, last_ts] */)
+    uint8_t *ctx_io, int32_t *rext_state,
+    int64_t *out_sizes /* [ops, levels, err, last_ts] */)
 {
     Ctx c;
     memset(&c, 0, sizeof(c));
@@ -1898,6 +2017,11 @@ extern "C" int64_t decode_slice_data(
     c.w8 = p->width >> 3; c.h8 = p->height >> 3;
     c.qp_y = p->slice_qp;
     c.qp_y_pred = p->slice_qp;
+    c.rext = rext_state;
+    // context init clears the persistent-rice stats (hevc_cabac.c:602-604);
+    // the stale pu intra modes survive (lc->pu is never cleared)
+    if (p->init_state)
+        for (int i = 0; i < 4; i++) c.rext[i] = 0;
     c.first_qp_group = (p->init_state || p->slice_start) ? 1 : 0;
     c.end_of_tiles_x = p->width;
     c.end_of_tiles_y = p->height;

@@ -94,3 +94,56 @@ def test_rext_combo():
               explicit_rdpcm=True, transform_skip_rotation=True,
               transform_skip_context=True, transquant_bypass=0.2,
               sign_data_hiding=True, qp=27), frames="IPBP", seed=11)
+
+
+def _run_native(cfg_kwargs, frames="IPP", seed=7, w=96, h=64):
+    """Same streams through the native C front-end."""
+    cfmt = cfg_kwargs.get("chroma_format", 1)
+    cfg = EncoderConfig(width=w, height=h, rng_seed=seed, **cfg_kwargs)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    rng = np.random.default_rng(seed)
+    hs = 1 if cfmt in (1, 2) else 0
+    vs = 1 if cfmt == 1 else 0
+    base = [rng.integers(0, 256, (h, w)).astype(np.int32),
+            rng.integers(0, 256, (h >> vs, w >> hs)).astype(np.int32),
+            rng.integers(0, 256, (h >> vs, w >> hs)).astype(np.int32)]
+    recons = []
+    for i, t in enumerate(frames):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, recon, _ = enc.encode_frame(src, t)
+        stream += nal
+        recons.append([np.asarray(p).copy() for p in recon])
+    dec = Decoder(check_md5=True, use_native=True)
+    out = dec.decode_stream(stream)
+    assert len(out) == len(recons) and dec.md5_fail == 0
+    for fi, (f, r) in enumerate(zip(out, recons)):
+        for c in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(f.planes[c]), r[c],
+                err_msg=f"native frame {fi} plane {c}")
+
+
+def test_native_persistent_rice_wpp():
+    _run_native(dict(persistent_rice=True, transform_skip=True, wpp=True,
+                     qp=22))
+
+
+def test_native_rdpcm_rotation():
+    _run_native(dict(transform_skip=True, implicit_rdpcm=True,
+                     explicit_rdpcm=True, transform_skip_rotation=True,
+                     transform_skip_context=True, transquant_bypass=0.3,
+                     qp=30), frames="IPPP")
+
+
+def test_native_cross_component():
+    _run_native(dict(chroma_format=3, cross_component=True, qp=30))
+
+
+def test_native_rext_combo():
+    _run_native(dict(chroma_format=3, cross_component=True,
+                     transform_skip=True, persistent_rice=True,
+                     implicit_rdpcm=True, explicit_rdpcm=True,
+                     transform_skip_rotation=True, transform_skip_context=True,
+                     transquant_bypass=0.2, sign_data_hiding=True, qp=27),
+                frames="IPBP", seed=11)

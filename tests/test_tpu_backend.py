@@ -1,16 +1,64 @@
-"""TPU back-end vs NumPy scalar pipeline: must be bit-exact."""
+"""TPU back-end vs NumPy scalar pipeline: must be bit-exact.
+
+The TPU-backend decode runs in a SPAWNED subprocess: compiling the big
+fused frame_step programs late in a long pytest process intermittently
+segfaults XLA:CPU (observed in compile, executable serialize AND
+deserialize); a fresh interpreter per decode sidesteps all of them, and
+the persistent jit cache keeps repeats fast."""
+
+import os
+import pickle
+import subprocess
+import sys
+import tempfile
 
 import numpy as np
 import pytest
 
 from openhevc_tpu.encoder import Encoder, EncoderConfig
-from openhevc_tpu.decoder.frontend import Decoder
-from openhevc_tpu.tpu import TpuBackend
+from tests.conftest import cpu_subprocess_env
 from tests.util_e2e import make_source, assert_frames_equal
 
 
 def _roll(p, dx, dy):
     return np.roll(np.roll(p, dy, 0), dx, 1)
+
+
+_RUNNER = r"""
+import pickle, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/openhevc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import numpy as np
+from openhevc_tpu.decoder.frontend import Decoder
+from openhevc_tpu.tpu import TpuBackend
+
+inp, outp = sys.argv[1], sys.argv[2]
+stream = open(inp, "rb").read()
+dec = Decoder(backend=TpuBackend())
+frames = dec.decode_stream(stream)
+mine = [[np.asarray(p) for p in f.planes] for f in frames]
+with open(outp, "wb") as f:
+    pickle.dump(mine, f)
+"""
+
+
+def _decode_tpu_subprocess(stream: bytes):
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "in.265")
+        outp = os.path.join(td, "out.pkl")
+        with open(inp, "wb") as f:
+            f.write(stream)
+        env = cpu_subprocess_env()
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        r = subprocess.run([sys.executable, "-c", _RUNNER, inp, outp],
+                           env=env, capture_output=True, text=True,
+                           timeout=900)
+        assert r.returncode == 0, f"tpu decode failed:\n{r.stderr[-3000:]}"
+        with open(outp, "rb") as f:
+            return pickle.load(f)
 
 
 def _run(cfg: EncoderConfig, pattern, seed=0):
@@ -24,9 +72,7 @@ def _run(cfg: EncoderConfig, pattern, seed=0):
         nal, recon, _ = enc.encode_frame(src, st)
         stream += nal
         recons.append([np.asarray(p).copy() for p in recon])
-    dec = Decoder(backend=TpuBackend())
-    frames = dec.decode_stream(stream)
-    mine = [[np.asarray(p) for p in f.planes] for f in frames]
+    mine = _decode_tpu_subprocess(stream)
     assert_frames_equal(mine, recons, "tpu-vs-recon")
 
 
