@@ -425,3 +425,29 @@ def ops_to_plan_ops(raw_ops, raw_levels, sps, has_wp=False):
         else:
             raise ValueError(f"bad op tag {t} at {i}")
     return out
+
+
+_ABI_CC = os.path.join(os.path.dirname(__file__), "openhevc_abi.cc")
+_ABI_SO = os.path.join(os.path.dirname(__file__), "libLibOpenHevcWrapper.so")
+_ABI_STAMP = _ABI_SO + ".stamp"
+
+
+def build_abi(force=False):
+    """Compile the libLibOpenHevcWrapper C ABI shim (embedded CPython)."""
+    import hashlib
+    import sysconfig
+    want = hashlib.sha256(open(_ABI_CC, "rb").read()).hexdigest()
+    have = (open(_ABI_STAMP).read().strip()
+            if os.path.exists(_ABI_STAMP) else "")
+    if force or not os.path.exists(_ABI_SO) or have != want:
+        inc = sysconfig.get_paths()["include"]
+        libdir = sysconfig.get_config_var("LIBDIR")
+        pyver = sysconfig.get_config_var("LDVERSION")
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+             f"-I{inc}", _ABI_CC, "-o", _ABI_SO,
+             f"-L{libdir}", f"-lpython{pyver}",
+             f"-Wl,-rpath,{libdir}"], check=True)
+        with open(_ABI_STAMP, "w") as f:
+            f.write(want)
+    return _ABI_SO

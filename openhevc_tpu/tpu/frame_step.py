@@ -80,7 +80,8 @@ def frame_step(refs, packed, prof):
     """
     (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, resid_keys,
      deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
-     has_scaling, layout, log2_ctb, ipal, has_cc, smooth_off) = prof
+     has_scaling, layout, log2_ctb, ipal, has_cc, smooth_off,
+     refs_padded) = prof
     arrays = _unpack(packed, layout)
     hs = 1 if cfmt in (1, 2) else 0
     vs = 1 if cfmt == 1 else 0
@@ -103,12 +104,14 @@ def frame_step(refs, packed, prof):
                                 clamp_starts as _clamp_starts,
                                 scatter_tiles, scatter_pad_shape)
         _B = 32
-        refs_p = [_pad_refs(refs[c], _B) for c in range(3)]
+        refs_p = refs if refs_padded else \
+            [_pad_refs(refs[c], _B) for c in range(3)]
         tile_acc = {0: [], 1: [], 2: []}        # (tiles, xs, ys, valid, h, w)
 
     def _mc(c, b, xs, ys, mvx, mvy, sel, wc, hc):
         if use_pallas:
-            Hc, Wc = refs[c].shape[1], refs[c].shape[2]
+            sh_, sv_ = (hs, vs) if c else (0, 0)
+            Hc, Wc = H >> sv_, W >> sh_
             sy, sx, ro, co, fx, fy = _clamp_starts(
                 xs, ys, mvx, mvy, wc, hc, Wc, Hc, c == 0, _B, hs, vs)
             return mc_batch_pallas(refs_p[c], sel, sy, sx, ro, co, fx, fy,
@@ -168,9 +171,17 @@ def frame_step(refs, packed, prof):
     # ---- residual canvas: the WHOLE frame's dequant+IDCT in one batched
     # dispatch per (plane, size) — residuals never depend on reconstruction,
     # so they do not belong in the sequential scan.  R holds clip16(res).
+    # On TPU the disjoint blocks paint through the Pallas tile scatter
+    # (XLA's generic scatter costs ~15 ms/frame at 1080p).
     maxv = (1 << bd) - 1
     rcanvas = None
     if resid_keys:
+        if use_pallas:
+            from .mc_pallas import scatter_tiles as _stiles, scatter_pad_shape
+            rc16 = []
+            for s in shapes:
+                hp_, wp_ = scatter_pad_shape(*s)
+                rc16.append(jnp.zeros((hp_, wp_), jnp.int16))
         rcanvas = [jnp.zeros(s, jnp.int32) for s in shapes]
         for (c, n, N) in resid_keys:
             d = {f: arrays[("resid", c, n, f)]
@@ -182,6 +193,12 @@ def frame_step(refs, packed, prof):
             else:
                 res = residual_batch(d["levels"], d["qp"], d["kind"], n, bd,
                                      xtra=d["xtra"])
+            if use_pallas:
+                rc16[c] = _stiles(rc16[c],
+                                  jnp.clip(res, -32768, 32767)
+                                  .astype(jnp.int16),
+                                  d["xs"], d["ys"], d["valid"], n, n)
+                continue
             h, w = rcanvas[c].shape
             gy = d["ys"][:, None, None] + jnp.arange(n)[None, :, None]
             gx = d["xs"][:, None, None] + jnp.arange(n)[None, None, :]
@@ -190,6 +207,9 @@ def frame_step(refs, packed, prof):
                              jnp.clip(res, -32768, 32767), 0).reshape(-1)
             rcanvas[c] = rcanvas[c].reshape(-1).at[flat_idx].add(vals) \
                 .reshape(h, w)
+        if use_pallas:
+            rcanvas = [rc16[c][:shapes[c][0], :shapes[c][1]]
+                       .astype(jnp.int32) for c in range(3)]
         # cross-component prediction (RExt 4:4:4): add the scaled luma
         # residual canvas with int16 wraparound in flagged TU areas
         if has_cc:
@@ -214,7 +234,7 @@ def frame_step(refs, packed, prof):
             rc = rcanvas[c] if rcanvas is not None \
                 else jnp.zeros((hc, wc), jnp.int32)
             pc = planes[c]
-            for bi, (s, e, _nch) in enumerate(bands):
+            for (bi, s, e, _nch) in bands:
                 base = 0 if s == 0 else s - 8
                 hb = e - base
                 band = lax.dynamic_slice_in_dim(pc, base, hb, 0)

@@ -339,7 +339,7 @@ def _predict_block(plane, x, y, mode, angle, inv, flags, n, c_idx,
 
 
 def _kernel(meta, plane_in, resid, plane, *, sizes, c_idx, bd, strong,
-            c444, H, W):
+            c444, H, W, bottom_on=True):
     # plane_in is aliased with the output `plane`; all reads/writes go
     # through the output ref so stores persist across grid steps
     del plane_in
@@ -411,6 +411,9 @@ def _kernel(meta, plane_in, resid, plane, *, sizes, c_idx, bd, strong,
                             plane[pl.ds(y8, 8), Wb:Wb + BAND] = jnp.where(
                                 m, vsel, sub.astype(jnp.int32)) \
                                 .astype(plane.dtype)
+
+                    if not bottom_on:
+                        return
 
                     @pl.when(y + n == H)
                     def _():
@@ -544,7 +547,8 @@ def _intra_seq_raw(plane, resid, meta, H_edge, hb, W, c_idx, bd, strong,
                  ((0, 16), (0, Wp - W)))
     n_chunks = meta.shape[0]
     kern = partial(_kernel, sizes=sizes, c_idx=c_idx, bd=bd,
-                   strong=bool(strong), c444=c444, H=H_edge, W=W)
+                   strong=bool(strong), c444=c444, H=H_edge, W=W,
+                   bottom_on=(H_edge == hb))
     got = pl.pallas_call(
         kern,
         grid=(n_chunks,),

@@ -1,0 +1,74 @@
+"""libLibOpenHevcWrapper C ABI shim: a compiled C driver (standing in for a
+GPAC-style player) dlopens nothing python-side — it links the shim, which
+embeds CPython and delegates to the openhevc_tpu API."""
+
+import os
+import struct
+import subprocess
+import sys
+import sysconfig
+import tempfile
+
+import numpy as np
+import pytest
+
+from openhevc_tpu.encoder import Encoder, EncoderConfig
+from openhevc_tpu.parser import HevcParser
+from tests.conftest import cpu_subprocess_env
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_driver(tmp):
+    from openhevc_tpu.native import build_abi
+    so = build_abi()
+    drv = os.path.join(tmp, "abi_driver")
+    libdir = os.path.dirname(so)
+    subprocess.run(
+        ["gcc", "-O1", os.path.join(REPO, "tools", "abi_driver.c"),
+         "-o", drv, f"-L{libdir}", "-lLibOpenHevcWrapper",
+         f"-Wl,-rpath,{libdir}"], check=True)
+    return drv
+
+
+def test_abi_player_loop():
+    cfg = EncoderConfig(width=96, height=64, qp=30, rng_seed=6)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    rng = np.random.default_rng(2)
+    base = [rng.integers(0, 256, (64, 96)).astype(np.int32),
+            rng.integers(0, 256, (32, 48)).astype(np.int32),
+            rng.integers(0, 256, (32, 48)).astype(np.int32)]
+    recons = []
+    for i, t in enumerate("IPP"):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, recon, _ = enc.encode_frame(src, t)
+        stream += nal
+        recons.append([np.asarray(p).astype(np.uint8) for p in recon])
+
+    # split into AUs like a demuxer (PS prepended to the first AU)
+    infos = HevcParser().iter_access_units(stream)
+    offs = [i.offset for i in infos] + [len(stream)]
+    aus = [stream[:offs[1]]] + [stream[offs[k]:offs[k + 1]]
+                                for k in range(1, len(offs) - 1)]
+    assert len(aus) == 3
+
+    with tempfile.TemporaryDirectory() as td:
+        drv = _build_driver(td)
+        auf = os.path.join(td, "in.aus")
+        with open(auf, "wb") as f:
+            for au in aus:
+                f.write(struct.pack("<I", len(au)))
+                f.write(au)
+        outf = os.path.join(td, "out.yuv")
+        env = cpu_subprocess_env()
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        r = subprocess.run([drv, auf, outf, "md5"], env=env,
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, f"driver failed:\n{r.stdout}\n{r.stderr}"
+        assert "frames=3" in r.stdout
+        assert "openhevc_tpu" in r.stdout          # version string
+
+        got = np.fromfile(outf, np.uint8)
+        want = np.concatenate([p.ravel() for fr in recons for p in fr])
+        assert np.array_equal(got, want)

@@ -109,3 +109,45 @@ def test_strong_smoothing_10bit():
     ref = _seq_reference(plane, resid, ops, 10, strong=True)
     out = _run(plane, resid, ops, H, W, bd=10, strong=True)
     assert np.array_equal(out, ref)
+
+
+def test_banded_e2e_interpret(monkeypatch):
+    """Banded intra reconstruction (the 4K path) end-to-end in interpret
+    mode: a tiny VMEM budget forces multiple CTB-row bands."""
+    import os
+    from openhevc_tpu.encoder import Encoder, EncoderConfig
+    from openhevc_tpu.decoder.frontend import Decoder
+    from openhevc_tpu.tpu import TpuBackend
+    from openhevc_tpu.tpu import backend as be
+
+    # every luma plane overflows the fake budget -> >=2 bands
+    real_band_plan = ip.band_plan
+    monkeypatch.setattr(
+        ip, "band_plan",
+        lambda H, W, ctb, budget=0: real_band_plan(H, W, ctb, budget=90_000))
+    monkeypatch.setattr(be.intra_pallas, "band_plan", ip.band_plan)
+    monkeypatch.setenv("OPENHEVC_IPAL", "interp")
+
+    cfg = EncoderConfig(width=64, height=96, qp=30, rng_seed=5, log2_ctb=5)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    rng = np.random.default_rng(3)
+    base = [rng.integers(0, 256, (96, 64)).astype(np.int32),
+            rng.integers(0, 256, (48, 32)).astype(np.int32),
+            rng.integers(0, 256, (48, 32)).astype(np.int32)]
+    recons = []
+    for i, t in enumerate("IP"):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, recon, _ = enc.encode_frame(src, t)
+        stream += nal
+        recons.append([np.asarray(p).copy() for p in recon])
+
+    dec = Decoder(backend=TpuBackend())
+    frames = dec.decode_stream(stream)
+    # the backend must actually have used multiple bands for luma
+    bands = ip.band_plan(96, 64, 32)
+    assert len(bands) >= 2
+    for fi, (f, r) in enumerate(zip(frames, recons)):
+        for c in range(3):
+            np.testing.assert_array_equal(np.asarray(f.planes[c]), r[c],
+                                          err_msg=f"banded f{fi} p{c}")

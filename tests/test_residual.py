@@ -18,7 +18,7 @@ def _roundtrip(levels_list, params_list, init_type=0, qp=30):
     dec = CabacDecoder(data, dec_ctx)
     out = []
     for p in params_list:
-        lv, _ = decode_residual(dec, p)
+        lv, _, _, _ = decode_residual(dec, p)
         out.append(lv)
     assert dec.decode_terminate() == 1
     assert (dec_ctx.state == enc_ctx.state).all()
