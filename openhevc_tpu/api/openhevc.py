@@ -79,6 +79,8 @@ class OpenHevcDecoder:
         self.md5_ok = 0
         self.md5_fail = 0
         self.error_count = 0
+        from ..log import DecodeStats
+        self.stats = DecodeStats()
         # SHVC layering (only meaningful on the layer-0 handle)
         self._el: Optional["OpenHevcDecoder"] = None
         self._active_layer = 0
@@ -124,6 +126,8 @@ class OpenHevcDecoder:
         assert self._started, "call start() first"
         if not data:
             return self._flush_one()
+        self.stats.aus += 1
+        self.stats.bytes_in += len(data)
         got = 0
 
         def emit(plan):
@@ -132,6 +136,7 @@ class OpenHevcDecoder:
             except Exception:
                 self.error_count += 1
                 return 0
+            self.stats.frames_decoded += 1
             self.dpb.add(frame)
             self._reorder.append(frame)
             self._last_frame = frame
@@ -148,9 +153,19 @@ class OpenHevcDecoder:
                     plan = self.fe.end_picture()
                     if plan is not None:
                         got = emit(plan)
-                    if nalmod.is_idr(nal.type):
-                        self._drain_reorder()
-                        self.dpb.clear()
+                    is_bla = (nalmod.NAL_BLA_W_LP <= nal.type
+                              <= nalmod.NAL_BLA_N_LP)
+                    if nalmod.is_idr(nal.type) or is_bla:
+                        # POC reset (seq_decode bump, hevc.c:561-566):
+                        # the old sequence drains first — or is dropped
+                        # when no_output_of_prior_pics_flag is set
+                        # (hevc_refs.c:186-196)
+                        if self._prior_pics_discarded(nal):
+                            self._reorder = []
+                        else:
+                            self._drain_reorder()
+                        if nalmod.is_idr(nal.type):
+                            self.dpb.clear()
             # bitstream errors poison only the current picture; decode
             # continues like the reference without AV_EF_EXPLODE
             # (hevc.c:3496-3499)
@@ -212,6 +227,18 @@ class OpenHevcDecoder:
         self._reorder.sort(key=lambda f: f.poc)
         while len(self._reorder) > max_reorder:
             self._output_queue.append(self._reorder.pop(0))
+
+    def _prior_pics_discarded(self, nal) -> bool:
+        """no_output_of_prior_pics_flag of the IRAP slice header (peeked
+        before the picture decodes; only the flag's byte region is read)."""
+        try:
+            from .. import bitstream
+            from ..bitstream.bits import BitReader
+            r = BitReader(nal.rbsp)
+            r.u1()                              # first_slice_in_pic
+            return bool(r.u1())                 # no_output_of_prior_pics
+        except Exception:
+            return False
 
     def _drain_reorder(self):
         self._reorder.sort(key=lambda f: f.poc)
@@ -276,6 +303,21 @@ class OpenHevcDecoder:
         return out
 
     # -- knobs --------------------------------------------------------------
+
+    def set_debug_mode(self, val: int):
+        """libOpenHevcSetDebugMode analog (openHevcWrapper.c:400-404)."""
+        from ..log import set_debug_mode
+        set_debug_mode(int(val))
+
+    def get_stats(self) -> dict:
+        """Decode counters for observability (SURVEY §5 metrics)."""
+        s = self.stats.as_dict()
+        s["errors"] = self.error_count
+        s["md5_ok"] = self.md5_ok
+        s["md5_fail"] = self.md5_fail
+        if self._el is not None:
+            s["enhancement_layer"] = self._el.get_stats()
+        return s
 
     def set_check_md5(self, val: bool):
         self._check_md5 = bool(val)
@@ -396,7 +438,7 @@ def libOpenHevcSetCheckMD5(handle, val: int):
 
 
 def libOpenHevcSetDebugMode(handle, val: int):
-    pass
+    handle.set_debug_mode(val)
 
 
 def libOpenHevcSetTemporalLayer_id(handle, val: int):

@@ -37,10 +37,15 @@ def main(argv=None):
                     help="stop after N frames")
     ap.add_argument("-l", dest="layer", type=int, default=0,
                     help="SHVC output layer (0=base, 1=enhancement)")
+    ap.add_argument("-v", dest="verbose", action="store_true",
+                    help="debug logs + decode stats on exit")
     ap.add_argument("-b", dest="backend", default="auto",
                     choices=("auto", "tpu", "np"),
                     help="reconstruction backend")
     args = ap.parse_args(argv)
+    if args.verbose:
+        from .log import set_debug_mode
+        set_debug_mode(1)
 
     data = open(args.input, "rb").read()
     from .formats import probe_mp4, demux_mp4, probe_ts, demux_ts
@@ -109,6 +114,9 @@ def main(argv=None):
     print(f"frame= {nframes} fps= {nframes / dt_s:.1f} time= {dt_s:.2f} "
           f"video_size= {w}x{h}")
     rc = 0
+    if args.verbose and hasattr(dec, "stats"):
+        import json as _json
+        print("stats:", _json.dumps(dec.stats.as_dict()), file=sys.stderr)
     if not args.no_md5:
         # reference-style verdict summary (hevc.c:4158)
         print(f"MD5 check: {dec.md5_ok} correct, {dec.md5_fail} incorrect",

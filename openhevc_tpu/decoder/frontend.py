@@ -534,12 +534,16 @@ class Decoder:
         self.check_md5 = check_md5
         self.md5_ok = 0
         self.md5_fail = 0
+        from ..log import DecodeStats
+        self.stats = DecodeStats()
 
     def decode_stream(self, data: bytes):
         """Decode an annex-B stream -> frames in output order (POC order
         within each IDR segment; segments in decode order)."""
         from ..bitstream.nal import split_annexb
         from ..bitstream import nal as nalmod
+        from ..log import logger
+        self.stats.bytes_in += len(data)
         out = []
         seg = []
         for nal in split_annexb(data):
@@ -558,6 +562,7 @@ class Decoder:
                     seg = []
                     self.dpb.clear()
             self.fe.decode_nal(nal)
+            self.stats.nals += 1
         plan = self.fe.end_picture()
         if plan is not None:
             seg.append(self._emit(plan))
@@ -565,10 +570,17 @@ class Decoder:
         return out
 
     def _emit(self, plan):
+        import time as _time
+        from ..log import logger
+        t0 = _time.monotonic()
         frame = self._reconstruct(plan)
         self.dpb.add(frame)
         if self.check_md5 and plan.md5 is not None:
             self._verify_md5(frame, plan.md5)
+        self.stats.frames_decoded += 1
+        self.stats.decode_time_s += _time.monotonic() - t0
+        logger.debug("decoded poc %d type %d in %.1f ms", plan.poc,
+                     plan.slice_type, (_time.monotonic() - t0) * 1e3)
         return frame
 
     def _verify_md5(self, frame, expected):
@@ -578,8 +590,10 @@ class Decoder:
             got = plane_md5(np.asarray(frame.planes[c]), bd)
             if got == expected[c]:
                 self.md5_ok += 1
+                self.stats.md5_ok += 1
             else:
                 self.md5_fail += 1
+                self.stats.md5_fail += 1
                 raise AssertionError(
                     f"MD5 mismatch poc {frame.poc} plane {c}: "
                     f"{got.hex()} != {expected[c].hex()}")

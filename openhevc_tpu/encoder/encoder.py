@@ -79,6 +79,7 @@ class EncoderConfig:
     # per-slice filter params: random beta/tc offsets, per-slice deblock
     # disable and SAO enables (hevc.c:2677 s->deblock[ctb] coverage)
     slice_filter_variants: bool = False
+    no_output_of_prior_pics: bool = False   # set on IRAP slice headers
     # RExt coding tools (sps/pps range extensions)
     transform_skip_rotation: bool = False
     transform_skip_context: bool = False
@@ -249,6 +250,8 @@ class Encoder:
                          sao_chroma=1 if cfg.sao else 0,
                          loop_filter_across_slices=(
                              self.pps.loop_filter_across_slices_enabled))
+        if cfg.no_output_of_prior_pics:
+            sh.no_output_of_prior_pics = 1
         if stype == I_SLICE and nal_type is None:
             nal_type = nalmod.NAL_IDR_W_RADL
         if stype == I_SLICE:

@@ -253,7 +253,15 @@ void libOpenHevcSetCheckMD5(OpenHevc_Handle vh, int val) {
     PyGILState_Release(g);
 }
 
-void libOpenHevcSetDebugMode(OpenHevc_Handle vh, int val) { (void)vh; (void)val; }
+void libOpenHevcSetDebugMode(OpenHevc_Handle vh, int val) {
+    Handle *h = (Handle *)vh;
+    if (!h || !h->dec) return;
+    PyGILState_STATE g = PyGILState_Ensure();
+    PyObject *r = PyObject_CallMethod(h->dec, "set_debug_mode", "i", val);
+    if (!r) PyErr_Clear();
+    Py_XDECREF(r);
+    PyGILState_Release(g);
+}
 
 void libOpenHevcSetTemporalLayer_id(OpenHevc_Handle vh, int val) {
     Handle *h = (Handle *)vh;

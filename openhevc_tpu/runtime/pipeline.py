@@ -44,6 +44,8 @@ class PipelinedDecoder:
         self.md5_ok = 0
         self.md5_fail = 0
         self.error_count = 0
+        from ..log import DecodeStats
+        self.stats = DecodeStats()
 
     def decode_stream(self, data: bytes):
         """Decode a whole stream -> frames in output order (list)."""
@@ -140,7 +142,14 @@ class PipelinedDecoder:
                         emitted += 1
                     reorder = []
                     self.dpb.clear()
+                import time as _time
+                from ..log import logger as _log
+                _t0 = _time.monotonic()
                 frame = self._reconstruct(plan)
+                self.stats.frames_decoded += 1
+                self.stats.decode_time_s += _time.monotonic() - _t0
+                _log.debug("decoded poc %d type %d in %.1f ms", plan.poc,
+                           plan.slice_type, (_time.monotonic() - _t0) * 1e3)
                 self.dpb.add(frame)
                 if plan.ref_keep is not None:
                     self.dpb.retain(set(plan.ref_keep) | {plan.poc})
@@ -184,5 +193,6 @@ class PipelinedDecoder:
             got = plane_md5(np.asarray(frame.planes[c]), bit_depth)
             if got == expected[c]:
                 self.md5_ok += 1
+                self.stats.md5_ok += 1
             else:
                 self.md5_fail += 1

@@ -86,3 +86,55 @@ def test_multichip_dryrun():
     out.block_until_ready()
     assert out.shape == (128, 128)
     g.dryrun_multichip(8)
+
+
+def test_poc_reset_output_order_and_prior_pics_discard():
+    """Across an IDR POC reset the old sequence drains first (seq counters,
+    hevc.c:561-566); with no_output_of_prior_pics_flag the old frames are
+    dropped instead (hevc_refs.c:186-196)."""
+    import numpy as np
+    from openhevc_tpu.api.openhevc import OpenHevcDecoder
+    from openhevc_tpu.encoder import Encoder, EncoderConfig
+    from openhevc_tpu.parser import HevcParser
+
+    def make_stream(discard):
+        cfg = EncoderConfig(width=64, height=64, qp=30, rng_seed=4,
+                            reorder_pics=1,
+                            no_output_of_prior_pics=discard)
+        enc = Encoder(cfg)
+        stream = b"".join(enc.parameter_set_nals())
+        rng = np.random.default_rng(1)
+        base = [rng.integers(0, 256, (64, 64)).astype(np.int32),
+                rng.integers(0, 256, (32, 32)).astype(np.int32),
+                rng.integers(0, 256, (32, 32)).astype(np.int32)]
+        for g in range(2):                      # two IDR-led GOPs
+            for i, t in enumerate("IPP"):
+                src = [np.roll(p, g * 3 + i, 0) for p in base]
+                nal, _, _ = enc.encode_frame(src, t)
+                stream += nal
+        return stream
+
+    def run(stream):
+        infos = HevcParser().iter_access_units(stream)
+        offs = [i.offset for i in infos] + [len(stream)]
+        aus = [stream[:offs[1]]] + [stream[offs[k]:offs[k + 1]]
+                                    for k in range(1, len(offs) - 1)]
+        dec = OpenHevcDecoder()
+        dec.start()
+        pocs = []
+        for au in aus:
+            if dec.decode(au):
+                pocs.append(dec.get_picture_info().display_picture_number)
+        while dec.decode(b""):
+            pocs.append(dec.get_picture_info().display_picture_number)
+        dec.close()
+        return pocs
+
+    # normal: all 6 frames output, old sequence before the new one
+    pocs = run(make_stream(discard=False))
+    assert len(pocs) == 6
+    assert pocs[:3] == sorted(pocs[:3])
+
+    # discard: the second IDR drops undisplayed prior pictures
+    pocs2 = run(make_stream(discard=True))
+    assert len(pocs2) < 6
