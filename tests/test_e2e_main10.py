@@ -48,3 +48,34 @@ def test_transform_skip():
 def test_transform_skip_main10():
     _run(EncoderConfig(width=64, height=64, qp=33, bit_depth=10,
                        transform_skip=True, rng_seed=55), "I", seed=5)
+
+
+def test_main12_ipp():
+    """12-bit (RExt Main 12) decode, oracle-verified."""
+    import numpy as np
+    from openhevc_tpu.encoder import Encoder, EncoderConfig
+    from openhevc_tpu.decoder.frontend import Decoder
+    from tests.util_e2e import oracle_decode
+
+    cfg = EncoderConfig(width=64, height=64, qp=30, bit_depth=12, rng_seed=9)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    rng = np.random.default_rng(1)
+    base = [rng.integers(0, 4096, (64, 64)).astype(np.int32),
+            rng.integers(0, 4096, (32, 32)).astype(np.int32),
+            rng.integers(0, 4096, (32, 32)).astype(np.int32)]
+    recons = []
+    for i, t in enumerate("IPP"):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, recon, _ = enc.encode_frame(src, t)
+        stream += nal
+        recons.append([np.asarray(p).copy() for p in recon])
+    dec = Decoder(check_md5=True)
+    out = dec.decode_stream(stream)
+    assert dec.md5_fail == 0
+    for f, r in zip(out, recons):
+        for c in range(3):
+            np.testing.assert_array_equal(np.asarray(f.planes[c]), r[c])
+    for o, r in zip(oracle_decode(stream, 64, 64, bit_depth=12), recons):
+        for c in range(3):
+            np.testing.assert_array_equal(o[c], r[c])

@@ -41,7 +41,7 @@ def _encode(cfg_bl, cfg_el, pattern="IPPP", seed=42):
     return stream, bl_recons, el_recons
 
 
-def _check(stream, bl_recons, el_recons, cfg_bl, cfg_el):
+def _check(stream, bl_recons, el_recons, cfg_bl, cfg_el, oracle=True):
     dec = ShvcDecoder(check_md5=True)
     outs = dec.decode_stream(stream)
     assert len(outs[0]) == len(bl_recons)
@@ -56,7 +56,7 @@ def _check(stream, bl_recons, el_recons, cfg_bl, cfg_el):
                                           err_msg=f"EL frame {i} plane {c}")
     assert dec.md5_fail == 0 and dec.md5_ok > 0
     # reference decoder: highest (EL) layer output
-    if have_oracle():
+    if oracle and have_oracle():
         frames = oracle_decode(stream, cfg_el.width, cfg_el.height,
                                bit_depth=cfg_el.bit_depth, layer=1)
         assert len(frames) == len(el_recons)
@@ -221,3 +221,18 @@ def test_cli_shvc_layer(tmp_path):
     want = np.concatenate([np.concatenate([p.ravel() for p in fr])
                            for fr in el_recons]).astype(np.uint8)
     np.testing.assert_array_equal(data, want)
+
+
+def test_shvc_main10():
+    """Main-10 two-layer decode: 10-bit upsampling (shift1/shift2 change,
+    hevcdsp_template.c:2164) + 10-bit IL ref path.
+
+    Not oracle-testable: the reference build aborts on 10-bit EL
+    allocation (av_malloc pixel-size assertion, libavutil/mem.c:226), so
+    the check is encoder-recon bit-exactness + embedded MD5."""
+    cfg_bl = EncoderConfig(width=48, height=32, qp=30, rng_seed=37,
+                           bit_depth=10)
+    cfg_el = EncoderConfig(width=96, height=64, qp=30, rng_seed=41,
+                           bit_depth=10)
+    _check(*_encode(cfg_bl, cfg_el, pattern="IPP"), cfg_bl, cfg_el,
+           oracle=False)
