@@ -74,28 +74,12 @@ class TpuBackend:
         inter_sizes = []
         refs = None
         refs_padded = False
-        use_pallas_mc = jax.default_backend() not in ("cpu",)
         if cp.inter:
             from ..decoder.refs import get_or_synth
             rframes = [get_or_synth(dpb, p, plan.width, plan.height, bd, cfmt)
                        for p in cp.ref_pocs]
-            if use_pallas_mc:
-                # replicate-pad each reference ONCE when it first serves as
-                # a reference (cached on the Frame): re-padding the whole
-                # ref stack per frame cost ~25 ms at 1080p
-                from .mc_pallas import pad_refs
-                for f in rframes:
-                    if not hasattr(f, "_mc_padded"):
-                        f._mc_padded = [
-                            pad_refs(jnp.asarray(f.planes[c],
-                                                 jnp.int32)[None], 32)[0]
-                            for c in range(3)]
-                refs = [jnp.stack([f._mc_padded[c] for f in rframes])
-                        for c in range(3)]
-                refs_padded = True
-            else:
-                refs = [jnp.stack([jnp.asarray(f.planes[c], jnp.int32)
-                                   for f in rframes]) for c in range(3)]
+            refs = [jnp.stack([jnp.asarray(f.planes[c], jnp.int32)
+                               for f in rframes]) for c in range(3)]
             for (w, h) in _canonical_pu_sizes(1 << (self.ctb_log2 or 6)):
                 batch = cp.inter.get((w, h))
                 if batch is None:

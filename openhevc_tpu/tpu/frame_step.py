@@ -106,7 +106,7 @@ def frame_step(refs, packed, prof):
         _B = 32
         refs_p = refs if refs_padded else \
             [_pad_refs(refs[c], _B) for c in range(3)]
-        tile_acc = {0: [], 1: [], 2: []}        # (tiles, xs, ys, valid, h, w)
+        cell_acc = {0: [], 1: [], 2: []}        # (cells, dst) per plane
 
     def _mc(c, b, xs, ys, mvx, mvy, sel, wc, hc):
         if use_pallas:
@@ -153,20 +153,32 @@ def frame_step(refs, packed, prof):
                             (bd - 8))) >> (log2wd + 1), 0, maxv)
             vals = jnp.where((b["pf"] == 3)[:, None, None], bi, uni)
             if use_pallas:
-                tile_acc[c].append((vals.astype(jnp.int16), xs, ys,
-                                    valid.astype(jnp.int32), hc, wc))
+                # decompose into paint cells (luma 4x4, chroma 2x2)
+                cs = 4 >> (sh_ if c else 0)
+                nh, nw = hc // cs, wc // cs
+                cells = vals.reshape(-1, nh, cs, nw, cs) \
+                    .transpose(0, 1, 3, 2, 4).reshape(-1, cs, cs)
+                Wc4 = planes[c].shape[1] // cs
+                S = (planes[c].shape[0] // cs) * Wc4 + 1
+                dy = (ys // cs)[:, None, None] + \
+                    jnp.arange(nh)[None, :, None]
+                dx = (xs // cs)[:, None, None] + \
+                    jnp.arange(nw)[None, None, :]
+                dst = jnp.where(valid[:, None, None], dy * Wc4 + dx, S - 1)
+                cell_acc[c].append((cells, dst.reshape(-1)))
             else:
                 planes[c] = _scatter_set(planes[c], xs, ys, vals, valid)
 
     if inter_sizes and use_pallas:
+        from .mc_pallas import paint_cells, plane_to_cells, cells_to_plane
         for c in range(3):
             Hc, Wc = planes[c].shape
-            Hp, Wp = scatter_pad_shape(Hc, Wc)
-            p16 = jnp.pad(planes[c],
-                          ((0, Hp - Hc), (0, Wp - Wc))).astype(jnp.int16)
-            for (tiles, xs, ys, valid, hc2, wc2) in tile_acc[c]:
-                p16 = scatter_tiles(p16, tiles, xs, ys, valid, hc2, wc2)
-            planes[c] = p16[:Hc, :Wc].astype(jnp.int32)
+            cs = 4 >> (hs if c else 0)
+            cv = plane_to_cells(planes[c], cs, cs)
+            cells = jnp.concatenate([a for a, _ in cell_acc[c]])
+            dst = jnp.concatenate([d for _, d in cell_acc[c]])
+            cv = paint_cells(cv, cells, dst.astype(jnp.int32), cs, cs)
+            planes[c] = cells_to_plane(cv, Hc, Wc, cs, cs)
 
     # ---- residual canvas: the WHOLE frame's dequant+IDCT in one batched
     # dispatch per (plane, size) — residuals never depend on reconstruction,

@@ -200,6 +200,10 @@ def cells_to_plane(cells, H, W, ch=4, cw=4):
 SBAND = 256
 
 
+def _tile_index_map(i, xs, ys, v):
+    return (i, 0, 0)
+
+
 def _scatter_kernel(xs_ref, ys_ref, valid_ref, tiles_ref, plane_in, plane,
                     *, h, w):
     del plane_in                       # aliased with the output ref
@@ -241,7 +245,7 @@ def scatter_tiles(plane, tiles, xs, ys, valid, h, w, interpret=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(N,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i, xs, ys, v: (i, 0, 0)),
+        in_specs=[pl.BlockSpec((1, h, w), _tile_index_map),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
