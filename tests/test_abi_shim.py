@@ -31,6 +31,7 @@ def _build_driver(tmp):
     return drv
 
 
+@pytest.mark.slow
 def test_abi_player_loop():
     cfg = EncoderConfig(width=96, height=64, qp=30, rng_seed=6)
     enc = Encoder(cfg)

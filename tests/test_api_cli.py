@@ -88,6 +88,10 @@ def test_multichip_dryrun():
     g.dryrun_multichip(8)
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_poc_reset_output_order_and_prior_pics_discard():
     """Across an IDR POC reset the old sequence drains first (seq counters,
     hevc.c:561-566); with no_output_of_prior_pics_flag the old frames are

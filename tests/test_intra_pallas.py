@@ -111,6 +111,7 @@ def test_strong_smoothing_10bit():
     assert np.array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_banded_e2e_interpret(monkeypatch):
     """Banded intra reconstruction (the 4K path) end-to-end in interpret
     mode: a tiny VMEM budget forces multiple CTB-row bands."""

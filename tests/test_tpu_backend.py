@@ -19,6 +19,8 @@ from openhevc_tpu.encoder import Encoder, EncoderConfig
 from tests.conftest import cpu_subprocess_env
 from tests.util_e2e import make_source, assert_frames_equal
 
+pytestmark = pytest.mark.slow      # subprocess-per-decode; ~15-30 s each
+
 
 def _roll(p, dx, dy):
     return np.roll(np.roll(p, dy, 0), dx, 1)
