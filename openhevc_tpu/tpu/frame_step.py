@@ -102,11 +102,16 @@ def frame_step(refs, packed, prof):
     if inter_sizes and use_pallas:
         from .mc_pallas import (mc_batch_pallas, pad_refs as _pad_refs,
                                 clamp_starts as _clamp_starts,
-                                scatter_tiles, scatter_pad_shape)
+                                band_paint, band_pad_shape)
         _B = 32
         refs_p = refs if refs_padded else \
             [_pad_refs(refs[c], _B) for c in range(3)]
-        cell_acc = {0: [], 1: [], 2: []}        # (cells, dst) per plane
+        # band-pad the prediction planes; MC tiles paint straight into them
+        bshapes = [band_pad_shape(*s) for s in shapes]
+        planes = [jnp.pad(planes[c],
+                          ((0, bshapes[c][0] - shapes[c][0]),
+                           (0, bshapes[c][1] - shapes[c][1])))
+                  for c in range(3)]
 
     def _mc(c, b, xs, ys, mvx, mvy, sel, wc, hc):
         if use_pallas:
@@ -153,32 +158,13 @@ def frame_step(refs, packed, prof):
                             (bd - 8))) >> (log2wd + 1), 0, maxv)
             vals = jnp.where((b["pf"] == 3)[:, None, None], bi, uni)
             if use_pallas:
-                # decompose into paint cells (luma 4x4, chroma 2x2)
-                cs = 4 >> (sh_ if c else 0)
-                nh, nw = hc // cs, wc // cs
-                cells = vals.reshape(-1, nh, cs, nw, cs) \
-                    .transpose(0, 1, 3, 2, 4).reshape(-1, cs, cs)
-                Wc4 = planes[c].shape[1] // cs
-                S = (planes[c].shape[0] // cs) * Wc4 + 1
-                dy = (ys // cs)[:, None, None] + \
-                    jnp.arange(nh)[None, :, None]
-                dx = (xs // cs)[:, None, None] + \
-                    jnp.arange(nw)[None, None, :]
-                dst = jnp.where(valid[:, None, None], dy * Wc4 + dx, S - 1)
-                cell_acc[c].append((cells, dst.reshape(-1)))
+                planes[c] = band_paint(planes[c], vals, xs, ys,
+                                       b["valid"], hc, wc)
             else:
                 planes[c] = _scatter_set(planes[c], xs, ys, vals, valid)
 
     if inter_sizes and use_pallas:
-        from .mc_pallas import paint_cells, plane_to_cells, cells_to_plane
-        for c in range(3):
-            Hc, Wc = planes[c].shape
-            cs = 4 >> (hs if c else 0)
-            cv = plane_to_cells(planes[c], cs, cs)
-            cells = jnp.concatenate([a for a, _ in cell_acc[c]])
-            dst = jnp.concatenate([d for _, d in cell_acc[c]])
-            cv = paint_cells(cv, cells, dst.astype(jnp.int32), cs, cs)
-            planes[c] = cells_to_plane(cv, Hc, Wc, cs, cs)
+        planes = [planes[c][:shapes[c][0], :shapes[c][1]] for c in range(3)]
 
     # ---- residual canvas: the WHOLE frame's dequant+IDCT in one batched
     # dispatch per (plane, size) — residuals never depend on reconstruction,
@@ -189,11 +175,8 @@ def frame_step(refs, packed, prof):
     rcanvas = None
     if resid_keys:
         if use_pallas:
-            from .mc_pallas import scatter_tiles as _stiles, scatter_pad_shape
-            rc16 = []
-            for s in shapes:
-                hp_, wp_ = scatter_pad_shape(*s)
-                rc16.append(jnp.zeros((hp_, wp_), jnp.int16))
+            from .mc_pallas import band_paint as _bpaint, band_pad_shape
+            rc16 = [jnp.zeros(band_pad_shape(*s), jnp.int16) for s in shapes]
         rcanvas = [jnp.zeros(s, jnp.int32) for s in shapes]
         for (c, n, N) in resid_keys:
             d = {f: arrays[("resid", c, n, f)]
@@ -206,7 +189,7 @@ def frame_step(refs, packed, prof):
                 res = residual_batch(d["levels"], d["qp"], d["kind"], n, bd,
                                      xtra=d["xtra"])
             if use_pallas:
-                rc16[c] = _stiles(rc16[c],
+                rc16[c] = _bpaint(rc16[c],
                                   jnp.clip(res, -32768, 32767)
                                   .astype(jnp.int16),
                                   d["xs"], d["ys"], d["valid"], n, n)

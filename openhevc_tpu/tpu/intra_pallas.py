@@ -338,11 +338,17 @@ def _predict_block(plane, x, y, mode, angle, inv, flags, n, c_idx,
                                              pred_angular])
 
 
-def _kernel(meta, plane_in, resid, plane, *, sizes, c_idx, bd, strong,
+def _kernel(meta, plane_in, resid, plane, sem, *, sizes, c_idx, bd, strong,
             c444, H, W, bottom_on=True):
-    # plane_in is aliased with the output `plane`; all reads/writes go
-    # through the output ref so stores persist across grid steps
-    del plane_in
+    # The output VMEM window starts UNINITIALIZED on hardware (aliasing only
+    # reuses the HBM buffer), so the first grid step DMAs the padded input
+    # plane into it; later steps keep the window resident (constant index
+    # map) and all reads/writes go through `plane` so stores persist.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cp = pltpu.make_async_copy(plane_in, plane, sem)
+        cp.start()
+        cp.wait()
     maxv = (1 << bd) - 1
     H8 = (H // 8) * 8          # static
     dh = H - H8                # static 0 or 4
@@ -555,15 +561,14 @@ def _intra_seq_raw(plane, resid, meta, H_edge, hb, W, c_idx, bd, strong,
         in_specs=[
             pl.BlockSpec((1, CHUNK, NF), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((Hp, Wp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),      # plane_in (HBM)
             pl.BlockSpec((hb + 16, Wp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Hp, Wp), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int16),
-        input_output_aliases={1: 0},
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(meta, pp, rp)
     return got[:hb, :W].astype(jnp.int32)

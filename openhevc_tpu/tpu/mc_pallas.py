@@ -138,127 +138,117 @@ def clamp_starts(xs, ys, mvx, mvy, w, h, W, H, is_luma, border,
 
 
 # ---------------------------------------------------------------------------
-# cell paint: scatter MC tiles into the plane without a generic XLA scatter
-# ---------------------------------------------------------------------------
-
-def _paint_kernel(dst_ref, cells_ref, canvas_ref, out_ref):
-    del dst_ref, canvas_ref
-    out_ref[...] = cells_ref[...]
-
-
-@partial(jax.jit, static_argnames=("ch", "cw", "interpret"))
-def paint_cells(canvas_cells, cells, dst, ch=4, cw=4, interpret=False):
-    """Write (ch, cw) cells into a cell-major canvas copy.
-
-    canvas_cells (S, ch, cw); cells (M, ch, cw); dst (M,) target cell index
-    (invalid cells point at the reserved slot S-1).  The output aliases the
-    canvas, so untouched cells keep their contents; the sequential grid
-    makes duplicate dsts last-write-wins (valid cells are disjoint).
-    """
-    S = canvas_cells.shape[0]
-    M = cells.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(M,),
-        in_specs=[pl.BlockSpec((1, ch, cw), lambda i, dst: (i, 0, 0)),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],       # canvas alias
-        out_specs=pl.BlockSpec((1, ch, cw), lambda i, dst: (dst[i], 0, 0)),
-    )
-    return pl.pallas_call(
-        _paint_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, ch, cw), canvas_cells.dtype),
-        input_output_aliases={2: 0},   # canvas (after the prefetch arg)
-        interpret=interpret,
-    )(dst, cells, canvas_cells)
-
-
-def plane_to_cells(plane, ch=4, cw=4):
-    """(H, W) -> (H/ch*W/cw + 1, ch, cw) cell-major (+1 reserved slot)."""
-    H, W = plane.shape
-    c = plane.reshape(H // ch, ch, W // cw, cw).transpose(0, 2, 1, 3)
-    c = c.reshape(-1, ch, cw)
-    return jnp.concatenate([c, jnp.zeros((1, ch, cw), plane.dtype)])
-
-
-def cells_to_plane(cells, H, W, ch=4, cw=4):
-    c = cells[:-1].reshape(H // ch, W // cw, ch, cw).transpose(0, 2, 1, 3)
-    return c.reshape(H, W)
-
-
-# ---------------------------------------------------------------------------
-# Tile scatter: write combined MC tiles straight into the padded plane.
+# Banded tile paint: write disjoint (h, w) tiles into a plane.
 #
-# Replaces the 4x4 cell paint (grid step per cell + full-plane cell-major
-# reshapes, ~100 ms/frame at 1080p) with one RMW band store per PU tile:
-# the aligned 256-lane band containing the tile is loaded, the tile rotated
-# into lane position (dynamic roll) and shifted into sublane position
-# (0/2/4/6 static-concat select), and the masked merge stored back.  Tiles
-# are spatially disjoint, so the sequential grid needs no ordering.
+# The plane is partitioned into a static grid of (BH, SBAND) bands; each
+# tile contributes one entry per band it intersects (<= 4: tiles are at
+# most 64x64, bands 64x256).  Entries are sorted by band id so each band's
+# VMEM window is visited as one contiguous run of grid steps: the FIRST
+# entry of a run copies the input band into the output window explicitly
+# (the output window is NOT initialized on hardware — `input_output_aliases`
+# only reuses the HBM buffer, it never pre-fills VMEM; relying on it was
+# the round-2 1080p P-frame corruption), subsequent entries RMW-merge their
+# tile.  A zero-work dummy entry per band guarantees every output block is
+# written.  Replaces both the 4x4 cell paint and the per-tile RMW scatter.
 # ---------------------------------------------------------------------------
 
+BH = 64
 SBAND = 256
 
 
-def _tile_index_map(i, xs, ys, v):
-    return (i, 0, 0)
+def band_pad_shape(H, W):
+    return -(-H // BH) * BH, -(-W // SBAND) * SBAND
 
 
-def _scatter_kernel(xs_ref, ys_ref, valid_ref, tiles_ref, plane_in, plane,
-                    *, h, w):
-    del plane_in                       # aliased with the output ref
-    i = pl.program_id(0)
+def _band_entries(xs, ys, valid, h, w, RB, LB):
+    """Per-tile band-intersection entries, sorted by band id.
 
-    @pl.when(valid_ref[i] != 0)
+    Returns int32 arrays (tidx, rb, lb, first, ok), each of length
+    4*N + RB*LB (static).  jnp ops only — callable under jit.
+    """
+    nb = RB * LB
+    rb0 = ys >> 6
+    lb0 = xs >> 8
+    rb1 = (ys + h - 1) >> 6
+    lb1 = (xs + w - 1) >> 8
+    v = valid.astype(bool)
+    tidx, band, ok = [], [], []
+    for dr in (0, 1):
+        for dl in (0, 1):
+            rb = rb0 + dr
+            lb = lb0 + dl
+            o = v & (rb <= rb1) & (lb <= lb1)
+            tidx.append(jnp.arange(xs.shape[0], dtype=jnp.int32))
+            band.append(jnp.clip(rb * LB + lb, 0, nb - 1))
+            ok.append(o)
+    # one dummy entry per band so every output block gets its copy step
+    tidx.append(jnp.zeros(nb, jnp.int32))
+    band.append(jnp.arange(nb, dtype=jnp.int32))
+    ok.append(jnp.zeros(nb, bool))
+    tidx = jnp.concatenate(tidx)
+    band = jnp.concatenate(band).astype(jnp.int32)
+    ok = jnp.concatenate(ok)
+    order = jnp.argsort(band)
+    band_s = band[order]
+    first = jnp.concatenate([jnp.ones(1, jnp.int32),
+                             (band_s[1:] != band_s[:-1]).astype(jnp.int32)])
+    return (tidx[order], (band_s // LB).astype(jnp.int32),
+            (band_s % LB).astype(jnp.int32), first,
+            ok[order].astype(jnp.int32))
+
+
+def _band_paint_kernel(tidx, rb, lb, first, ok, xs, ys, tiles_ref, plane_in,
+                       out_ref, *, h, w):
+    k = pl.program_id(0)
+
+    @pl.when(first[k] != 0)
     def _():
-        x = xs_ref[i]
-        y = ys_ref[i]
-        xb = pl.multiple_of((x >> 7) << 7, 128)
-        off = x - xb
-        y8 = pl.multiple_of((y >> 3) << 3, 8)
-        d = y - y8                     # 0/2/4/6 (tile origins are 2-aligned)
+        out_ref[...] = plane_in[...]
+
+    @pl.when(ok[k] != 0)
+    def _():
+        t = tidx[k]
+        dy = ys[t] - rb[k] * BH          # may be negative (row straddle)
+        ox = xs[t] - lb[k] * SBAND
         tile = tiles_ref[0].astype(jnp.int32)
-        tb = jnp.pad(tile, ((0, 0), (0, SBAND - w)))
-        tr = pltpu.roll(tb, off, axis=1)
-        R = h + 8
-        z = jnp.zeros((8, SBAND), jnp.int32)
-        cats = [jnp.concatenate([tr, z], axis=0)] + [
-            jnp.concatenate([z[:dd, :], tr, z[:8 - dd, :]], axis=0)
-            for dd in (2, 4, 6)]
-        vd = jnp.where(d == 0, cats[0],
-              jnp.where(d == 2, cats[1],
-               jnp.where(d == 4, cats[2], cats[3])))
-        ri = jax.lax.broadcasted_iota(jnp.int32, (R, SBAND), 0)
-        li = jax.lax.broadcasted_iota(jnp.int32, (R, SBAND), 1)
-        mask = ((ri >= d) & (ri < d + h) &
-                (li >= off) & (li < off + w))
-        sub = plane[pl.ds(y8, R), pl.ds(xb, SBAND)]
-        plane[pl.ds(y8, R), pl.ds(xb, SBAND)] = \
-            jnp.where(mask, vd, sub.astype(jnp.int32)).astype(plane.dtype)
+        tb = jnp.pad(tile, ((0, BH - h), (0, SBAND - w)))
+        tb = pltpu.roll(tb, ox & (SBAND - 1), axis=1)
+        tb = pltpu.roll(tb, dy & (BH - 1), axis=0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (BH, SBAND), 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (BH, SBAND), 1)
+        mask = (ri >= dy) & (ri < dy + h) & (li >= ox) & (li < ox + w)
+        out_ref[...] = jnp.where(mask, tb, out_ref[...].astype(jnp.int32)) \
+            .astype(out_ref.dtype)
 
 
-def scatter_tiles(plane, tiles, xs, ys, valid, h, w, interpret=False):
-    """RMW-store (N, h, w) tiles into the padded (Hp, Wp) int16 plane at
-    (ys, xs); rows of `valid`==0 are skipped.  Returns the updated plane."""
-    N = tiles.shape[0]
+@partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def band_paint(plane, tiles, xs, ys, valid, h, w, interpret=False):
+    """Paint (N, h, w) tiles into the band-padded (Hp, Wp) plane at
+    (ys, xs); rows with valid==0 are skipped.  Returns the updated plane.
+    Tiles must be spatially disjoint (h <= 64, w <= 256)."""
     Hp, Wp = plane.shape
+    RB, LB = Hp // BH, Wp // SBAND
+    tidx, rb, lb, first, ok = _band_entries(
+        xs.astype(jnp.int32), ys.astype(jnp.int32), valid, h, w, RB, LB)
+    E = tidx.shape[0]
+
+    def _tile_map(k, tidx, rb, lb, first, ok, xs, ys):
+        return (tidx[k], 0, 0)
+
+    def _band_map(k, tidx, rb, lb, first, ok, xs, ys):
+        return (rb[k], lb[k])
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(N,),
-        in_specs=[pl.BlockSpec((1, h, w), _tile_index_map),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        num_scalar_prefetch=7,
+        grid=(E,),
+        in_specs=[pl.BlockSpec((1, h, w), _tile_map),
+                  pl.BlockSpec((BH, SBAND), _band_map)],
+        out_specs=pl.BlockSpec((BH, SBAND), _band_map),
     )
     return pl.pallas_call(
-        partial(_scatter_kernel, h=h, w=w),
+        partial(_band_paint_kernel, h=h, w=w),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Hp, Wp), plane.dtype),
-        input_output_aliases={4: 0},   # plane (after 3 prefetch + tiles)
         interpret=interpret,
-    )(xs, ys, valid, tiles, plane)
-
-
-def scatter_pad_shape(H, W):
-    Hp = -(-(H + 8) // 8) * 8
-    Wp = -(-W // 128) * 128 + SBAND
-    return Hp, Wp
+    )(tidx, rb, lb, first, ok, xs.astype(jnp.int32), ys.astype(jnp.int32),
+      tiles, plane)

@@ -1,5 +1,5 @@
 """Pallas MC kernel vs the scalar model (interpret mode on CPU-only runs,
-compiled on TPU), plus the cell-paint scatter."""
+compiled on TPU), plus the banded tile paint."""
 
 import numpy as np
 import jax
@@ -8,8 +8,8 @@ import pytest
 
 from openhevc_tpu.model import mc as mc_model
 from openhevc_tpu.tpu.mc_pallas import (mc_batch_pallas, pad_refs,
-                                        clamp_starts, paint_cells,
-                                        plane_to_cells, cells_to_plane)
+                                        clamp_starts, band_paint,
+                                        band_pad_shape)
 
 _INTERPRET = jax.default_backend() == "cpu"
 
@@ -60,49 +60,66 @@ def test_mc_pallas_vs_model(is_luma, wh):
                                       err_msg=f"block {i} luma={is_luma}")
 
 
-@pytest.mark.parametrize("cs", [4, 2])
-def test_paint_cells(cs):
-    rng = np.random.default_rng(7)
-    H, W = 32, 64
-    canvas = rng.integers(0, 256, (H, W)).astype(np.int32)
-    cv = plane_to_cells(jnp.asarray(canvas), cs, cs)
-    S = cv.shape[0]
-    # paint a few disjoint cells + one invalid (reserved slot)
-    m = 9
-    dst = np.asarray([1, 5, 9, 20, 33, 47, 2, 3, S - 1], np.int32)
-    cells = rng.integers(0, 256, (m, cs, cs)).astype(np.int32)
-    cv2 = paint_cells(cv, jnp.asarray(cells), jnp.asarray(dst), cs, cs,
-                      interpret=_INTERPRET)
-    out = np.asarray(cells_to_plane(cv2, H, W, cs, cs))
-    want = canvas.copy()
-    Wc = W // cs
-    for i in range(m - 1):          # last one targets the reserved slot
-        y, x = (dst[i] // Wc) * cs, (dst[i] % Wc) * cs
-        want[y:y + cs, x:x + cs] = cells[i]
-    np.testing.assert_array_equal(out, want)
+def _disjoint_positions(rng, H, W, h, w, N, align=2):
+    """N disjoint (x, y) origins on an (h, w)-granular grid, align-aligned,
+    spanning both band-straddle cases (y across 64, x across 256)."""
+    cols = W // w
+    rows = H // h
+    picks = rng.choice(rows * cols, size=N, replace=False)
+    ys = (picks // cols * h).astype(np.int32)
+    xs = (picks % cols * w).astype(np.int32)
+    return xs, ys
 
 
-def test_scatter_tiles_rmw():
-    """Tile scatter (RMW band stores) leaves untouched pixels intact and
-    places every valid tile exactly, at awkward plane sizes."""
-    import jax.numpy as jnp
-    from openhevc_tpu.tpu.mc_pallas import scatter_tiles, scatter_pad_shape
+@pytest.mark.parametrize("dtype", [np.int16, np.int32])
+def test_band_paint(dtype):
+    """Banded tile paint: untouched pixels intact, every valid tile placed,
+    tiles straddling band boundaries (y across 64, x across 256) exact."""
     rng = np.random.default_rng(0)
-    H, W = 36, 150
-    Hp, Wp = scatter_pad_shape(H, W)
-    plane = rng.integers(0, 1023, (Hp, Wp)).astype(np.int16)
+    H, W = 100, 300
+    Hp, Wp = band_pad_shape(H, W)
+    assert Hp % 64 == 0 and Wp % 256 == 0
+    plane = rng.integers(0, 1023, (Hp, Wp)).astype(dtype)
     ref = plane.copy()
-    for (h, w) in ((16, 16), (4, 16), (2, 8), (8, 2)):
-        N = 7
-        xs = (rng.integers(0, (W - w) // 2, N) * 2).astype(np.int32)
-        ys = (rng.integers(0, (H - h) // 2, N) * 2).astype(np.int32)
+    for (h, w) in ((16, 16), (4, 16), (2, 8), (8, 2), (32, 32)):
+        N = 12
+        xs, ys = _disjoint_positions(rng, H, W, h, w, N)
+        # force straddles: a tile crossing the row band and the lane band
+        xs[0], ys[0] = 0, 64 - h // 2 if h > 1 else 63
+        xs[1] = 256 - w // 2 if w > 1 else 255
+        ys[1] = min(ys[1], H - h)
         valid = rng.integers(0, 2, N).astype(np.int32)
-        valid[0] = 1
-        tiles = rng.integers(0, 1023, (N, h, w)).astype(np.int16)
+        valid[:2] = 1
+        # the forced straddle positions may collide with grid picks;
+        # disjointness is the kernel's contract, so drop the collisions
+        for i in range(2, N):
+            for j in (0, 1):
+                if (xs[i] < xs[j] + w and xs[j] < xs[i] + w and
+                        ys[i] < ys[j] + h and ys[j] < ys[i] + h):
+                    valid[i] = 0
+        tiles = rng.integers(0, 1023, (N, h, w)).astype(dtype)
         for i in range(N):
             if valid[i]:
                 ref[ys[i]:ys[i] + h, xs[i]:xs[i] + w] = tiles[i]
-        plane = np.asarray(scatter_tiles(
+        plane = np.asarray(band_paint(
             jnp.asarray(plane), jnp.asarray(tiles), jnp.asarray(xs),
             jnp.asarray(ys), jnp.asarray(valid), h, w, interpret=True))
     assert np.array_equal(plane, ref)
+
+
+def test_band_paint_empty_bands():
+    """Bands with no tiles at all must still carry the input through."""
+    rng = np.random.default_rng(3)
+    Hp, Wp = band_pad_shape(256, 1024)
+    plane = rng.integers(0, 255, (Hp, Wp)).astype(np.int16)
+    tiles = rng.integers(0, 255, (4, 8, 8)).astype(np.int16)
+    xs = np.asarray([0, 512, 1000, 8], np.int32)
+    ys = np.asarray([0, 128, 248, 200], np.int32)
+    valid = np.asarray([1, 1, 1, 0], np.int32)
+    got = np.asarray(band_paint(jnp.asarray(plane), jnp.asarray(tiles),
+                                jnp.asarray(xs), jnp.asarray(ys),
+                                jnp.asarray(valid), 8, 8, interpret=True))
+    want = plane.copy()
+    for i in range(3):
+        want[ys[i]:ys[i] + 8, xs[i]:xs[i] + 8] = tiles[i]
+    np.testing.assert_array_equal(got, want)

@@ -44,61 +44,41 @@ def check(name, got, want):
 
 
 # ---------------------------------------------------------------------------
-# scatter_tiles at full widths
+# band_paint at full widths (disjoint tiles on an (n, n) grid)
 # ---------------------------------------------------------------------------
 
-def rig_scatter_tiles(W, H, sizes=(4, 8, 16, 32), ns=(8, 64)):
-    from openhevc_tpu.tpu.mc_pallas import scatter_tiles, scatter_pad_shape
+def rig_band_paint(W, H, sizes=(4, 8, 16, 32), ns=(8, 64), dtype=np.int16):
+    from openhevc_tpu.tpu.mc_pallas import band_paint, band_pad_shape
     rng = np.random.default_rng(0)
     ok = True
-    Hp, Wp = scatter_pad_shape(H, W)
+    Hp, Wp = band_pad_shape(H, W)
     for n in sizes:
         for N in ns:
-            plane = rng.integers(-100, 100, (Hp, Wp)).astype(np.int16)
-            tiles = rng.integers(-3000, 3000, (N, n, n)).astype(np.int16)
-            # positions multiple of 2 (tile origins are 2-aligned), spanning
-            # the full plane incl. lane offsets > 128 and the right edge
-            xs = (rng.integers(0, (W - n) // 2, N) * 2).astype(np.int32)
-            ys = (rng.integers(0, (H - n) // 2, N) * 2).astype(np.int32)
+            plane = rng.integers(-100, 100, (Hp, Wp)).astype(dtype)
+            tiles = rng.integers(-3000, 3000, (N, n, n)).astype(dtype)
+            # disjoint origins on the (n, n) grid spanning the whole plane
+            cols, rows = W // n, H // n
+            picks = rng.choice(rows * cols, size=N, replace=False)
+            ys = (picks // cols * n).astype(np.int32)
+            xs = (picks % cols * n).astype(np.int32)
             xs[0], ys[0] = W - n, H - n          # corner case
             xs[1], ys[1] = 0, 0
             valid = (rng.random(N) > 0.2).astype(np.int32)
-            got = scatter_tiles(jnp.asarray(plane), jnp.asarray(tiles),
-                                jnp.asarray(xs), jnp.asarray(ys),
-                                jnp.asarray(valid), n, n)
+            valid[:2] = 1
+            for i in range(2, N):                # keep forced corners disjoint
+                for j in (0, 1):
+                    if (xs[i] < xs[j] + n and xs[j] < xs[i] + n and
+                            ys[i] < ys[j] + n and ys[j] < ys[i] + n):
+                        valid[i] = 0
+            got = band_paint(jnp.asarray(plane), jnp.asarray(tiles),
+                             jnp.asarray(xs), jnp.asarray(ys),
+                             jnp.asarray(valid), n, n)
             want = plane.copy()
             for i in range(N):
                 if valid[i]:
                     want[ys[i]:ys[i] + n, xs[i]:xs[i] + n] = tiles[i]
-            ok &= check(f"scatter_tiles {W}x{H} n={n} N={N}", got, want)
+            ok &= check(f"band_paint {W}x{H} n={n} N={N}", got, want)
     return ok
-
-
-# ---------------------------------------------------------------------------
-# paint_cells at full frame geometry
-# ---------------------------------------------------------------------------
-
-def rig_paint_cells(W, H, cs=4, M=4096):
-    from openhevc_tpu.tpu.mc_pallas import (paint_cells, plane_to_cells,
-                                            cells_to_plane)
-    rng = np.random.default_rng(1)
-    plane = rng.integers(0, 255, (H, W)).astype(np.int32)
-    S = (H // cs) * (W // cs) + 1
-    cells = rng.integers(0, 255, (M, cs, cs)).astype(np.int32)
-    # distinct destinations (valid cells are disjoint in the product)
-    dst = rng.choice(S - 1, size=M, replace=False).astype(np.int32)
-    dst[M // 3:M // 3 + M // 10] = S - 1        # a run of invalid cells
-    cv = plane_to_cells(jnp.asarray(plane), cs, cs)
-    cv = paint_cells(cv, jnp.asarray(cells), jnp.asarray(dst), cs, cs)
-    got = cells_to_plane(cv, H, W, cs, cs)
-    want = plane.copy()
-    wcells = W // cs
-    for i in range(M):
-        if dst[i] == S - 1:
-            continue
-        cy, cx = divmod(int(dst[i]), wcells)
-        want[cy * cs:(cy + 1) * cs, cx * cs:(cx + 1) * cs] = cells[i]
-    return check(f"paint_cells {W}x{H} cs={cs} M={M}", got, want)
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +122,42 @@ def rig_mc(W, H, is_luma, w, h, N, bit_depth=8, R=2, extreme_mv=False,
                  f"({dt:.1f}s)", got, want)
 
 
+# ---------------------------------------------------------------------------
+# intra_seq window init: untouched pixels must pass through bit-exactly
+# (the round-2 bug: the output VMEM window was never initialized from the
+# input on hardware), and DC blocks with no neighbours land exactly.
+# ---------------------------------------------------------------------------
+
+def rig_intra(W, H, bd=8):
+    from openhevc_tpu.tpu.intra_pallas import _intra_seq_raw, build_meta
+    rng = np.random.default_rng(4)
+    plane = rng.integers(0, (1 << bd) - 1, (H, W)).astype(np.int32)
+    resid = rng.integers(-128, 128, (H, W)).astype(np.int32)
+
+    class _Op:
+        pass
+
+    ops = []
+    for (x, y, n) in ((0, 0, 8), (W - 16, H - 16, 16), (512, 512, 32),
+                      (128, 64, 4), (W - 4, 0, 4)):
+        op = _Op()
+        op.c_idx, op.x, op.y, op.size, op.mode = 0, x, y, n, 1   # DC
+        op.cand_bottom_left = op.cand_left = op.cand_up_left = False
+        op.cand_up = op.cand_up_right = False
+        ops.append(op)
+    meta = build_meta(ops, 0, False)
+    got = np.asarray(_intra_seq_raw(jnp.asarray(plane), jnp.asarray(resid),
+                                    jnp.asarray(meta), H, H, W, 0, bd,
+                                    False, False, False))
+    want = plane.copy()
+    mid = 1 << (bd - 1)
+    for op in ops:
+        x, y, n = op.x, op.y, op.size
+        want[y:y + n, x:x + n] = np.clip(mid + resid[y:y + n, x:x + n],
+                                         0, (1 << bd) - 1)
+    return check(f"intra_seq {W}x{H}", got, want)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--big", action="store_true")
@@ -156,11 +172,11 @@ def main():
     def want(name):
         return not args.only or args.only in name
 
-    if want("scatter"):
-        ok &= rig_scatter_tiles(W, H)
     if want("paint"):
-        ok &= rig_paint_cells(W, H, cs=4, M=4096)
-        ok &= rig_paint_cells(W // 2, H // 2, cs=2, M=4096)
+        ok &= rig_band_paint(W, H)
+        ok &= rig_band_paint(W // 2, H // 2, sizes=(2, 8), dtype=np.int32)
+    if want("intra"):
+        ok &= rig_intra(W, H)
     if want("mc"):
         for (w, h) in ((16, 16), (16, 4), (4, 16), (4, 4)):
             ok &= rig_mc(W, H, True, w, h, 64)
@@ -173,10 +189,7 @@ def main():
         if want("mc"):
             ok &= rig_mc(W, H, True, 16, 16, 8192)     # SMEM capacity probe
         if want("paint"):
-            ok &= rig_paint_cells(W, H, cs=4, M=131072)
-            ok &= rig_paint_cells(W // 2, H // 2, cs=2, M=32768)
-        if want("scatter"):
-            ok &= rig_scatter_tiles(W, H, sizes=(16,), ns=(8192,))
+            ok &= rig_band_paint(W, H, sizes=(16,), ns=(8000,))
     log("ALL OK" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
 
