@@ -196,3 +196,4 @@ class PipelinedDecoder:
                 self.stats.md5_ok += 1
             else:
                 self.md5_fail += 1
+                self.stats.md5_fail += 1
