@@ -9,6 +9,8 @@ positions (needed to fix up WPP/tile entry-point offsets).
 from dataclasses import dataclass, field
 from typing import List
 
+import numpy as np
+
 # HEVC NAL unit types (ITU-T H.265 table 7-1); subset used by the decoder.
 NAL_TRAIL_N = 0
 NAL_TRAIL_R = 1
@@ -78,18 +80,18 @@ def extract_rbsp(data: bytes):
     skipped_positions are indices *in the output rbsp* after which a 0x03 was
     removed, matching the reference's skipped_bytes bookkeeping semantics.
     """
-    out = bytearray()
-    skipped = []
-    i, n = 0, len(data)
-    while i < n:
-        if i + 2 < n and data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 3:
-            out += data[i:i + 2]
-            skipped.append(len(out))
-            i += 3
-        else:
-            out.append(data[i])
-            i += 1
-    return bytes(out), skipped
+    n = len(data)
+    if n < 3:
+        return bytes(data), []
+    d = np.frombuffer(data, np.uint8)
+    # a removable 0x03 always follows two zeros; zeros are never removed,
+    # so the vectorized mask over original bytes matches the scalar walk
+    cand = np.flatnonzero((d[2:] == 3) & (d[1:-1] == 0) & (d[:-2] == 0)) + 2
+    if cand.size == 0:
+        return bytes(data), []
+    out = np.delete(d, cand)
+    skipped = (cand - np.arange(cand.size)).tolist()
+    return out.tobytes(), skipped
 
 
 def substream_rbsp_offsets(entry_point_offsets, data_start: int,

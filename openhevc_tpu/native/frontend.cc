@@ -16,22 +16,45 @@
 // ---------------------------------------------------------------------------
 
 struct Cabac {
+    // 64-bit cached bitreader: upcoming bits sit MSB-first in `cache`
+    // (top `cache_n` bits valid); refills load 4 bytes at once and bits
+    // past the payload read as 0 (same as the bit-at-a-time reader).
     const uint8_t *data;
-    int64_t nbits, bitpos;
+    int64_t nbytes, bytepos;
+    uint64_t cache;
+    int cache_n;
     uint32_t range, offset;
     uint8_t state[NUM_CONTEXTS];
     uint8_t mps[NUM_CONTEXTS];
 
-    inline int bit() {
-        if (bitpos >= nbits) { bitpos++; return 0; }
-        int b = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1;
-        bitpos++;
-        return b;
+    inline void refill32() {
+        uint32_t w;
+        if (bytepos + 4 <= nbytes) {
+            memcpy(&w, data + bytepos, 4);
+            w = __builtin_bswap32(w);
+        } else {
+            w = 0;
+            for (int i = 0; i < 4; i++) {
+                uint8_t b = (bytepos + i < nbytes) ? data[bytepos + i] : 0;
+                w = (w << 8) | b;
+            }
+        }
+        cache |= (uint64_t)w << (32 - cache_n);
+        bytepos += 4;
+        cache_n += 32;
     }
+    inline uint32_t take(int n) {        // 1 <= n <= 32
+        if (cache_n < n) refill32();
+        uint32_t v = (uint32_t)(cache >> (64 - n));
+        cache <<= n;
+        cache_n -= n;
+        return v;
+    }
+    inline int bit() { return (int)take(1); }
     void init_engine(const uint8_t *d, int64_t size) {
-        data = d; nbits = size * 8; bitpos = 0;
-        range = 510; offset = 0;
-        for (int i = 0; i < 9; i++) offset = (offset << 1) | bit();
+        data = d; nbytes = size; bytepos = 0; cache = 0; cache_n = 0;
+        range = 510;
+        offset = take(9);
     }
     void init_contexts(int init_type, int qp) {
         const uint8_t *row = INIT_VALUES[init_type];
@@ -61,11 +84,15 @@ struct Cabac {
             v = m;
             state[ctx] = TRANS_IDX_MPS[st];
         }
-        while (range < 256) { range <<= 1; offset = (offset << 1) | bit(); }
+        if (range < 256) {               // renorm: one shift via CLZ
+            int s = __builtin_clz(range) - 23;
+            range <<= s;
+            offset = (offset << s) | take(s);
+        }
         return v;
     }
     inline int bypass() {
-        offset = (offset << 1) | bit();
+        offset = (offset << 1) | take(1);
         if (offset >= range) { offset -= range; return 1; }
         return 0;
     }
@@ -77,21 +104,29 @@ struct Cabac {
     inline int terminate() {
         range -= 2;
         if (offset >= range) return 1;
-        while (range < 256) { range <<= 1; offset = (offset << 1) | bit(); }
+        if (range < 256) {
+            int s = __builtin_clz(range) - 23;
+            range <<= s;
+            offset = (offset << s) | take(s);
+        }
         return 0;
     }
     // PCM: byte-align, raw fixed-length reads, then engine re-init with
     // contexts preserved (spec 9.3.1; cabac/engine.py pcm_reinit)
-    inline void pcm_align() { bitpos = (bitpos + 7) & ~(int64_t)7; }
+    inline void pcm_align() {
+        int rem = (int)((bytepos * 8 - cache_n) & 7);   // consumed bits % 8
+        if (rem) take(8 - rem);
+    }
     inline uint32_t read_raw(int n) {
         uint32_t v = 0;
-        for (int i = 0; i < n; i++) v = (v << 1) | bit();
+        while (n > 24) { v = (v << 24) | take(24); n -= 24; }
+        if (n) v = (v << n) | take(n);
         return v;
     }
     inline void pcm_reinit() {
         pcm_align();
-        range = 510; offset = 0;
-        for (int i = 0; i < 9; i++) offset = (offset << 1) | bit();
+        range = 510;
+        offset = take(9);
     }
 };
 
