@@ -451,12 +451,18 @@ class Frontend:
         return out["last_ts"]
 
     def _finish_native(self, plan, sps, cur):
-        from ..native import ops_to_plan_ops
+        from ..native import split_ops, LazyOps
         from .plan import CtbFilterParams
         out = cur["native_out"]
         sh0 = cur["sh0"]
-        plan.ops = ops_to_plan_ops(out["ops"], out["levels"], sps,
-                                   has_wp=sh0.wp is not None)
+        has_wp = sh0.wp is not None
+        # per-op plan objects materialize lazily; the TPU fast path batches
+        # straight from the SoA arrays (tpu/plan_soa.py)
+        raw_ops = np.ascontiguousarray(out["ops"])
+        raw_lv = np.ascontiguousarray(out["levels"])
+        plan.soa = split_ops(raw_ops, has_wp=has_wp)
+        plan.raw_levels = raw_lv
+        plan.ops = LazyOps(raw_ops, raw_lv, sps, has_wp)
         rep = 1 << (sps.log2_min_cb_size - 3)
         qpm = out["qp_y_tab"].astype(np.int32)
         if rep > 1:

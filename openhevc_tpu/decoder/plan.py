@@ -124,6 +124,10 @@ class FramePlan:
     scaling: Optional[dict] = None
     cu_transquant_bypass_map: Optional[np.ndarray] = None
     slice_type: int = 2
+    # native-front-end SoA op arrays (see native.split_ops) + the flat level
+    # buffer; None when the Python front-end built per-op objects directly
+    soa: Optional[dict] = None
+    raw_levels: Optional[np.ndarray] = None
     # motion field snapshot for DPB storage (TMVP of later frames)
     mvf_mv: Optional[np.ndarray] = None
     mvf_poc: Optional[np.ndarray] = None

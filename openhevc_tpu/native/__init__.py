@@ -350,6 +350,71 @@ def _rebase_levels(ops, delta, has_wp=False):
             raise ValueError("bad op tag")
 
 
+def split_ops(raw_ops, has_wp=False):
+    """One C pass over the tagged op stream -> per-type SoA row arrays.
+
+    Returns dict(intra=(ni,10) [c,x,y,size,mode,f0..f4],
+                 resid=(nr,8)  [c,x,y,log2n,qp,kind,off,rext],
+                 inter=(nm,25) [x,y,w,h,pf,s0,mvx0,mvy0,s1,mvx1,mvy1,
+                                dy,dc,w0(6),w1(6)] (identity weights filled
+                                when the slice has no WP),
+                 pcm=(np,5)    [c,x,y,size,off]).
+    """
+    lib = get_lib()
+    if not hasattr(lib, "_split_ready"):
+        lib.split_ops.restype = ctypes.c_int64
+        lib._split_ready = True
+    n = len(raw_ops)
+    intra = np.empty((n // 11 + 1, 10), np.int32)
+    resid = np.empty((n // 9 + 1, 8), np.int32)
+    inter = np.empty((n // 12 + 1, 25), np.int32)
+    pcm = np.empty((n // 6 + 1, 5), np.int32)
+    counts = np.zeros(4, np.int64)
+    raw = np.ascontiguousarray(raw_ops, np.int32)
+
+    def cp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.split_ops(cp(raw), ctypes.c_int64(n),
+                       ctypes.c_int32(1 if has_wp else 0),
+                       cp(intra), cp(resid), cp(inter), cp(pcm), cp(counts))
+    if rc != 0:
+        raise ValueError("bad op tag in native op stream")
+    return dict(intra=intra[:counts[0]], resid=resid[:counts[1]],
+                inter=inter[:counts[2]], pcm=pcm[:counts[3]])
+
+
+class LazyOps:
+    """List-like view over the native op stream; materializes per-op plan
+    objects only when something actually iterates/indexes it (the TPU fast
+    path reads the SoA arrays instead)."""
+
+    def __init__(self, raw_ops, raw_levels, sps, has_wp):
+        self._args = (raw_ops, raw_levels, sps, has_wp)
+        self._ops = None
+
+    def _mat(self):
+        if self._ops is None:
+            self._ops = ops_to_plan_ops(*self._args)
+            self._args = None
+        return self._ops
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def __len__(self):
+        return len(self._mat())
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+    def __bool__(self):
+        return len(self._mat()) > 0
+
+    def append(self, v):
+        self._mat().append(v)
+
+
 def ops_to_plan_ops(raw_ops, raw_levels, sps, has_wp=False):
     """Convert the flat native op stream to plan op objects."""
     from ..decoder.plan import IntraOp, ResidualOp, InterOp, PcmOp

@@ -2113,3 +2113,43 @@ extern "C" int64_t decode_slice_data(
     out_sizes[3] = last_ts;
     return c.err;
 }
+
+// ---------------------------------------------------------------------------
+// split_ops: one pass over the tagged op stream -> per-type SoA row arrays
+// (the Python side batches those with vectorized numpy instead of building
+// per-op objects; see native/__init__.py split_ops)
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t split_ops(const int32_t *ops, int64_t n, int32_t has_wp,
+                             int32_t *intra_out,   // (ni, 10)
+                             int32_t *resid_out,   // (nr, 8)
+                             int32_t *inter_out,   // (nm, 25)
+                             int32_t *pcm_out,     // (np, 5)
+                             int64_t *counts) {    // ni, nr, nm, np
+    static const int32_t ident_w[14] = {0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0,
+                                        1, 0};
+    int64_t ni = 0, nr = 0, nm = 0, npc = 0;
+    int64_t i = 0;
+    while (i < n) {
+        int t = ops[i];
+        if (t == 1) {
+            memcpy(intra_out + ni * 10, ops + i + 1, 10 * 4);
+            ni++; i += 11;
+        } else if (t == 2) {
+            memcpy(resid_out + nr * 8, ops + i + 1, 8 * 4);
+            nr++; i += 9;
+        } else if (t == 3) {
+            memcpy(inter_out + nm * 25, ops + i + 1, 11 * 4);
+            memcpy(inter_out + nm * 25 + 11,
+                   has_wp ? ops + i + 12 : ident_w, 14 * 4);
+            nm++; i += 12 + (has_wp ? 14 : 0);
+        } else if (t == 4) {
+            memcpy(pcm_out + npc * 5, ops + i + 1, 5 * 4);
+            npc++; i += 6;
+        } else {
+            return -1;
+        }
+    }
+    counts[0] = ni; counts[1] = nr; counts[2] = nm; counts[3] = npc;
+    return 0;
+}

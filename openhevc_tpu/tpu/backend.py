@@ -64,7 +64,33 @@ class TpuBackend:
         vs = 1 if cfmt == 1 else 0
 
         fam = "I" if plan.slice_type == 2 else "PB"
-        cp = compile_plan(plan)
+
+        # ---- path selection (also see intra path selection below) ----
+        ipal_env = os.environ.get("OPENHEVC_IPAL", "")
+        use_ipal = (ipal_env != "off"
+                    and (jax.default_backend() not in ("cpu",)
+                         or ipal_env == "interp"))
+        # vectorized SoA fast path: batches built straight from the native
+        # op arrays, no per-op Python objects (plan_soa.py).  getattr: plans
+        # unpickled from caches written before the field existed lack it
+        fast = getattr(plan, "soa", None) is not None and use_ipal
+        if fast:
+            from . import plan_soa
+
+            class _CP:
+                pass
+
+            cp = _CP()
+            soa = plan.soa
+            if len(soa["inter"]):
+                pocs, s0, s1 = plan_soa.ref_pocs_and_slots(soa["inter"])
+                cp.ref_pocs = pocs
+                cp.inter = plan_soa.tile_buckets(soa["inter"], s0, s1)
+            else:
+                cp.ref_pocs = []
+                cp.inter = {}
+        else:
+            cp = compile_plan(plan)
         parts = []          # (path, int32 ndarray) in layout order
 
         def add(path, arr):
@@ -109,18 +135,15 @@ class TpuBackend:
             # dummy refs keep the pytree structure stable
             refs = [jnp.zeros((1, 8, 8), jnp.int32) for _ in range(3)]
 
-        # ---- intra reconstruction path selection ----
+        # ---- intra reconstruction path ----
         # on a real TPU the sequential Pallas kernel replaces the lax.scan
         # wavefront whenever the plane fits VMEM (OPENHEVC_IPAL=interp
         # forces it in interpreter mode for CPU tests; =off disables)
-        ipal_env = os.environ.get("OPENHEVC_IPAL", "")
-        use_ipal = (ipal_env != "off"
-                    and (jax.default_backend() not in ("cpu",)
-                         or ipal_env == "interp"))
         ipal = ()
         if use_ipal:
-            from ..decoder.plan import IntraOp
-            iops = [op for op in plan.ops if isinstance(op, IntraOp)]
+            if not fast:
+                from ..decoder.plan import IntraOp
+                iops = [op for op in plan.ops if isinstance(op, IntraOp)]
             c444 = cfmt == 3
             ctb = 1 << (plan.log2_ctb_size or 6)
             bands_l = intra_pallas.band_plan(plan.height, plan.width, ctb)
@@ -128,9 +151,15 @@ class TpuBackend:
                 shs, svs = (hs, vs) if c else (0, 0)
                 hc, wc = plan.height >> svs, plan.width >> shs
                 bands = [(s >> svs, e >> svs) for (s, e) in bands_l]
-                metas = intra_pallas.split_meta_bands(
-                    iops, c, c444, bands,
-                    smoothing_off=bool(plan.intra_smoothing_disabled))
+                if fast:
+                    from . import plan_soa
+                    metas = plan_soa.intra_meta_bands(
+                        plan.soa["intra"], c, bands, c444,
+                        smoothing_off=bool(plan.intra_smoothing_disabled))
+                else:
+                    metas = intra_pallas.split_meta_bands(
+                        iops, c, c444, bands,
+                        smoothing_off=bool(plan.intra_smoothing_disabled))
                 entry = ()
                 for bi, ((s, e), meta) in enumerate(zip(bands, metas)):
                     if meta is None:
@@ -148,7 +177,12 @@ class TpuBackend:
                     ipal += ((c, entry),)
 
         # ---- wavefront slots (flat, slot-ordered layout) ----
-        if use_ipal:
+        if fast:
+            from . import plan_soa
+            T, caps, data = 1, {}, {}
+            resid = plan_soa.resid_buckets(plan.soa["resid"],
+                                           plan.raw_levels, cfmt)
+        elif use_ipal:
             T, caps, data, resid = schedule_slots(plan, min_caps=None,
                                                   intra=False)
         else:
@@ -203,21 +237,31 @@ class TpuBackend:
         resid_keys = tuple(resid_keys)
 
         # ---- cross-component alpha maps (RExt 4:4:4) ----
-        from ..decoder.plan import ResidualOp as _ROp
         has_cc = False
         if cfmt == 3:
-            for c in (1, 2):
-                amap = None
-                for op in plan.ops:
-                    if isinstance(op, _ROp) and op.c_idx == c and op.cc_alpha:
-                        if amap is None:
-                            amap = np.zeros((plan.height, plan.width),
-                                            np.int32)
-                        nn = 1 << op.log2_size
-                        amap[op.y:op.y + nn, op.x:op.x + nn] = op.cc_alpha
-                if amap is not None:
-                    add(("ccmap", c), amap)
-                    has_cc = True
+            if fast:
+                from . import plan_soa
+                amaps = plan_soa.cc_alpha_maps(plan.soa["resid"],
+                                               plan.height, plan.width)
+                for c in (1, 2):
+                    if amaps[c - 1] is not None:
+                        add(("ccmap", c), amaps[c - 1])
+                        has_cc = True
+            else:
+                from ..decoder.plan import ResidualOp as _ROp
+                for c in (1, 2):
+                    amap = None
+                    for op in plan.ops:
+                        if isinstance(op, _ROp) and op.c_idx == c \
+                                and op.cc_alpha:
+                            if amap is None:
+                                amap = np.zeros((plan.height, plan.width),
+                                                np.int32)
+                            nn = 1 << op.log2_size
+                            amap[op.y:op.y + nn, op.x:op.x + nn] = op.cc_alpha
+                    if amap is not None:
+                        add(("ccmap", c), amap)
+                        has_cc = True
 
         # ---- filter maps ----
         deblock_on = not plan.deblock_disable
@@ -266,18 +310,25 @@ class TpuBackend:
                     add(("sao", c, "restore"), mask.astype(np.int32))
 
         # ---- PCM base canvas (verbatim samples precede the wavefront) ----
-        from ..decoder.plan import PcmOp
-        pcm_ops = [op for op in plan.ops if isinstance(op, PcmOp)]
-        has_base = bool(pcm_ops)
+        if fast:
+            from . import plan_soa
+            base_np = plan_soa.pcm_base(plan.soa["pcm"], plan.raw_levels,
+                                        cfmt, plan.height, plan.width)
+            has_base = base_np is not None
+        else:
+            from ..decoder.plan import PcmOp
+            pcm_ops = [op for op in plan.ops if isinstance(op, PcmOp)]
+            has_base = bool(pcm_ops)
+            if has_base:
+                shapes = [(plan.height, plan.width),
+                          (plan.height >> vs, plan.width >> hs),
+                          (plan.height >> vs, plan.width >> hs)]
+                base_np = [np.zeros(s, np.int32) for s in shapes]
+                for op in pcm_ops:
+                    s = op.samples
+                    base_np[op.c_idx][op.y:op.y + s.shape[0],
+                                      op.x:op.x + s.shape[1]] = s
         if has_base:
-            shapes = [(plan.height, plan.width),
-                      (plan.height >> vs, plan.width >> hs),
-                      (plan.height >> vs, plan.width >> hs)]
-            base_np = [np.zeros(s, np.int32) for s in shapes]
-            for op in pcm_ops:
-                s = op.samples
-                base_np[op.c_idx][op.y:op.y + s.shape[0],
-                                  op.x:op.x + s.shape[1]] = s
             for c in range(3):
                 add(("base", c), base_np[c])
 
