@@ -18,7 +18,7 @@ from ..decoder.plan import FramePlan
 from .plan_compile import compile_plan, pad_batch
 from .wavefront import schedule_slots
 from .frame_step import frame_step
-from .sao import build_sao_maps
+from .sao import build_sao_grids
 from . import intra_pallas
 
 
@@ -289,11 +289,11 @@ class TpuBackend:
             restore_any = ((plan.no_filter_map is not None and
                             np.asarray(plan.no_filter_map).any()) or
                            plan.sao_restore is not None)
+            grid = (-(-plan.height // ctb), -(-plan.width // ctb))
             for c in range(3):
-                cs = (ctb >> (hs if c else 0), ctb >> (vs if c else 0))
                 shape = (plan.height >> (vs if c else 0),
                          plan.width >> (hs if c else 0))
-                tm, bm, em, om = build_sao_maps(plan, c, cs, shape)
+                tm, bm, em, om = build_sao_grids(plan, c, grid)
                 add(("sao", c, "tm"), tm)
                 add(("sao", c, "bm"), bm)
                 add(("sao", c, "em"), em)

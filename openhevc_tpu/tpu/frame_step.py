@@ -372,11 +372,22 @@ def frame_step(refs, packed, prof):
     if sao_on:
         pre = planes
         out = []
+        ctb = 1 << (log2_ctb or 6)
         for c in range(3):
-            tm = arrays[("sao", c, "tm")]
-            bm = arrays[("sao", c, "bm")]
-            em = arrays[("sao", c, "em")]
-            om = arrays[("sao", c, "om")]
+            # per-CTB grids -> per-pixel maps on device (backend ships ~KB
+            # of CTB params; the repeat is pure device bandwidth)
+            csx = ctb >> (hs if c else 0)
+            csy = ctb >> (vs if c else 0)
+            ch, cw = shapes[c]
+
+            def expand(g, csy=csy, csx=csx, ch=ch, cw=cw):
+                return jnp.repeat(jnp.repeat(g, csy, axis=0), csx,
+                                  axis=1)[:ch, :cw]
+
+            tm = expand(arrays[("sao", c, "tm")])
+            bm = expand(arrays[("sao", c, "bm")])
+            em = expand(arrays[("sao", c, "em")])
+            om = expand(arrays[("sao", c, "om")])
             filt = sao_plane(pre[c], tm, bm, em, om, bd)
             if ("sao", c, "restore") in arrays:
                 filt = jnp.where(arrays[("sao", c, "restore")].astype(bool),

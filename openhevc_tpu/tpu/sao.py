@@ -66,6 +66,30 @@ def sao_plane(src, type_map, band_pos_map, eo_map, offset_map, bit_depth=8):
     return out
 
 
+def build_sao_grids(plan, c_idx, grid_shape):
+    """Host-side: per-CTB params -> per-CTB grids (rows, cols).
+
+    The per-pixel expansion happens on device (frame_step repeats each grid
+    cell over its CTB footprint): shipping ~500 CTB entries instead of
+    ~100 MB of per-pixel maps per 1080p frame.
+    """
+    rows, cols = grid_shape
+    type_g = np.zeros((rows, cols), np.int32)
+    band_g = np.zeros((rows, cols), np.int32)
+    eo_g = np.zeros((rows, cols), np.int32)
+    off_g = np.zeros((rows, cols, 5), np.int32)
+    if plan.sao is None:
+        return type_g, band_g, eo_g, off_g
+    for (rx, ry), sao in plan.sao.items():
+        if rx >= cols or ry >= rows:
+            continue
+        type_g[ry, rx] = int(sao.sao_type[c_idx])
+        band_g[ry, rx] = int(sao.sao_band_position[c_idx])
+        eo_g[ry, rx] = int(sao.sao_eo_class[c_idx])
+        off_g[ry, rx, :] = np.asarray(sao.sao_offsets[c_idx], np.int32)
+    return type_g, band_g, eo_g, off_g
+
+
 def build_sao_maps(plan, c_idx, ctb_size, plane_shape):
     """Host-side: per-CTB params -> per-pixel maps (NumPy).  ctb_size may
     be (csx, csy) for non-square chroma CTBs (4:2:2)."""
