@@ -96,10 +96,45 @@ struct Cabac {
         if (offset >= range) { offset -= range; return 1; }
         return 0;
     }
+    // n bypass bins in one division: each bypass step computes one binary
+    // digit of offset/range (offset' = 2*offset+b - bin*range keeps
+    // offset < range), so n steps yield exactly
+    //   bins = (offset<<n | bits) / range,  offset' = (...) % range.
+    inline uint32_t bypass_chunk(int n) {     // 1 <= n <= 16
+        uint64_t off2 = ((uint64_t)offset << n) | take(n);
+        uint32_t q = (uint32_t)(off2 / range);
+        offset = (uint32_t)(off2 - (uint64_t)q * range);
+        return q;
+    }
     inline uint32_t bypass_bits(int n) {
         uint32_t v = 0;
-        for (int i = 0; i < n; i++) v = (v << 1) | bypass();
+        while (n > 16) { v = (v << 16) | bypass_chunk(16); n -= 16; }
+        if (n) v = (v << n) | bypass_chunk(n);
         return v;
+    }
+    // up to n bypass bins of a unary prefix (1-bins then a 0).  Returns the
+    // count of 1-bins; *stopped set when the terminating 0 was consumed.
+    inline int bypass_unary(int n, bool *stopped) {
+        if (cache_n < n) refill32();
+        uint32_t bits = (uint32_t)(cache >> (64 - n));
+        uint64_t off2 = ((uint64_t)offset << n) | bits;
+        uint32_t q = (uint32_t)(off2 / range);
+        uint32_t inv = (~q) & ((1u << n) - 1);
+        if (inv == 0) {                      // all ones: consume every bin
+            offset = (uint32_t)(off2 - (uint64_t)q * range);
+            cache <<= n; cache_n -= n;
+            *stopped = false;
+            return n;
+        }
+        int ones = n - 1 - (31 - __builtin_clz(inv));
+        int consume = ones + 1;              // prefix ones + the 0 bin
+        uint32_t bits2 = (uint32_t)(cache >> (64 - consume));
+        uint64_t off2b = ((uint64_t)offset << consume) | bits2;
+        uint32_t q2 = q >> (n - consume);    // == (1<<consume) - 2
+        offset = (uint32_t)(off2b - (uint64_t)q2 * range);
+        cache <<= consume; cache_n -= consume;
+        *stopped = true;
+        return ones;
     }
     inline int terminate() {
         range -= 2;
@@ -393,7 +428,11 @@ static ScanSet get_scans(int scan_idx, int log2n) {
 
 static inline int decode_remaining(Cabac &cc, int rice) {
     int prefix = 0;
-    while (prefix < 31 && cc.bypass()) prefix++;
+    bool stopped = false;
+    while (prefix < 31 && !stopped) {
+        int n = 31 - prefix; if (n > 12) n = 12;
+        prefix += cc.bypass_unary(n, &stopped);
+    }
     if (prefix < 3) return (prefix << rice) + cc.bypass_bits(rice);
     int pm3 = prefix - 3;
     return (((1 << pm3) + 2) << rice) + cc.bypass_bits(pm3 + rice);
@@ -1086,7 +1125,12 @@ static int decode_mvd_value(Ctx &c, int g) {
     if (g == 0) return 0;
     if (g == 1) return c.cc.bypass() ? -1 : 1;
     int ret = 2, k = 1;
-    while (k < 31 && c.cc.bypass()) { ret += 1 << k; k++; }
+    bool stopped = false;
+    while (k < 31 && !stopped) {
+        int n = 31 - k; if (n > 12) n = 12;
+        int ones = c.cc.bypass_unary(n, &stopped);
+        for (int i = 0; i < ones; i++) { ret += 1 << k; k++; }
+    }
     ret += c.cc.bypass_bits(k);
     return c.cc.bypass() ? -ret : ret;
 }
@@ -1434,7 +1478,11 @@ static void decode_cu_qp_delta(Ctx &c, CuInfo &cu) {
     int val;
     if (prefix >= 5) {
         int k = 0;
-        while (k < 31 && cc.bypass()) k++;
+        bool stopped = false;
+        while (k < 31 && !stopped) {
+            int n = 31 - k; if (n > 12) n = 12;
+            k += cc.bypass_unary(n, &stopped);
+        }
         val = (1 << k) + 4 + (int)cc.bypass_bits(k);
     } else val = prefix;
     if (val && cc.bypass()) val = -val;
