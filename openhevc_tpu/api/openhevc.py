@@ -207,8 +207,18 @@ class OpenHevcDecoder:
         if self._backend is not None:
             if getattr(self._backend, "ctb_log2", None) is None:
                 self._backend.ctb_log2 = self.fe.sps.log2_ctb_size
-            planes = self._backend.decode_frame(plan, self.dpb)
-            planes = [np.asarray(p) for p in planes]
+            planes, wire = self._backend.decode_frame(plan, self.dpb)
+            # the API surface hands out host ndarrays: fetch through the
+            # narrow wire buffer, then keep host copies (refs included —
+            # the API decoder is host-centric, unlike the pipeline)
+            got, off = [], 0
+            w = np.asarray(wire)
+            for p in planes:
+                n = int(p.shape[0]) * int(p.shape[1])
+                got.append(w[off:off + n].reshape(p.shape)
+                           .astype(np.int32))
+                off += n
+            planes = got
         else:
             planes = recon_np.execute_plan(plan, dpb=self.dpb)
             recon_np.deblock_frame(plan, planes)

@@ -100,7 +100,7 @@ def main(argv=None):
             sub_w = 2 if frame.chroma_format_idc in (1, 2) else 1
             sub_h = 2 if frame.chroma_format_idc == 1 else 1
             dt = np.uint16 if frame.bit_depth > 8 else np.uint8
-            y, u, v = (np.asarray(p) for p in frame.planes)
+            y, u, v = frame.host_planes()
             H, W = y.shape
             y = y[t * sub_h:H - b * sub_h or None, l * sub_w:W - r * sub_w or None]
             u = u[t:(u.shape[0] - b) or None, l:(u.shape[1] - r) or None]

@@ -605,16 +605,17 @@ class Decoder:
                     f"{got.hex()} != {expected[c].hex()}")
 
     def _reconstruct(self, plan) -> Frame:
+        wire = None
         if self.backend is not None:
             if getattr(self.backend, "ctb_log2", None) is None and self.fe.sps:
                 self.backend.ctb_log2 = self.fe.sps.log2_ctb_size
-            planes = self.backend.decode_frame(plan, self.dpb)
+            planes, wire = self.backend.decode_frame(plan, self.dpb)
         else:
             planes = recon_np.execute_plan(plan, dpb=self.dpb)
             recon_np.deblock_frame(plan, planes)
             planes = recon_np.sao_frame(plan, planes,
                                         1 << self.fe.sps.log2_ctb_size)
-        return Frame(poc=plan.poc, planes=planes,
+        return Frame(poc=plan.poc, planes=planes, wire=wire,
                      mvf_mv=plan.mvf_mv, mvf_poc=plan.mvf_poc,
                      mvf_pred=plan.mvf_pred, mvf_ref_idx=plan.mvf_ref_idx,
                      rpl=plan.rpl, rpl_lt=plan.rpl_lt)

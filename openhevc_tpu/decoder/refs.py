@@ -15,6 +15,9 @@ import numpy as np
 class Frame:
     poc: int
     planes: list                      # post-filter [Y, U, V] int32
+    # flat uint8/uint16 device copy of the planes (TPU backend): fetching
+    # this once costs 4x less transfer than pulling the int32 planes
+    wire: Optional[object] = None
     # motion field at 4x4 granularity, for TMVP and BS of later frames
     mvf_mv: Optional[np.ndarray] = None       # (h4, w4, 2, 2) int32
     mvf_poc: Optional[np.ndarray] = None      # (h4, w4, 2) int32
@@ -28,6 +31,19 @@ class Frame:
     bit_depth: int = 8
     conf_win: tuple = (0, 0, 0, 0)
     chroma_format_idc: int = 1
+
+    def host_planes(self):
+        """[Y, U, V] as host ndarrays; prefers the narrow wire buffer
+        (one small transfer) over pulling the int32 device planes."""
+        if self.wire is None:
+            return [np.asarray(p) for p in self.planes]
+        w = np.asarray(self.wire)
+        out, off = [], 0
+        for p in self.planes:
+            n = int(p.shape[0]) * int(p.shape[1])
+            out.append(w[off:off + n].reshape(p.shape))
+            off += n
+        return out
 
 
 class DPB:

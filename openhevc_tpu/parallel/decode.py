@@ -72,7 +72,9 @@ class MeshDecoder:
             frames = dec.decode_stream(seg_bytes)
             # materialize on host before the device moves to the next segment
             for f in frames:
-                f.planes = [np.asarray(p) for p in f.planes]
+                f.planes = [np.asarray(p, dtype=np.int32)
+                            for p in f.host_planes()]
+                f.wire = None
         return frames, dec.md5_ok, dec.md5_fail
 
     def decode_stream(self, data: bytes, max_workers=None):

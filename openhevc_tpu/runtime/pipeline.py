@@ -171,16 +171,17 @@ class PipelinedDecoder:
             stop.set()
 
     def _reconstruct(self, plan) -> Frame:
+        wire = None
         if self.backend is not None:
             if getattr(self.backend, "ctb_log2", None) is None:
                 self.backend.ctb_log2 = plan.log2_ctb_size
-            planes = self.backend.decode_frame(plan, self.dpb)
+            planes, wire = self.backend.decode_frame(plan, self.dpb)
         else:
             planes = recon_np.execute_plan(plan, dpb=self.dpb)
             recon_np.deblock_frame(plan, planes)
             planes = recon_np.sao_frame(plan, planes,
                                         1 << plan.log2_ctb_size)
-        return Frame(poc=plan.poc, planes=planes,
+        return Frame(poc=plan.poc, planes=planes, wire=wire,
                      mvf_mv=plan.mvf_mv, mvf_poc=plan.mvf_poc,
                      mvf_pred=plan.mvf_pred, mvf_ref_idx=plan.mvf_ref_idx,
                      rpl=plan.rpl, rpl_lt=plan.rpl_lt, md5=plan.md5,
@@ -189,8 +190,8 @@ class PipelinedDecoder:
 
     def _verify_md5(self, frame, expected, bit_depth):
         from ..decoder.sei import plane_md5
-        for c in range(3):
-            got = plane_md5(np.asarray(frame.planes[c]), bit_depth)
+        for c, hp in enumerate(frame.host_planes()):
+            got = plane_md5(hp, bit_depth)
             if got == expected[c]:
                 self.md5_ok += 1
                 self.stats.md5_ok += 1

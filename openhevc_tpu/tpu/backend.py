@@ -52,8 +52,12 @@ class TpuBackend:
         self._ipal_chunks = {"I": {}, "PB": {}}
 
     def decode_frame(self, plan: FramePlan, dpb):
+        """Returns ([Y, U, V] device int32 planes, wire) — wire is the flat
+        uint8/uint16 copy to fetch host-side; the int32 planes stay on
+        device as future references."""
         args = self.prepare(plan, dpb)
-        return list(frame_step(*args))
+        *planes, wire = frame_step(*args)
+        return list(planes), wire
 
     def prepare(self, plan: FramePlan, dpb):
         """Host-side plan compilation; returns the frame_step argument tuple
@@ -94,7 +98,8 @@ class TpuBackend:
         parts = []          # (path, int32 ndarray) in layout order
 
         def add(path, arr):
-            parts.append((path, np.ascontiguousarray(arr, np.int32)))
+            # int16 wire format (see frame_step._unpack); every field fits
+            parts.append((path, np.ascontiguousarray(arr, np.int16)))
 
         # ---- inter batches (padded, canonical size list) ----
         inter_sizes = []
@@ -348,7 +353,7 @@ class TpuBackend:
             bufs.append(arr.ravel())
             off += arr.size
         packed = jnp.asarray(np.concatenate(bufs) if bufs
-                             else np.zeros(1, np.int32))
+                             else np.zeros(1, np.int16))
 
         prof = (bd, bool(plan.strong_intra_smoothing), cfmt, plan.height,
                 plan.width, tuple(inter_sizes), slot_keys, slot_caps,

@@ -124,8 +124,11 @@ def resid_buckets(resid, raw_levels, chroma_format_idc):
         nn = n * n
         if N:
             off = rows[:, 6]
-            levels = raw_levels[off[:, None] + np.arange(nn)[None, :]] \
-                .reshape(N, n, n)
+            # clip to the spec coefficient range before the int16 wire
+            # format (corrupt streams can overshoot; device used to clip)
+            levels = np.clip(
+                raw_levels[off[:, None] + np.arange(nn)[None, :]],
+                -32768, 32767).reshape(N, n, n)
         else:
             levels = np.zeros((0, n, n), np.int32)
         out[key] = dict(

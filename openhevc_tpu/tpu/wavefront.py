@@ -114,6 +114,7 @@ def schedule_slots(plan, min_caps=None, intra=True):
                 kind[i] = KIND_DCT
             xtra[i] = (op.rdpcm_dir + 1) | ((4 if op.rot else 0))
             levels[i] = op.levels
+        np.clip(levels, -32768, 32767, out=levels)   # int16 wire format
         resid[key] = dict(xs=xs, ys=ys, qp=qp, kind=kind, mid=mid,
                           xtra=xtra, levels=levels)
 
