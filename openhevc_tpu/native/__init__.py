@@ -122,6 +122,29 @@ def alloc_pic_buffers(sps, pps, sh, pcm_map=None):
         ctx_io=np.zeros(2 * 256, np.uint8), first_slice=True, last_ts=-1)
 
 
+def _dump_slice_call(dump_dir, p, seg, *arrays):
+    """Serialize one decode_slice_data call for the C profiling harness
+    (tools/fe_profile.cc).  Format: [i64 params_size][params bytes] then for
+    each array [i64 nbytes][bytes]; scalars ride as 8-byte ints."""
+    os.makedirs(dump_dir, exist_ok=True)
+    idx = len([f for f in os.listdir(dump_dir) if f.endswith(".slice")])
+    import struct
+    with open(os.path.join(dump_dir, f"{idx:04d}.slice"), "wb") as f:
+        pb = ctypes.string_at(ctypes.byref(p), ctypes.sizeof(p))
+        f.write(struct.pack("<q", len(pb)))
+        f.write(pb)
+        f.write(struct.pack("<q", len(seg)))
+        f.write(seg)
+        for a in arrays:
+            if isinstance(a, (int, np.integer)):
+                f.write(struct.pack("<q", -8))
+                f.write(struct.pack("<q", int(a)))
+            else:
+                b = np.ascontiguousarray(a).tobytes()
+                f.write(struct.pack("<q", len(b)))
+                f.write(b)
+
+
 def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
                         rpl, collocated, init_type, first_ts, last_ts,
                         pcm_map=None, pic=None, stop_at_eos=False,
@@ -301,6 +324,14 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
         p.save_ctx_end = 1 if (pps.dependent_slice_segments_enabled and
                                not pps.entropy_coding_sync_enabled) else 0
         seg = payload[offsets[si]:offsets[si + 1]]
+        dump_dir = os.environ.get("OPENHEVC_DUMP_SLICE")
+        if dump_dir:
+            _dump_slice_call(dump_dir, p, seg, rs2ts, ts2rs, tid, zsc,
+                             rpl0, rpl1, col_mv, col_poc_a, col_pred, col_ri,
+                             col_rpl0, col_rpl1, ops_cap - ops_total,
+                             lv_cap - lv_total, mvf_mv, mvf_poc, mvf_pred,
+                             mvf_ref_idx, vbs, hbs, qp_y_tab, pcm_map,
+                             sao_out, cbf_luma, scratch, ctx_io, rext_state)
         err = get_lib().decode_slice_data(
             ctypes.byref(p), seg, ctypes.c_int64(len(seg)),
             cp(rs2ts), cp(ts2rs), cp(tid), cp(zsc), cp(rpl0), cp(rpl1),

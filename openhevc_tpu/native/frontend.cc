@@ -11,6 +11,37 @@
 #include <cstdlib>
 #include "tables.h"
 
+#ifdef FE_STATS
+static int64_t fe_nbin = 0, fe_nbyp = 0, fe_nbypbits = 0, fe_nrem = 0,
+               fe_ntu = 0, fe_ncoeff = 0, fe_tsc_last = 0, fe_tsc_sig = 0,
+               fe_tsc_lvl = 0, fe_tsc_other = 0;
+static inline uint64_t fe_rdtsc() {
+    unsigned lo, hi;
+    __asm__ __volatile__("rdtsc" : "=a"(lo), "=d"(hi));
+    return ((uint64_t)hi << 32) | lo;
+}
+#define FE_CNT(x) (x)
+#else
+#define FE_CNT(x)
+#endif
+
+// fused CABAC transition tables over the packed (state<<1 | mps) byte
+static uint8_t NEXT_MPS[128], NEXT_LPS[128];
+// round-up reciprocals: for range in [256,510] and numerators < 2^25,
+// q = (n * RECIP[range]) >> 34 == n / range exactly (k >= 25+9 bound)
+static uint32_t RECIP[511];
+static const int _init_packed_tables = [] {
+    for (int st = 0; st < 64; st++)
+        for (int m = 0; m < 2; m++) {
+            int s = (st << 1) | m;
+            NEXT_MPS[s] = (TRANS_IDX_MPS[st] << 1) | m;
+            NEXT_LPS[s] = (TRANS_IDX_LPS[st] << 1) | (st == 0 ? m ^ 1 : m);
+        }
+    for (int d = 256; d <= 510; d++)
+        RECIP[d] = (uint32_t)(((1ull << 34) + d - 1) / d);
+    return 0;
+}();
+
 // ---------------------------------------------------------------------------
 // CABAC decoder (spec 9.3.4.3; matches cabac/engine.py)
 // ---------------------------------------------------------------------------
@@ -24,8 +55,9 @@ struct Cabac {
     uint64_t cache;
     int cache_n;
     uint32_t range, offset;
-    uint8_t state[NUM_CONTEXTS];
-    uint8_t mps[NUM_CONTEXTS];
+    // packed context state: (state_idx << 1) | mps — one load + one store
+    // per bin, with fused transition tables (NEXT_MPS / NEXT_LPS)
+    uint8_t pst[NUM_CONTEXTS];
 
     inline void refill32() {
         uint32_t w;
@@ -65,33 +97,33 @@ struct Cabac {
             int off = ((iv & 15) << 3) - 16;
             int pre = ((slope * qp) >> 4) + off;
             if (pre < 1) pre = 1; if (pre > 126) pre = 126;
-            if (pre <= 63) { state[i] = 63 - pre; mps[i] = 0; }
-            else { state[i] = pre - 64; mps[i] = 1; }
+            if (pre <= 63) pst[i] = (63 - pre) << 1;
+            else pst[i] = ((pre - 64) << 1) | 1;
         }
     }
     inline int decode_bin(int ctx) {
-        int st = state[ctx], m = mps[ctx];
-        uint32_t lps = LPS_RANGE[st * 4 + ((range >> 6) & 3)];
-        range -= lps;
-        int v;
-        if (offset >= range) {
-            v = 1 - m;
-            offset -= range;
-            range = lps;
-            if (st == 0) mps[ctx] = 1 - m;
-            state[ctx] = TRANS_IDX_LPS[st];
-        } else {
-            v = m;
-            state[ctx] = TRANS_IDX_MPS[st];
-        }
-        if (range < 256) {               // renorm: one shift via CLZ
-            int s = __builtin_clz(range) - 23;
-            range <<= s;
-            offset = (offset << s) | take(s);
-        }
+        FE_CNT(fe_nbin++);
+        // branchless MPS/LPS select (cmov): residual bins carry ~1 bit of
+        // entropy each, so a branch here mispredicts near 50% of the time
+        int s = pst[ctx];
+        uint32_t lps = LPS_RANGE[(s & ~1) * 2 + ((range >> 6) & 3)];
+        uint32_t rmps = range - lps;
+        uint32_t is_lps = offset >= rmps;       // 0 / 1
+        range = is_lps ? lps : rmps;
+        offset -= is_lps ? rmps : 0;
+        int v = (s & 1) ^ (int)is_lps;
+        pst[ctx] = is_lps ? NEXT_LPS[s] : NEXT_MPS[s];
+        // unified renorm: 0..7 shifts (0 when range >= 256); take(0)-safe
+        int sh = __builtin_clz(range) - 23;
+        if (cache_n < sh) refill32();
+        range <<= sh;
+        offset = (offset << sh) | (uint32_t)((cache >> (63 - sh)) >> 1);
+        cache <<= sh;
+        cache_n -= sh;
         return v;
     }
     inline int bypass() {
+        FE_CNT((fe_nbyp++, fe_nbypbits++));
         offset = (offset << 1) | take(1);
         if (offset >= range) { offset -= range; return 1; }
         return 0;
@@ -101,8 +133,10 @@ struct Cabac {
     // offset < range), so n steps yield exactly
     //   bins = (offset<<n | bits) / range,  offset' = (...) % range.
     inline uint32_t bypass_chunk(int n) {     // 1 <= n <= 16
+        FE_CNT((fe_nbyp++, fe_nbypbits += n));
         uint64_t off2 = ((uint64_t)offset << n) | take(n);
-        uint32_t q = (uint32_t)(off2 / range);
+        // exact n<=16: off2 < range<<16 < 2^25, RECIP bound covers it
+        uint32_t q = (uint32_t)((off2 * RECIP[range]) >> 34);
         offset = (uint32_t)(off2 - (uint64_t)q * range);
         return q;
     }
@@ -118,7 +152,7 @@ struct Cabac {
         if (cache_n < n) refill32();
         uint32_t bits = (uint32_t)(cache >> (64 - n));
         uint64_t off2 = ((uint64_t)offset << n) | bits;
-        uint32_t q = (uint32_t)(off2 / range);
+        uint32_t q = (uint32_t)((off2 * RECIP[range]) >> 34);
         uint32_t inv = (~q) & ((1u << n) - 1);
         if (inv == 0) {                      // all ones: consume every bin
             offset = (uint32_t)(off2 - (uint64_t)q * range);
@@ -427,6 +461,7 @@ static ScanSet get_scans(int scan_idx, int log2n) {
 }
 
 static inline int decode_remaining(Cabac &cc, int rice) {
+    FE_CNT(fe_nrem++);
     int prefix = 0;
     bool stopped = false;
     while (prefix < 31 && !stopped) {
@@ -467,6 +502,10 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
         offset_c = 3 * (log2n - 2) + ((log2n - 1) >> 2);
         shift_c = (log2n + 1) >> 2;
     } else { offset_c = 15; shift_c = log2n - 2; }
+    FE_CNT(fe_ntu++);
+#ifdef FE_STATS
+    uint64_t _t0 = fe_rdtsc();
+#endif
     int maxv = (log2n << 1) - 1;
     int lx = 0, ly = 0;
     while (lx < maxv &&
@@ -485,6 +524,7 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
     }
     if (scan_idx == 2) { int t = lx; lx = ly; ly = t; }
 
+    FE_CNT((fe_tsc_last += fe_rdtsc() - _t0, _t0 = fe_rdtsc()));
     ScanSet sc = get_scans(scan_idx, log2n);
     int num_coeff = sc.inv[ly * n + lx] + 1;
     int num_last_subset = (num_coeff - 1) >> 4;
@@ -560,7 +600,8 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
                     sig_idx[n_sig++] = 0;
             } else sig_idx[n_sig++] = 0;
         }
-        if (!n_sig) continue;
+        FE_CNT((fe_tsc_sig += fe_rdtsc() - _t0, _t0 = fe_rdtsc()));
+        if (!n_sig) { FE_CNT(_t0 = fe_rdtsc()); continue; }
 
         int ctx_set = (i > 0 && c_idx == 0) ? 2 : 0;
         if (i != num_last_subset && greater1_ctx == 0) ctx_set++;
@@ -639,7 +680,9 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
             if (level > 32767) level = 32767;
             if (level < -32768) level = -32768;
             lv[yc * n + xc] = (int32_t)level;
+            FE_CNT(fe_ncoeff++);
         }
+        FE_CNT((fe_tsc_lvl += fe_rdtsc() - _t0, _t0 = fe_rdtsc()));
     }
     // RExt post-transform derivation (hevc_cabac.c:1868-1895; the fork
     // gates the transform-skip implicit path on ts_ROTATION, mirrored)
@@ -2125,8 +2168,7 @@ extern "C" int64_t decode_slice_data(
 
     c.cc.init_engine(data, data_size);
     if (p->ctx_load) {
-        memcpy(c.cc.state, ctx_io, NUM_CONTEXTS);
-        memcpy(c.cc.mps, ctx_io + NUM_CONTEXTS, NUM_CONTEXTS);
+        memcpy(c.cc.pst, ctx_io, NUM_CONTEXTS);
     } else {
         c.cc.init_contexts(p->init_type, av_clip(p->slice_qp, 0, 51));
     }
@@ -2142,8 +2184,7 @@ extern "C" int64_t decode_slice_data(
         last_ts = ts;
         int eos = c.cc.terminate();
         if (p->wpp_save_ctx && ts == p->first_ctb_ts + 1) {
-            memcpy(ctx_io, c.cc.state, NUM_CONTEXTS);
-            memcpy(ctx_io + NUM_CONTEXTS, c.cc.mps, NUM_CONTEXTS);
+            memcpy(ctx_io, c.cc.pst, NUM_CONTEXTS);
         }
         if (eos) {
             if (!p->stop_at_eos && ts != p->last_ctb_ts) c.err = 3;
@@ -2152,8 +2193,7 @@ extern "C" int64_t decode_slice_data(
         if (p->stop_at_eos && ts == p->last_ctb_ts) c.err = 4;  // missing eos
     }
     if (p->save_ctx_end) {
-        memcpy(ctx_io, c.cc.state, NUM_CONTEXTS);
-        memcpy(ctx_io + NUM_CONTEXTS, c.cc.mps, NUM_CONTEXTS);
+        memcpy(ctx_io, c.cc.pst, NUM_CONTEXTS);
     }
     out_sizes[0] = c.ops_pos;
     out_sizes[1] = c.lv_pos;
@@ -2167,6 +2207,21 @@ extern "C" int64_t decode_slice_data(
 // (the Python side batches those with vectorized numpy instead of building
 // per-op objects; see native/__init__.py split_ops)
 // ---------------------------------------------------------------------------
+
+#ifdef FE_STATS
+extern "C" void fe_stats_print(double secs) {
+    fprintf(stderr,
+        "bins: reg=%lld byp_calls=%lld byp_bits=%lld rem=%lld tu=%lld "
+        "coeff=%lld\n", (long long)fe_nbin, (long long)fe_nbyp,
+        (long long)fe_nbypbits, (long long)fe_nrem, (long long)fe_ntu,
+        (long long)fe_ncoeff);
+    fprintf(stderr, "tsc: last=%lld sig=%lld lvl=%lld\n",
+        (long long)fe_tsc_last, (long long)fe_tsc_sig,
+        (long long)fe_tsc_lvl);
+    fe_nbin = fe_nbyp = fe_nbypbits = fe_nrem = fe_ntu = fe_ncoeff = 0;
+    fe_tsc_last = fe_tsc_sig = fe_tsc_lvl = 0;
+}
+#endif
 
 extern "C" int64_t split_ops(const int32_t *ops, int64_t n, int32_t has_wp,
                              int32_t *intra_out,   // (ni, 10)

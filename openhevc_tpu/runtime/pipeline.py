@@ -34,12 +34,16 @@ class PipelinedDecoder:
     """Two-stage pipelined decoder; same results as Decoder.decode_stream."""
 
     def __init__(self, backend=None, check_md5=True, use_native=True,
-                 depth=4, resilient=False):
+                 depth=4, resilient=False, dispatch_ahead=2):
         self.backend = backend
         self.check_md5 = check_md5
         self.use_native = use_native
         self.depth = depth
         self.resilient = resilient          # drop broken pictures, continue
+        # frames are held back until `dispatch_ahead` newer frames have been
+        # dispatched: the consumer's blocking host fetch (wire transfer) then
+        # overlaps with device execution of the frames behind it
+        self.dispatch_ahead = dispatch_ahead if backend is not None else 0
         self.dpb = DPB()                    # pixel DPB (reconstruction)
         self.md5_ok = 0
         self.md5_fail = 0
@@ -129,6 +133,7 @@ class PipelinedDecoder:
 
         emitted = 0
         reorder = []                        # frames awaiting output, by POC
+        ready = []                          # dispatched, awaiting handoff
         try:
             while True:
                 item = plans_q.get()
@@ -137,9 +142,7 @@ class PipelinedDecoder:
                 plan, is_idr = item
                 if is_idr:
                     reorder.sort(key=lambda f: f.poc)
-                    for f in reorder:
-                        yield f
-                        emitted += 1
+                    ready.extend(reorder)
                     reorder = []
                     self.dpb.clear()
                 import time as _time
@@ -158,15 +161,22 @@ class PipelinedDecoder:
                 reorder.append(frame)
                 reorder.sort(key=lambda f: f.poc)
                 while len(reorder) > plan.num_reorder_pics:
-                    yield reorder.pop(0)
+                    ready.append(reorder.pop(0))
+                while len(ready) > self.dispatch_ahead:
+                    yield ready.pop(0)
                     emitted += 1
-                if max_frames and emitted >= max_frames:
-                    return
+                    if max_frames and emitted >= max_frames:
+                        return
             t.join()
             if err:
                 raise err[0]
             reorder.sort(key=lambda f: f.poc)
-            yield from reorder
+            ready.extend(reorder)
+            for f in ready:
+                yield f
+                emitted += 1
+                if max_frames and emitted >= max_frames:
+                    return
         finally:
             stop.set()
 
