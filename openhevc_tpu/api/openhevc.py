@@ -74,7 +74,10 @@ class OpenHevcDecoder:
         self._current: Optional[Frame] = None
         self._reorder: List[Frame] = []
         self.dpb = DPB()
-        self.fe = Frontend(dpb=self.dpb, layer_id=layer_id)
+        # nb_threads drives host-parallel WPP substream entropy decode
+        # (the wrapper's av_opt_set("threads"), openHevcWrapper.c:80-90)
+        self.fe = Frontend(dpb=self.dpb, layer_id=layer_id,
+                           parse_threads=max(1, nb_threads))
         self.md5_log: List[tuple] = []
         self.md5_ok = 0
         self.md5_fail = 0

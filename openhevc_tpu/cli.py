@@ -85,7 +85,8 @@ def main(argv=None):
     else:
         from .runtime import PipelinedDecoder
         dec = PipelinedDecoder(backend=backend, check_md5=not args.no_md5,
-                               use_native=use_native, resilient=True)
+                               use_native=use_native, resilient=True,
+                               parse_threads=max(1, args.threads))
 
     fout = open(args.output, "wb") if args.output else None
     nframes = 0

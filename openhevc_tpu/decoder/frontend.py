@@ -25,8 +25,11 @@ from . import recon_np
 class Frontend:
     """Stateful bitstream front-end; call decode_au() per access unit."""
 
-    def __init__(self, dpb=None, use_native=False, layer_id=0):
+    def __init__(self, dpb=None, use_native=False, layer_id=0,
+                 parse_threads=1):
         self.use_native = use_native
+        # host threads for WPP substream entropy decode (hevc.c:2751-2832)
+        self.parse_threads = parse_threads
         self.layer_id = layer_id    # decoder-id ≙ nuh_layer_id it decodes
         self.vps_list = {}
         self.sps_list = {}
@@ -446,7 +449,8 @@ class Frontend:
                                   ts0, sps.pic_size_in_ctbs - 1,
                                   pic=cur["native_pic"], rpl_lt=st.rpl_lt,
                                   data_start=data_start, skipped=skipped,
-                                  rext_state=self._native_rext)
+                                  rext_state=self._native_rext,
+                                  threads=self.parse_threads)
         cur["native_out"] = out
         return out["last_ts"]
 

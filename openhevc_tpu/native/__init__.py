@@ -73,7 +73,7 @@ def build_lib(force=False):
     have = open(_STAMP).read().strip() if os.path.exists(_STAMP) else ""
     if force or not os.path.exists(_SO) or have != want:
         subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                        _CC, "-o", _SO], check=True)
+                        "-pthread", _CC, "-o", _SO], check=True)
         with open(_STAMP, "w") as f:
             f.write(want)
     return _SO
@@ -149,7 +149,7 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
                         rpl, collocated, init_type, first_ts, last_ts,
                         pcm_map=None, pic=None, stop_at_eos=False,
                         rpl_lt=None, data_start=0, skipped=(),
-                        rext_state=None):
+                        rext_state=None, threads=1):
     """Run the native CTU walk; returns raw output arrays.
 
     -> dict with ops, levels, mvf_*, vbs, hbs, qp_y_tab, pcm_map, sao, err,
@@ -314,6 +314,46 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
         loads, saves = _substream_ctx_rules(sps, pps, bounds)
     else:
         loads = saves = [False]
+
+    # host-parallel WPP decode (reference analog hevc.c:2751-2832): pure
+    # WPP rows of a fresh picture, no substream-chained state (persistent
+    # rice stats / RDPCM stale-mode reads)
+    if (threads > 1 and len(bounds) > 1 and not p.stop_at_eos and
+            pps.entropy_coding_sync_enabled and not pps.tiles_enabled and
+            first_slice and not sps.persistent_rice_adaptation_enabled and
+            not sps.explicit_rdpcm_enabled and
+            not sps.implicit_rdpcm_enabled and
+            not os.environ.get("OPENHEVC_DUMP_SLICE")):
+        lib = get_lib()
+        if not hasattr(lib, "_wpp_ready"):
+            lib.decode_substreams_wpp.restype = ctypes.c_int64
+            lib._wpp_ready = True
+        p.init_state = 1
+        p.slice_start = 1
+        sub_off = np.asarray(offsets, np.int64)
+        sub_ts = np.asarray(bounds, np.int32).reshape(-1)
+        err = lib.decode_substreams_wpp(
+            ctypes.byref(p), payload, cp(sub_off), cp(sub_ts),
+            ctypes.c_int32(len(bounds)), ctypes.c_int32(threads),
+            cp(rs2ts), cp(ts2rs), cp(tid), cp(zsc), cp(rpl0), cp(rpl1),
+            cp(col_mv), cp(col_poc_a), cp(col_pred), cp(col_ri),
+            cp(col_rpl0), cp(col_rpl1),
+            cp(ops), ctypes.c_int64(ops_cap),
+            cp(levels), ctypes.c_int64(lv_cap),
+            cp(mvf_mv), cp(mvf_poc), cp(mvf_pred), cp(mvf_ref_idx),
+            cp(vbs), cp(hbs), cp(qp_y_tab), cp(pcm_map), cp(sao_out),
+            cp(cbf_luma), cp(scratch), cp(out_sizes))
+        if err != 0:
+            raise RuntimeError(f"native parallel front-end error {err}")
+        pic["ops_total"] = int(out_sizes[0])
+        pic["lv_total"] = int(out_sizes[1])
+        pic["last_ts"] = int(out_sizes[3])
+        return dict(ops=ops[:pic["ops_total"]],
+                    levels=levels[:pic["lv_total"]],
+                    mvf_mv=mvf_mv, mvf_poc=mvf_poc, mvf_pred=mvf_pred,
+                    mvf_ref_idx=mvf_ref_idx, vbs=vbs, hbs=hbs,
+                    qp_y_tab=qp_y_tab, pcm_map=pcm_map, sao=sao_out,
+                    last_ts=pic["last_ts"])
     for si, (ts0, ts1) in enumerate(bounds):
         p.first_ctb_ts, p.last_ctb_ts = ts0, ts1
         p.init_state = 1 if (si == 0 and first_slice) else 0

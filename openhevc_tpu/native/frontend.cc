@@ -9,6 +9,11 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <array>
+#include <atomic>
+#include <memory>
+#include <thread>
+#include <vector>
 #include "tables.h"
 
 #ifdef FE_STATS
@@ -2104,8 +2109,153 @@ static void code_sao(Ctx &c, int rx, int ry) {
 }
 
 // ---------------------------------------------------------------------------
-// entry point
+// entry points
 // ---------------------------------------------------------------------------
+
+// shared per-picture buffers, bundled so serial and parallel entry points
+// set up their Ctx identically
+struct SharedBufs {
+    const int32_t *rs_to_ts, *ts_to_rs, *tile_id, *min_tb_zs;
+    const int32_t *rpl0, *rpl1, *col_mv, *col_poc_arr;
+    const uint8_t *col_pred; const int8_t *col_refidx;
+    const int32_t *col_rpl0, *col_rpl1;
+    int32_t *mvf_mv, *mvf_poc; uint8_t *mvf_pred; int8_t *mvf_ref_idx;
+    uint8_t *vbs, *hbs; int8_t *qp_y_tab; uint8_t *is_pcm_or_bypass;
+    int32_t *sao_out; uint8_t *cbf_luma; uint8_t *scratch;
+};
+
+static void setup_ctx(Ctx &c, const SliceParams *p, const SharedBufs &b,
+                      int32_t *ops, int64_t ops_cap,
+                      int32_t *levels, int64_t lv_cap, int32_t *rext) {
+    memset(&c, 0, sizeof(c));
+    c.p = p;
+    c.rs_to_ts = b.rs_to_ts; c.ts_to_rs = b.ts_to_rs; c.tile_id = b.tile_id;
+    c.min_tb_zs = b.min_tb_zs;
+    c.rpl0 = b.rpl0; c.rpl1 = b.rpl1;
+    c.col_mv = b.col_mv; c.col_poc_arr = b.col_poc_arr;
+    c.col_pred = b.col_pred;
+    c.col_refidx = b.col_refidx; c.col_rpl0 = b.col_rpl0;
+    c.col_rpl1 = b.col_rpl1;
+    c.ops = ops; c.ops_cap = ops_cap;
+    c.levels = levels; c.lv_cap = lv_cap;
+    c.mvf_mv = b.mvf_mv; c.mvf_poc = b.mvf_poc; c.mvf_pred = b.mvf_pred;
+    c.mvf_ref_idx = b.mvf_ref_idx;
+    c.vbs = b.vbs; c.hbs = b.hbs; c.qp_y_tab = b.qp_y_tab;
+    c.is_pcm_or_bypass = b.is_pcm_or_bypass;
+    c.sao_out = b.sao_out;
+    c.cbf_luma = b.cbf_luma;
+    c.min_cb_w = p->width >> p->log2_min_cb;
+    c.min_cb_h = p->height >> p->log2_min_cb;
+    c.w4 = p->width >> 2; c.h4 = p->height >> 2;
+    c.w8 = p->width >> 3; c.h8 = p->height >> 3;
+    c.qp_y = p->slice_qp;
+    c.qp_y_pred = p->slice_qp;
+    c.rext = rext;
+    c.first_qp_group = (p->init_state || p->slice_start) ? 1 : 0;
+    c.end_of_tiles_x = p->width;
+    c.end_of_tiles_y = p->height;
+    // scratch layout: ct_depth | tab_ipm | skip_flag | slice_addr_tab
+    uint8_t *s = b.scratch;
+    c.ct_depth = s; s += (int64_t)c.min_cb_w * c.min_cb_h;
+    c.tab_ipm = s; s += (int64_t)c.w4 * c.h4;
+    c.skip_flag = s; s += (int64_t)c.min_cb_w * c.min_cb_h;
+    c.slice_addr_tab = (int32_t *)s;
+}
+
+static void init_pic_scratch(Ctx &c) {
+    memset(c.ct_depth, 0, (int64_t)c.min_cb_w * c.min_cb_h);
+    memset(c.skip_flag, 0, (int64_t)c.min_cb_w * c.min_cb_h);
+    memset(c.tab_ipm, 1, (int64_t)c.w4 * c.h4);
+    for (int64_t i = 0; i < (int64_t)c.p->ctb_width * c.p->ctb_height; i++)
+        c.slice_addr_tab[i] = -1;
+}
+
+// wavefront progress sync (the TPU-native analog of the reference's
+// ff_thread_await_progress2, pthread_slice.c:238-263): the previous row
+// publishes its completed-CTB count, this row spins until it leads by the
+// standard 2-CTB WPP skew (hevc.c:2782, SHIFT_CTB_WPP)
+struct WppSync {
+    std::atomic<int32_t> *prev; int prev_len;
+    std::atomic<int32_t> *mine;
+    std::atomic<int32_t> *err_flag;
+};
+
+static inline void cpu_pause() {
+#if defined(__x86_64__) || defined(__i386__)
+    __builtin_ia32_pause();
+#endif
+}
+
+// run one CABAC substream over its CTB range.  ctx_load_src/ctx_save_dst:
+// WPP context snapshot buffers (load before start / save after 2nd CTB).
+static void run_substream(Ctx &c, const uint8_t *data, int64_t data_size,
+                          const uint8_t *ctx_load_src, uint8_t *ctx_save_dst,
+                          WppSync *sync, int64_t *last_ts_out) {
+    const SliceParams *p = c.p;
+    c.cc.init_engine(data, data_size);
+    // the previous row's context snapshot (written after its 2nd CTB) must
+    // exist before it can be loaded: take the k=0 wavefront wait up front
+    if (sync && sync->prev) {
+        int need = 2 < sync->prev_len ? 2 : sync->prev_len;
+        while (sync->prev->load(std::memory_order_acquire) < need) {
+            if (sync->err_flag->load(std::memory_order_relaxed)) {
+                c.err = 7;              // wavefront poisoned (wpp_err analog)
+                break;
+            }
+            cpu_pause();
+        }
+    }
+    if (!c.err) {
+        if (p->ctx_load) {
+            memcpy(c.cc.pst, ctx_load_src, NUM_CONTEXTS);
+        } else {
+            c.cc.init_contexts(p->init_type, av_clip(p->slice_qp, 0, 51));
+        }
+    }
+    int64_t last_ts = p->first_ctb_ts - 1;
+    int k = 0;
+    for (int ts = p->first_ctb_ts; ts <= p->last_ctb_ts && !c.err;
+         ts++, k++) {
+        if (sync && sync->prev && k > 0) {
+            int need = k + 2 < sync->prev_len ? k + 2 : sync->prev_len;
+            while (sync->prev->load(std::memory_order_acquire) < need) {
+                if (sync->err_flag->load(std::memory_order_relaxed)) {
+                    c.err = 7;
+                    break;
+                }
+                cpu_pause();
+            }
+            if (c.err) break;
+        }
+        int rs = c.ts_to_rs[ts];
+        int x_ctb = (rs % p->ctb_width) << p->log2_ctb;
+        int y_ctb = (rs / p->ctb_width) << p->log2_ctb;
+        decode_neighbour(c, x_ctb, y_ctb, ts);
+        code_sao(c, x_ctb >> p->log2_ctb, y_ctb >> p->log2_ctb);
+        code_quadtree(c, x_ctb, y_ctb, p->log2_ctb, 0);
+        last_ts = ts;
+        int eos = c.cc.terminate();
+        if (p->wpp_save_ctx && ts == p->first_ctb_ts + 1 && ctx_save_dst) {
+            memcpy(ctx_save_dst, c.cc.pst, NUM_CONTEXTS);
+        }
+        if (sync && sync->mine)
+            sync->mine->store(k + 1, std::memory_order_release);
+        if (eos) {
+            if (!p->stop_at_eos && ts != p->last_ctb_ts) c.err = 3;
+            break;
+        }
+        if (p->stop_at_eos && ts == p->last_ctb_ts) c.err = 4;  // missing eos
+    }
+    if (!c.err && (c.ops_pos > c.ops_cap || c.lv_pos > c.lv_cap))
+        c.err = 5;                       // per-substream buffer overflow
+    if (sync) {
+        if (c.err)
+            sync->err_flag->store(c.err, std::memory_order_relaxed);
+        if (sync->mine)    // release any waiter, error or not (hevc.c:3276)
+            sync->mine->store(INT32_MAX / 2, std::memory_order_release);
+    }
+    *last_ts_out = last_ts;
+}
 
 extern "C" int64_t decode_slice_data(
     const SliceParams *p, const uint8_t *data, int64_t data_size,
@@ -2121,77 +2271,21 @@ extern "C" int64_t decode_slice_data(
     uint8_t *ctx_io, int32_t *rext_state,
     int64_t *out_sizes /* [ops, levels, err, last_ts] */)
 {
+    SharedBufs b = {rs_to_ts, ts_to_rs, tile_id, min_tb_zs, rpl0, rpl1,
+                    col_mv, col_poc_arr, col_pred, col_refidx, col_rpl0,
+                    col_rpl1, mvf_mv, mvf_poc, mvf_pred, mvf_ref_idx,
+                    vbs, hbs, qp_y_tab, is_pcm_or_bypass, sao_out,
+                    cbf_luma_buf, scratch};
     Ctx c;
-    memset(&c, 0, sizeof(c));
-    c.p = p;
-    c.rs_to_ts = rs_to_ts; c.ts_to_rs = ts_to_rs; c.tile_id = tile_id;
-    c.min_tb_zs = min_tb_zs;
-    c.rpl0 = rpl0; c.rpl1 = rpl1;
-    c.col_mv = col_mv; c.col_poc_arr = col_poc_arr; c.col_pred = col_pred;
-    c.col_refidx = col_refidx; c.col_rpl0 = col_rpl0; c.col_rpl1 = col_rpl1;
-    c.ops = ops; c.ops_cap = ops_cap;
-    c.levels = levels; c.lv_cap = lv_cap;
-    c.mvf_mv = mvf_mv; c.mvf_poc = mvf_poc; c.mvf_pred = mvf_pred;
-    c.mvf_ref_idx = mvf_ref_idx;
-    c.vbs = vbs; c.hbs = hbs; c.qp_y_tab = qp_y_tab;
-    c.is_pcm_or_bypass = is_pcm_or_bypass;
-    c.sao_out = sao_out;
-    c.cbf_luma = cbf_luma_buf;
-    c.min_cb_w = p->width >> p->log2_min_cb;
-    c.min_cb_h = p->height >> p->log2_min_cb;
-    c.w4 = p->width >> 2; c.h4 = p->height >> 2;
-    c.w8 = p->width >> 3; c.h8 = p->height >> 3;
-    c.qp_y = p->slice_qp;
-    c.qp_y_pred = p->slice_qp;
-    c.rext = rext_state;
+    setup_ctx(c, p, b, ops, ops_cap, levels, lv_cap, rext_state);
     // context init clears the persistent-rice stats (hevc_cabac.c:602-604);
     // the stale pu intra modes survive (lc->pu is never cleared)
-    if (p->init_state)
-        for (int i = 0; i < 4; i++) c.rext[i] = 0;
-    c.first_qp_group = (p->init_state || p->slice_start) ? 1 : 0;
-    c.end_of_tiles_x = p->width;
-    c.end_of_tiles_y = p->height;
-
-    // scratch layout: ct_depth | tab_ipm | skip_flag | slice_addr_tab
-    uint8_t *s = scratch;
-    c.ct_depth = s; s += (int64_t)c.min_cb_w * c.min_cb_h;
-    c.tab_ipm = s; s += (int64_t)c.w4 * c.h4;
-    c.skip_flag = s; s += (int64_t)c.min_cb_w * c.min_cb_h;
-    c.slice_addr_tab = (int32_t *)s;
     if (p->init_state) {
-        memset(c.ct_depth, 0, (int64_t)c.min_cb_w * c.min_cb_h);
-        memset(c.skip_flag, 0, (int64_t)c.min_cb_w * c.min_cb_h);
-        memset(c.tab_ipm, 1, (int64_t)c.w4 * c.h4);
-        for (int64_t i = 0; i < (int64_t)p->ctb_width * p->ctb_height; i++)
-            c.slice_addr_tab[i] = -1;
+        for (int i = 0; i < 4; i++) c.rext[i] = 0;
+        init_pic_scratch(c);
     }
-
-    c.cc.init_engine(data, data_size);
-    if (p->ctx_load) {
-        memcpy(c.cc.pst, ctx_io, NUM_CONTEXTS);
-    } else {
-        c.cc.init_contexts(p->init_type, av_clip(p->slice_qp, 0, 51));
-    }
-
     int64_t last_ts = p->first_ctb_ts - 1;
-    for (int ts = p->first_ctb_ts; ts <= p->last_ctb_ts && !c.err; ts++) {
-        int rs = ts_to_rs[ts];
-        int x_ctb = (rs % p->ctb_width) << p->log2_ctb;
-        int y_ctb = (rs / p->ctb_width) << p->log2_ctb;
-        decode_neighbour(c, x_ctb, y_ctb, ts);
-        code_sao(c, x_ctb >> p->log2_ctb, y_ctb >> p->log2_ctb);
-        code_quadtree(c, x_ctb, y_ctb, p->log2_ctb, 0);
-        last_ts = ts;
-        int eos = c.cc.terminate();
-        if (p->wpp_save_ctx && ts == p->first_ctb_ts + 1) {
-            memcpy(ctx_io, c.cc.pst, NUM_CONTEXTS);
-        }
-        if (eos) {
-            if (!p->stop_at_eos && ts != p->last_ctb_ts) c.err = 3;
-            break;
-        }
-        if (p->stop_at_eos && ts == p->last_ctb_ts) c.err = 4;  // missing eos
-    }
+    run_substream(c, data, data_size, ctx_io, ctx_io, nullptr, &last_ts);
     if (p->save_ctx_end) {
         memcpy(ctx_io, c.cc.pst, NUM_CONTEXTS);
     }
@@ -2200,6 +2294,119 @@ extern "C" int64_t decode_slice_data(
     out_sizes[2] = c.err;
     out_sizes[3] = last_ts;
     return c.err;
+}
+
+// Host-parallel WPP decode: one thread pool pass over a slice's CTB-row
+// substreams with the 2-CTB wavefront skew (the reference decodes these
+// rows on its pthread job pool, hevc.c:2751-2832 + pthread_slice.c:44-236).
+// Rows write into private ops/levels carve-outs that are compacted back
+// into decode order after the join, so the output is byte-identical to the
+// serial path.  Requires: pure WPP (no tiles), fresh picture, no
+// persistent-rice adaptation (whose stats chain substreams serially).
+extern "C" int64_t decode_substreams_wpp(
+    const SliceParams *pb, const uint8_t *payload,
+    const int64_t *sub_off,           // nsubs+1 byte offsets into payload
+    const int32_t *sub_ts,            // nsubs * 2: (first_ts, last_ts)
+    int32_t nsubs, int32_t nthreads,
+    const int32_t *rs_to_ts, const int32_t *ts_to_rs, const int32_t *tile_id,
+    const int32_t *min_tb_zs, const int32_t *rpl0, const int32_t *rpl1,
+    const int32_t *col_mv, const int32_t *col_poc_arr,
+    const uint8_t *col_pred, const int8_t *col_refidx,
+    const int32_t *col_rpl0, const int32_t *col_rpl1,
+    int32_t *ops, int64_t ops_cap, int32_t *levels, int64_t lv_cap,
+    int32_t *mvf_mv, int32_t *mvf_poc, uint8_t *mvf_pred, int8_t *mvf_ref_idx,
+    uint8_t *vbs, uint8_t *hbs, int8_t *qp_y_tab, uint8_t *is_pcm_or_bypass,
+    int32_t *sao_out, uint8_t *cbf_luma_buf, uint8_t *scratch,
+    int64_t *out_sizes /* [ops, levels, err, last_ts] */)
+{
+    SharedBufs b = {rs_to_ts, ts_to_rs, tile_id, min_tb_zs, rpl0, rpl1,
+                    col_mv, col_poc_arr, col_pred, col_refidx, col_rpl0,
+                    col_rpl1, mvf_mv, mvf_poc, mvf_pred, mvf_ref_idx,
+                    vbs, hbs, qp_y_tab, is_pcm_or_bypass, sao_out,
+                    cbf_luma_buf, scratch};
+    std::vector<SliceParams> ps(nsubs);
+    std::vector<Ctx> cs(nsubs);
+    std::vector<int64_t> row_last(nsubs);
+    std::vector<std::array<uint8_t, NUM_CONTEXTS>> snaps(nsubs);
+    std::vector<std::array<int32_t, 6>> rexts(nsubs);
+    std::unique_ptr<std::atomic<int32_t>[]> prog(
+        new std::atomic<int32_t>[nsubs]);
+    std::atomic<int32_t> err_flag{0};
+    const int64_t ops_per = ops_cap / nsubs, lv_per = lv_cap / nsubs;
+    for (int i = 0; i < nsubs; i++) {
+        prog[i].store(0, std::memory_order_relaxed);
+        ps[i] = *pb;
+        ps[i].first_ctb_ts = sub_ts[2 * i];
+        ps[i].last_ctb_ts = sub_ts[2 * i + 1];
+        ps[i].init_state = 0;
+        ps[i].slice_start = (i == 0 && pb->slice_start) ? 1 : 0;
+        ps[i].ctx_load = i > 0;
+        ps[i].wpp_save_ctx = i < nsubs - 1;
+        ps[i].stop_at_eos = 0;
+        ps[i].save_ctx_end = 0;
+        rexts[i].fill(0);
+        setup_ctx(cs[i], &ps[i], b, ops + i * ops_per, ops_per,
+                  levels + i * lv_per, lv_per, rexts[i].data());
+    }
+    if (pb->init_state) init_pic_scratch(cs[0]);
+
+    int T = nthreads < nsubs ? nthreads : nsubs;
+    if (T < 1) T = 1;
+    auto worker = [&](int t) {
+        for (int i = t; i < nsubs; i += T) {
+            WppSync sync;
+            sync.prev = i ? &prog[i - 1] : nullptr;
+            sync.prev_len = i ? (sub_ts[2 * i - 1] - sub_ts[2 * i - 2] + 1)
+                              : 0;
+            sync.mine = &prog[i];
+            sync.err_flag = &err_flag;
+            run_substream(cs[i], payload + sub_off[i],
+                          sub_off[i + 1] - sub_off[i],
+                          i ? snaps[i - 1].data() : nullptr, snaps[i].data(),
+                          &sync, &row_last[i]);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 1; t < T; t++) pool.emplace_back(worker, t);
+    worker(0);
+    for (auto &th : pool) th.join();
+
+    int err = err_flag.load(std::memory_order_relaxed);
+    for (int i = 0; i < nsubs && !err; i++) err = cs[i].err;
+    if (err) {
+        out_sizes[0] = out_sizes[1] = 0;
+        out_sizes[2] = err;
+        out_sizes[3] = -1;
+        return err;
+    }
+    // compact row carve-outs into decode order, rebasing level offsets
+    // (the op-stream walk mirrors split_ops)
+    int64_t ops_n = cs[0].ops_pos, lv_n = cs[0].lv_pos;
+    for (int i = 1; i < nsubs; i++) {
+        int32_t *src = ops + i * ops_per;
+        const int64_t n = cs[i].ops_pos, lv_delta = lv_n;
+        memmove(ops + ops_n, src, n * sizeof(int32_t));
+        int32_t *o = ops + ops_n;
+        int64_t j = 0;
+        while (j < n) {
+            switch (o[j]) {
+            case 1: j += 11; break;
+            case 2: o[j + 7] += (int32_t)lv_delta; j += 9; break;
+            case 3: j += 12 + (pb->has_wp ? 14 : 0); break;
+            case 4: o[j + 5] += (int32_t)lv_delta; j += 6; break;
+            default: out_sizes[2] = 6; return 6;
+            }
+        }
+        memmove(levels + lv_n, levels + i * lv_per,
+                cs[i].lv_pos * sizeof(int32_t));
+        ops_n += n;
+        lv_n += cs[i].lv_pos;
+    }
+    out_sizes[0] = ops_n;
+    out_sizes[1] = lv_n;
+    out_sizes[2] = 0;
+    out_sizes[3] = row_last[nsubs - 1];
+    return 0;
 }
 
 // ---------------------------------------------------------------------------

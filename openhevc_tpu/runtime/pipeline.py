@@ -34,10 +34,12 @@ class PipelinedDecoder:
     """Two-stage pipelined decoder; same results as Decoder.decode_stream."""
 
     def __init__(self, backend=None, check_md5=True, use_native=True,
-                 depth=4, resilient=False, dispatch_ahead=2):
+                 depth=4, resilient=False, dispatch_ahead=2,
+                 parse_threads=1):
         self.backend = backend
         self.check_md5 = check_md5
         self.use_native = use_native
+        self.parse_threads = parse_threads
         self.depth = depth
         self.resilient = resilient          # drop broken pictures, continue
         # frames are held back until `dispatch_ahead` newer frames have been
@@ -61,7 +63,8 @@ class PipelinedDecoder:
         and the pixel DPB is pruned by each picture's RPS."""
         plans_q = queue.Queue(maxsize=self.depth)
         parse_dpb = DPB()                   # motion-only DPB (parse-ahead)
-        fe = Frontend(dpb=parse_dpb, use_native=self.use_native)
+        fe = Frontend(dpb=parse_dpb, use_native=self.use_native,
+                      parse_threads=self.parse_threads)
         err = []
         stop = threading.Event()
 

@@ -9,8 +9,8 @@ from openhevc_tpu.decoder.refs import DPB, Frame
 from tests.util_e2e import make_source
 
 
-def _plans(stream, native, with_dpb_frames=None):
-    fe = Frontend(dpb=DPB(), use_native=native)
+def _plans(stream, native, with_dpb_frames=None, threads=1):
+    fe = Frontend(dpb=DPB(), use_native=native, parse_threads=threads)
     plans = []
     from openhevc_tpu.bitstream.nal import split_annexb
     from openhevc_tpu.bitstream import nal as nalmod
@@ -97,6 +97,38 @@ def test_native_sign_hiding_nxn():
 def test_native_wpp():
     _run(EncoderConfig(width=128, height=96, qp=30, wpp=True, sao=True,
                        rng_seed=86), "IPP", 6)
+
+
+def test_native_wpp_parallel():
+    """Host-parallel WPP substream decode must be byte-identical to the
+    serial walk (reference analog: hls_decode_entry_wpp, hevc.c:2751)."""
+    cfg = EncoderConfig(width=192, height=160, qp=30, wpp=True, sao=True,
+                        temporal_mvp=True, rng_seed=87)
+    rng = np.random.default_rng(7)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    base = make_source(rng, cfg.width, cfg.height, cfg.bit_depth)
+    for i, t in enumerate("IPBP"):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, _, _ = enc.encode_frame(src, t)
+        stream += nal
+    serial = _plans(stream, True)
+    for threads in (2, 4):
+        par = _plans(stream, True, threads=threads)
+        for a, b in zip(serial, par):
+            assert (np.asarray(a.soa["intra"]) ==
+                    np.asarray(b.soa["intra"])).all()
+            assert (np.asarray(a.soa["resid"]) ==
+                    np.asarray(b.soa["resid"])).all()
+            assert (np.asarray(a.soa["inter"]) ==
+                    np.asarray(b.soa["inter"])).all()
+            assert (a.raw_levels == b.raw_levels).all()
+            assert (a.vertical_bs == b.vertical_bs).all()
+            assert (a.horizontal_bs == b.horizontal_bs).all()
+            assert (a.qp_map == b.qp_map).all()
+            assert (a.mvf_mv == b.mvf_mv).all()
+            assert (a.mvf_poc == b.mvf_poc).all()
+        _diff(serial, par)
 
 
 def test_native_tiles():
