@@ -38,6 +38,10 @@ class Frontend:
         self.pps = None
         self.dpb = dpb
         self.sei_picture_hash = None
+        # parsed display-metadata SEIs (reference hevc_sei.c:52-180)
+        self.sei_frame_packing = None       # frame_packing_arrangement
+        self.sei_picture_struct = None      # pic_timing picture_struct
+        self.sei_active_sps_id = 0          # active_parameter_sets
         self._cur = None            # open (partially decoded) picture
         # RASL gating after a broken/initial random access point
         # (reference max_ra, hevc.c:3375-3397); None == INT_MAX
@@ -83,12 +87,22 @@ class Frontend:
         elif t in (nalmod.NAL_SEI_PREFIX, nalmod.NAL_SEI_SUFFIX):
             from .sei import parse_sei
             try:
-                for kind, payload in parse_sei(nal.rbsp, t):
+                sps = self.sps_list.get(self.sei_active_sps_id, self.sps)
+                for kind, payload in parse_sei(nal.rbsp, t, sps=sps):
                     if kind == "picture_hash":
                         if self._cur is not None:       # suffix SEI
                             self._cur["md5"] = payload
                         else:                           # prefix SEI
                             self.sei_picture_hash = payload
+                    elif kind == "frame_packing":
+                        # mirrors s->sei_frame_packing_present (hevc_sei.c:58)
+                        self.sei_frame_packing = payload
+                    elif kind == "pic_timing" and payload is not None:
+                        self.sei_picture_struct = \
+                            payload["picture_struct"]
+                    elif kind == "active_parameter_sets":
+                        self.sei_active_sps_id = \
+                            payload["active_seq_parameter_set_id"]
             except Exception:
                 pass        # non-hash SEIs are display metadata; ignore
         elif t in (nalmod.NAL_AUD, nalmod.NAL_EOS_NUT, nalmod.NAL_EOB_NUT,

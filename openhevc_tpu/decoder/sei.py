@@ -15,12 +15,60 @@ from ..bitstream import nal as nalmod
 
 PICTURE_HASH_SUFFIX = 132
 PICTURE_HASH_PREFIX_QUIRK = 256   # the reference also accepts this on prefix
+PIC_TIMING = 1
+FRAME_PACKING = 45
+ACTIVE_PARAMETER_SETS = 129
 
 
-def parse_sei(rbsp: bytes, nal_type: int):
-    """-> list of (payload_type, payload) with decoded_picture_hash parsed."""
+def _parse_frame_packing(r):
+    """frame_packing_arrangement SEI (reference hevc_sei.c:52): returns
+    dict or None when the cancel flag is set."""
+    r.ue()                                  # frame_packing_arrangement_id
+    if r.u1():                              # cancel flag
+        return None
+    fp = {"arrangement_type": r.u(7),
+          "quincunx_subsampling": r.u1(),
+          "content_interpretation_type": r.u(6)}
+    r.u(6)          # spatial_flipping..frame1_self_contained flags
+    if not fp["quincunx_subsampling"] and fp["arrangement_type"] != 5:
+        r.u(16)     # frame[01]_grid_position_[xy]
+    r.u(8)          # reserved byte
+    r.u(1)          # persistence flag
+    return fp
+
+
+def _parse_pic_timing(r, sps):
+    """pic_timing SEI (reference hevc_sei.c:78): picture_struct only, and
+    only when the active SPS VUI signals frame_field_info."""
+    if sps is None or sps.vui is None or \
+            not sps.vui.frame_field_info_present:
+        return None
+    ps = r.u(4)
+    r.u(2)                                  # source_scan_type
+    r.u(1)                                  # duplicate_flag
+    return {"picture_struct": ps}
+
+
+def _parse_active_ps(r):
+    """active_parameter_sets SEI (reference hevc_sei.c:110)."""
+    r.u(4)                                  # active_video_parameter_set_id
+    r.u(1)                                  # self_contained_cvs_flag
+    r.u(1)                                  # no_parameter_set_update_flag
+    n = r.ue()                              # num_sps_ids_minus1
+    active_sps = r.ue()
+    for _ in range(n):
+        r.ue()
+    return {"active_seq_parameter_set_id": active_sps}
+
+
+def parse_sei(rbsp: bytes, nal_type: int, sps=None):
+    """-> list of (kind, payload).  Parsed kinds: picture_hash,
+    frame_packing, pic_timing, active_parameter_sets (the set the
+    reference parses, hevc_sei.c:134-180); other types pass through as
+    (payload_type, None)."""
     r = BitReader(rbsp)
     out = []
+    is_prefix = nal_type == nalmod.NAL_SEI_PREFIX
     while True:
         ptype = 0
         b = 0xFF
@@ -32,6 +80,7 @@ def parse_sei(rbsp: bytes, nal_type: int):
         while b == 0xFF:
             b = r.u(8)
             psize += b
+        end_bit = r.bits_left() - 8 * psize
         if ptype == PICTURE_HASH_SUFFIX or ptype == PICTURE_HASH_PREFIX_QUIRK:
             hash_type = r.u(8)
             hashes = []
@@ -43,10 +92,19 @@ def parse_sei(rbsp: bytes, nal_type: int):
                 elif hash_type == 2:
                     r.u(32)
             out.append(("picture_hash", hashes))
+        elif ptype == FRAME_PACKING and is_prefix:
+            out.append(("frame_packing", _parse_frame_packing(r)))
+        elif ptype == PIC_TIMING and is_prefix:
+            out.append(("pic_timing", _parse_pic_timing(r, sps)))
+        elif ptype == ACTIVE_PARAMETER_SETS and is_prefix:
+            out.append(("active_parameter_sets", _parse_active_ps(r)))
         else:
             for _ in range(psize):
                 r.u(8)
             out.append((ptype, None))
+        # skip any unread payload tail (payloads are byte-sized)
+        while r.bits_left() > max(end_bit, 0):
+            r.u(1)
         if r.bits_left() <= 8:
             break
         # more_rbsp_data heuristic: stop at the rbsp trailing byte

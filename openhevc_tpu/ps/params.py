@@ -292,6 +292,128 @@ def write_vps(v: VPS) -> bytes:
 # ---------------------------------------------------------------------------
 
 @dataclass
+class VUI:
+    """VUI parameters (spec E.2; reference decode_vui, hevc_ps.c:1235).
+
+    Display/timing metadata only — nothing here changes decoded samples,
+    but parsing it is required to reach the SPS range extension that
+    follows it and to interpret pic-timing SEI."""
+    sar_num: int = 0
+    sar_den: int = 1
+    overscan_appropriate: int = 0
+    video_format: int = 5
+    video_full_range: int = 0
+    colour_primaries: int = 2
+    transfer_characteristic: int = 2
+    matrix_coeffs: int = 2
+    chroma_loc_top: int = 0
+    chroma_loc_bottom: int = 0
+    neutral_chroma_indication: int = 0
+    field_seq: int = 0
+    frame_field_info_present: int = 0
+    def_disp_win: tuple = (0, 0, 0, 0)      # left, right, top, bottom
+    num_units_in_tick: int = 0
+    time_scale: int = 0
+    poc_proportional_to_timing: int = 0
+    num_ticks_poc_diff_one: int = 1
+    min_spatial_segmentation_idc: int = 0
+    log2_max_mv_length_horizontal: int = 15
+    log2_max_mv_length_vertical: int = 15
+
+
+_SAR_TABLE = [(0, 1), (1, 1), (12, 11), (10, 11), (16, 11), (40, 33),
+              (24, 11), (20, 11), (32, 11), (80, 33), (18, 11), (15, 11),
+              (64, 33), (160, 99), (4, 3), (3, 2), (2, 1)]
+
+
+def _parse_sublayer_hrd(r, nb_cpb, subpic):
+    for _ in range(nb_cpb):
+        r.ue()                              # bit_rate_value_minus1
+        r.ue()                              # cpb_size_value_minus1
+        if subpic:
+            r.ue()                          # cpb_size_du_value_minus1
+            r.ue()                          # bit_rate_du_value_minus1
+        r.u1()                              # cbr_flag
+
+
+def parse_hrd(r, common_inf_present, max_sublayers):
+    """HRD parameters (spec E.2.2; reference decode_hrd, hevc_ps.c:287) —
+    skipped field-exact so whatever follows stays aligned."""
+    nal_present = vcl_present = subpic = 0
+    if common_inf_present:
+        nal_present = r.u1()
+        vcl_present = r.u1()
+        if nal_present or vcl_present:
+            subpic = r.u1()
+            if subpic:
+                r.u(19)     # tick_divisor, du_cpb_removal_len, in_pic_sei, dpb_du_len
+            r.u(8)          # bit_rate_scale + cpb_size_scale
+            if subpic:
+                r.u(4)      # cpb_size_du_scale
+            r.u(15)         # initial/au cpb removal + dpb output delay lens
+    for _ in range(max_sublayers):
+        low_delay = 0
+        nb_cpb = 1
+        fixed_rate = r.u1()
+        if not fixed_rate:
+            fixed_rate = r.u1()
+        if fixed_rate:
+            r.ue()                          # elemental_duration_in_tc_minus1
+        else:
+            low_delay = r.u1()
+        if not low_delay:
+            nb_cpb = r.ue() + 1
+        if nal_present:
+            _parse_sublayer_hrd(r, nb_cpb, subpic)
+        if vcl_present:
+            _parse_sublayer_hrd(r, nb_cpb, subpic)
+
+
+def parse_vui(r, max_sub_layers) -> VUI:
+    v = VUI()
+    if r.u1():                              # aspect_ratio_info_present
+        idx = r.u(8)
+        if idx < len(_SAR_TABLE):
+            v.sar_num, v.sar_den = _SAR_TABLE[idx]
+        elif idx == 255:                    # EXTENDED_SAR
+            v.sar_num = r.u(16)
+            v.sar_den = r.u(16)
+    if r.u1():                              # overscan_info_present
+        v.overscan_appropriate = r.u1()
+    if r.u1():                              # video_signal_type_present
+        v.video_format = r.u(3)
+        v.video_full_range = r.u1()
+        if r.u1():                          # colour_description_present
+            v.colour_primaries = r.u(8)
+            v.transfer_characteristic = r.u(8)
+            v.matrix_coeffs = r.u(8)
+    if r.u1():                              # chroma_loc_info_present
+        v.chroma_loc_top = r.ue()
+        v.chroma_loc_bottom = r.ue()
+    v.neutral_chroma_indication = r.u1()
+    v.field_seq = r.u1()
+    v.frame_field_info_present = r.u1()
+    if r.u1():                              # default_display_window
+        v.def_disp_win = tuple(2 * r.ue() for _ in range(4))
+    if r.u1():                              # vui_timing_info_present
+        v.num_units_in_tick = r.u(32)
+        v.time_scale = r.u(32)
+        v.poc_proportional_to_timing = r.u1()
+        if v.poc_proportional_to_timing:
+            v.num_ticks_poc_diff_one = r.ue() + 1
+        if r.u1():                          # hrd_parameters_present
+            parse_hrd(r, 1, max_sub_layers)
+    if r.u1():                              # bitstream_restriction
+        r.u(3)      # tiles_fixed / mv_over_pic_boundaries / restricted_rpl
+        v.min_spatial_segmentation_idc = r.ue()
+        r.ue()                              # max_bytes_per_pic_denom
+        r.ue()                              # max_bits_per_min_cu_denom
+        v.log2_max_mv_length_horizontal = r.ue()
+        v.log2_max_mv_length_vertical = r.ue()
+    return v
+
+
+@dataclass
 class SPS:
     vps_id: int = 0
     max_sub_layers: int = 1
@@ -333,6 +455,7 @@ class SPS:
     temporal_mvp_enabled: int = 0
     strong_intra_smoothing_enabled: int = 0
     vui_present: int = 0
+    vui: Optional["VUI"] = None
     # range extension (hevc_ps.c:1920-1959); extended_precision /
     # high_precision_offsets / cabac_bypass_alignment parse-only (the
     # reference logs "not yet implemented" for them, hevc_ps.c:1938-1958)
@@ -510,9 +633,9 @@ def parse_sps(rbsp: bytes, layer_id: int = 0, vps_list=None) -> SPS:
     s.temporal_mvp_enabled = r.u1()
     s.strong_intra_smoothing_enabled = r.u1()
     s.vui_present = r.u1()
-    # VUI ignored (display-only metadata); the range extension follows it,
-    # so it is only reachable for streams without VUI (ours never carry it)
-    if not s.vui_present and r.u1():        # sps_extension_present_flag
+    if s.vui_present:
+        s.vui = parse_vui(r, s.max_sub_layers)
+    if r.u1():                              # sps_extension_present_flag
         range_ext = r.u1()                  # sps_range_extension_flag
         r.u(7)                              # sps_extension_7bits
         if range_ext:

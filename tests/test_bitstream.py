@@ -94,3 +94,74 @@ def test_nal_header():
     assert (t, lid, tid) == (33, 0, 0)
     t, lid, tid = parse_nal_header(bytes([(19 << 1) | 0, (5 << 3) | 3]))
     assert (t, lid, tid) == (19, 5, 2)
+
+
+def test_vui_parse():
+    """VUI fields parse and the SPS range extension behind them stays
+    reachable (reference decode_vui, hevc_ps.c:1235)."""
+    from openhevc_tpu.ps.params import parse_vui
+    w = BitWriter()
+    w.u1(1); w.u(255, 8); w.u(4, 16); w.u(3, 16)    # extended SAR 4:3
+    w.u1(0)                                          # overscan
+    w.u1(1); w.u(1, 3); w.u1(1); w.u1(1)             # video signal + colour
+    w.u(9, 8); w.u(14, 8); w.u(9, 8)
+    w.u1(0)                                          # chroma loc
+    w.u1(0); w.u1(0); w.u1(1)                        # frame_field_info on
+    w.u1(1); w.ue(1); w.ue(2); w.ue(3); w.ue(4)      # default display window
+    w.u1(1); w.u(1001, 32); w.u(60000, 32); w.u1(0)  # timing, no hrd
+    w.u1(0)
+    w.u1(1); w.u(0, 3); w.ue(0); w.ue(0); w.ue(0)    # bitstream restriction
+    w.ue(10); w.ue(11)
+    w.rbsp_trailing_bits()
+    v = parse_vui(BitReader(w.get_bytes()), max_sub_layers=1)
+    assert (v.sar_num, v.sar_den) == (4, 3)
+    assert v.colour_primaries == 9 and v.matrix_coeffs == 9
+    assert v.frame_field_info_present == 1
+    assert v.def_disp_win == (2, 4, 6, 8)
+    assert (v.num_units_in_tick, v.time_scale) == (1001, 60000)
+    assert v.log2_max_mv_length_horizontal == 10
+    assert v.log2_max_mv_length_vertical == 11
+
+
+def test_sei_types_parse():
+    """frame_packing / pic_timing / active_parameter_sets SEIs parse like
+    the reference (hevc_sei.c:52-180) and hash SEIs still work after."""
+    from openhevc_tpu.decoder.sei import parse_sei
+    from openhevc_tpu.bitstream import nal as nalmod
+    from openhevc_tpu.ps.params import SPS, VUI
+
+    def payload(ptype, bits):
+        w = BitWriter()
+        w.u(ptype, 8)
+        body = bits.get_bytes()
+        w.u(len(body), 8)
+        for b in body:
+            w.u(b, 8)
+        w.rbsp_trailing_bits()
+        return w.get_bytes()
+
+    # frame packing: type 3 side-by-side
+    b = BitWriter()
+    b.ue(7); b.u1(0)                # id, not cancelled
+    b.u(3, 7); b.u1(0); b.u(0, 6)   # type 3, no quincunx
+    b.u(0, 6); b.u(0, 16); b.u(0, 8); b.u1(0); b.u1(0)
+    b.rbsp_trailing_bits()
+    out = parse_sei(payload(45, b), nalmod.NAL_SEI_PREFIX)
+    assert out[0][0] == "frame_packing"
+    assert out[0][1]["arrangement_type"] == 3
+
+    # pic timing needs an active SPS with frame_field_info
+    sps = SPS(); sps.vui = VUI(frame_field_info_present=1)
+    b = BitWriter()
+    b.u(1, 4); b.u(0, 2); b.u(0, 1)  # picture_struct=1 (top field)
+    b.rbsp_trailing_bits()
+    out = parse_sei(payload(1, b), nalmod.NAL_SEI_PREFIX, sps=sps)
+    assert out[0] == ("pic_timing", {"picture_struct": 1})
+
+    # active parameter sets
+    b = BitWriter()
+    b.u(0, 4); b.u1(1); b.u1(0); b.ue(0); b.ue(2)
+    b.rbsp_trailing_bits()
+    out = parse_sei(payload(129, b), nalmod.NAL_SEI_PREFIX)
+    assert out[0] == ("active_parameter_sets",
+                      {"active_seq_parameter_set_id": 2})
