@@ -56,6 +56,9 @@ def main(argv=None):
     from .formats.mkv import probe_mkv, demux_mkv
     if probe_mkv(data):
         data = demux_mkv(data)      # matroska -> annex B
+    from .formats.ogg import probe_ogg, demux_ogg
+    if probe_ogg(data):
+        data = demux_ogg(data)      # ogg -> annex B
 
     backend = None
     if args.backend in ("auto", "tpu"):

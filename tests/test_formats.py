@@ -140,3 +140,56 @@ def test_cli_mkv_input(tmp_path):
         env=cpu_subprocess_env())
     assert r.returncode == 0, r.stderr
     assert "frame= 3" in r.stdout
+
+
+def test_ogg_round_trip():
+    """Ogg page/packet framing round trip (oggdec.c parity: lacing,
+    continuation pages, CRC check)."""
+    from openhevc_tpu.formats import mux_ogg, demux_ogg, probe_ogg
+    stream, recons, _ = _stream()
+    ogg = mux_ogg(stream)
+    assert probe_ogg(ogg) and not probe_ogg(stream)
+    assert demux_ogg(ogg) == stream
+    frames = my_decode(demux_ogg(ogg))
+    assert len(frames) == 3
+    for f, want in zip(frames, recons):
+        for p, q in zip(f, want):
+            np.testing.assert_array_equal(np.asarray(p), q)
+
+
+def test_ogg_page_spanning_and_crc():
+    """Packets >64KB span pages via 255-lacing continuation; corrupted
+    pages are skipped (CRC), trailing resync recovers."""
+    from openhevc_tpu.formats.ogg import mux_ogg, demux_ogg
+    big = bytes(np.random.default_rng(3).integers(0, 256, 150_000,
+                                                  dtype=np.uint8))
+    # craft: PS-less stream muxing would mis-split; drive framing directly
+    from openhevc_tpu.formats import ogg as oggm
+    out = bytearray()
+    oggm._emit_page(out, 7, 0, -1, 2, big[:65025], packet_ends=False)
+    oggm._emit_page(out, 7, 1, -1, 1, big[65025:130050], packet_ends=False)
+    oggm._emit_page(out, 7, 2, 0, 1, big[130050:], packet_ends=True)
+    assert demux_ogg(bytes(out)) == big
+    # flip a byte in page 2's body: that page drops, the packet dies with it
+    corrupt = bytearray(out)
+    corrupt[30000] ^= 0xFF
+    assert demux_ogg(bytes(corrupt)) != big
+
+
+def test_cli_ogg_input(tmp_path):
+    from openhevc_tpu.formats import mux_ogg
+    stream, recons, _ = _stream()
+    inp = tmp_path / "in.ogg"
+    inp.write_bytes(mux_ogg(stream))
+    out = tmp_path / "out.yuv"
+    r = subprocess.run(
+        [sys.executable, "-m", "openhevc_tpu.cli", "-i", str(inp),
+         "-o", str(out), "-n", "-b", "np"],
+        capture_output=True, text=True, env=cpu_subprocess_env(),
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = np.frombuffer(out.read_bytes(), np.uint8)
+    want = np.concatenate([np.concatenate([np.asarray(p).astype(np.uint8)
+                                           .ravel() for p in f])
+                           for f in recons])
+    np.testing.assert_array_equal(got, want)
