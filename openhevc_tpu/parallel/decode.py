@@ -77,12 +77,40 @@ class MeshDecoder:
                 f.wire = None
         return frames, dec.md5_ok, dec.md5_fail
 
+    def _decode_pipelined(self, data: bytes):
+        """Open-GOP multi-device decode: DEPENDENT frames pipeline across
+        the dp axis round-robin, reference planes transferring explicitly
+        producer-device -> consumer-device (the reference overlaps
+        dependent frames across frame-threads with per-row progress waits,
+        pthread_frame.c:325-513; here the async dispatch queue plus the
+        device_put ref edges give the same overlap without locks)."""
+        from ..decoder.frontend import Decoder
+        if self.backend_factory is not None:
+            backend = self.backend_factory()
+        else:
+            from ..tpu import TpuBackend
+            backend = TpuBackend(device_schedule=self.devices)
+        dec = Decoder(backend=backend, check_md5=self.check_md5,
+                      use_native=self.use_native)
+        frames = dec.decode_stream(data)
+        for f in frames:
+            f.planes = [np.asarray(p, dtype=np.int32)
+                        for p in f.host_planes()]
+            f.wire = None
+        self.md5_ok += dec.md5_ok
+        self.md5_fail += dec.md5_fail
+        return frames
+
     def decode_stream(self, data: bytes, max_workers=None):
         """-> frames in output order (segments concatenated in stream
         order; POC order within each segment, like the serial decoder)."""
         segs = split_closed_gops(data)
         if not segs:
             return []
+        if len(segs) == 1 and len(self.devices) > 1:
+            # one open GOP (CRA/RASL chains can't split): pipeline
+            # dependent frames across devices instead
+            return self._decode_pipelined(data)
         # segments after the first need the leading parameter sets
         # (real streams repeat PS at IRAPs; generated ones may not)
         ps = data[:split_ps(data)]

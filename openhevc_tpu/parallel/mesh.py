@@ -21,10 +21,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..tpu import deblock as dbk
-from ..tpu.residual import residual_batch, scatter_add_residual
-from ..tpu import sao as sao_mod
-
 
 def make_mesh(n_devices=None, devices=None):
     """Factor devices into a (dp, sp) mesh: frames x row-bands."""
@@ -41,65 +37,48 @@ def make_mesh(n_devices=None, devices=None):
     return Mesh(np.asarray(devs).reshape(dp, sp), ("dp", "sp"))
 
 
-def _frame_step(frame, levels, qp, kind, xs, ys, valid, vbs, hbs, qp_map,
-                nfm, bit_depth):
-    """Per-frame reconstruction step: residual + deblock + SAO band."""
-    res = residual_batch(levels, qp, kind, levels.shape[-1], bit_depth)
-    frame = scatter_add_residual(frame, xs, ys, res, valid, bit_depth)
-    frame = dbk.deblock_luma_vertical(frame, vbs, qp_map, 0, 0, nfm, bit_depth)
-    frame = dbk.deblock_luma_horizontal(frame, hbs, qp_map, 0, 0, nfm, bit_depth)
-    return frame
+def sp_plane_sharding(mesh):
+    """Frame planes partition into row bands over the mesh's sp axis."""
+    return NamedSharding(mesh, P("sp", None))
 
 
-def sharded_recon_step(mesh, bit_depth=8):
-    """Build the jitted multi-chip reconstruction step.
-
-    Input batch of frames is sharded frames-over-dp and rows-over-sp; the
-    residual scatter and the horizontal-deblock halo reads cross the sp
-    boundary, so XLA inserts ICI collectives.
-    """
-    batch = partial(jax.vmap(_frame_step,
-                             in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None)),
-                    )
-
-    frame_sh = NamedSharding(mesh, P("dp", "sp", None))
-    rep_sh = NamedSharding(mesh, P("dp"))
-
-    @partial(jax.jit, static_argnames=("bd",))
-    def step(frames, levels, qp, kind, xs, ys, valid, vbs, hbs, qp_map, nfm,
-             bd=bit_depth):
-        frames = jax.lax.with_sharding_constraint(frames, frame_sh)
-        out = batch(frames, levels, qp, kind, xs, ys, valid, vbs, hbs,
-                    qp_map, nfm, bd)
-        return jax.lax.with_sharding_constraint(out, frame_sh)
-
-    return step, frame_sh, rep_sh
+def sp_backend(mesh):
+    """A TpuBackend whose fused frame_step runs sp-sharded on `mesh`:
+    plane tensors carry CTB-row-band sharding constraints at every stage
+    boundary (tpu/frame_step.py `_sc`), so the MC/residual scatters and
+    the deblock/SAO halo reads across band edges lower to XLA collectives
+    (the reference's WPP progress waits, pthread_slice.c:238-263, become
+    data dependencies)."""
+    from ..tpu import TpuBackend
+    return TpuBackend(shard=sp_plane_sharding(mesh))
 
 
-def dryrun_step(mesh, fh=64, fw=64, nblk=8, bsz=8, bit_depth=8):
-    """Build tiny example inputs + run one sharded step on the mesh."""
-    dp = mesh.shape["dp"]
-    b = max(dp, 2)
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 256, (b, fh, fw)), jnp.int32)
-    levels = jnp.asarray(rng.integers(-10, 10, (b, nblk, bsz, bsz)), jnp.int32)
-    qp = jnp.full((b, nblk), 30, jnp.int32)
-    kind = jnp.zeros((b, nblk), jnp.int32)
-    # disjoint block positions per frame
-    per_row = fw // bsz
-    idx = np.arange(nblk)
-    xs = jnp.asarray(np.tile((idx % per_row) * bsz, (b, 1)), jnp.int32)
-    ys = jnp.asarray(np.tile((idx // per_row) * bsz, (b, 1)), jnp.int32)
-    valid = jnp.ones((b, nblk), bool)
-    vbs = jnp.asarray(rng.integers(0, 3, (b, fh // 4, fw // 8)), jnp.int32)
-    hbs = jnp.asarray(rng.integers(0, 3, (b, fh // 8, fw // 4)), jnp.int32)
-    qp_map = jnp.full((b, fh // 8, fw // 8), 30, jnp.int32)
-    nfm = jnp.zeros((b, fh // 4, fw // 4), jnp.int32)
+def dryrun_step(mesh, w=96, h=96, nframes=3):
+    """Decode a real (tiny) stream through the PRODUCT fused frame_step
+    with sp-axis sharding, asserting bit-exactness against the scalar
+    NumPy pipeline. Returns the decoded frames."""
+    from ..decoder.frontend import Decoder
 
-    step, frame_sh, _ = sharded_recon_step(mesh, bit_depth)
-    with mesh:
-        frames = jax.device_put(frames, frame_sh)
-        out = step(frames, levels, qp, kind, xs, ys, valid, vbs, hbs,
-                   qp_map, nfm)
-        out.block_until_ready()
-    return out
+    from ..encoder import Encoder, EncoderConfig
+    enc = Encoder(EncoderConfig(width=w, height=h, qp=30, sao=True,
+                                rng_seed=11))
+    stream = b"".join(enc.parameter_set_nals())
+    rng = np.random.default_rng(1)
+    base = [rng.integers(0, 256, (h, w)).astype(np.int32),
+            rng.integers(0, 256, (h // 2, w // 2)).astype(np.int32),
+            rng.integers(0, 256, (h // 2, w // 2)).astype(np.int32)]
+    recons = []
+    for i, t in enumerate("I" + "P" * (nframes - 1)):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, recon, _ = enc.encode_frame(src, t)
+        stream += nal
+        recons.append([np.asarray(p) for p in recon])
+
+    dec = Decoder(backend=sp_backend(mesh), check_md5=True)
+    frames = dec.decode_stream(stream)
+    assert dec.md5_fail == 0 and dec.md5_ok > 0, "sp-sharded decode mismatch"
+    for f, want in zip(frames, recons):
+        for c in range(3):
+            assert np.array_equal(np.asarray(f.planes[c]), want[c]), \
+                "sp-sharded plane mismatch"
+    return frames

@@ -36,8 +36,21 @@ def _pow2(x):
 
 
 class TpuBackend:
-    def __init__(self, ctb_log2=None):
+    def __init__(self, ctb_log2=None, shard=None, device_schedule=None):
         self.ctb_log2 = ctb_log2
+        # sp-axis spatial sharding: a NamedSharding over a mesh with an
+        # 'sp' axis; frame planes partition into CTB-row bands across
+        # devices and the fused step's filter halos ride XLA collectives
+        self.shard = shard
+        # dp-axis pipelining of DEPENDENT frames: frame i dispatches to
+        # device_schedule[i % n]; reference planes transfer explicitly
+        # from their producer's device (the ICI analog of the reference's
+        # cross-thread ref reads guarded by progress waits,
+        # pthread_frame.c:479-513).  Dispatches are async, so the host
+        # prepares frame i+1 while device k executes frame i.
+        self.device_schedule = device_schedule
+        self._disp_i = 0
+        self._cur_device = None
         # sticky capacities: profiles grow monotonically, so the fused
         # program recompiles only when a batch outgrows its previous bound
         # sticky state is kept per frame family: intra frames schedule
@@ -55,6 +68,15 @@ class TpuBackend:
         """Returns ([Y, U, V] device int32 planes, wire) — wire is the flat
         uint8/uint16 copy to fetch host-side; the int32 planes stay on
         device as future references."""
+        if self.device_schedule:
+            import contextlib
+            self._cur_device = self.device_schedule[
+                self._disp_i % len(self.device_schedule)]
+            self._disp_i += 1
+            with jax.default_device(self._cur_device):
+                args = self.prepare(plan, dpb)
+                *planes, wire = frame_step(*args)
+            return list(planes), wire
         args = self.prepare(plan, dpb)
         *planes, wire = frame_step(*args)
         return list(planes), wire
@@ -109,8 +131,18 @@ class TpuBackend:
             from ..decoder.refs import get_or_synth
             rframes = [get_or_synth(dpb, p, plan.width, plan.height, bd, cfmt)
                        for p in cp.ref_pocs]
-            refs = [jnp.stack([jnp.asarray(f.planes[c], jnp.int32)
-                               for f in rframes]) for c in range(3)]
+
+            def _ref_plane(f, c):
+                p = f.planes[c]
+                if self._cur_device is not None:
+                    # explicit producer->consumer ref transfer (ICI on
+                    # real multi-chip; pthread_frame's progress-guarded
+                    # cross-thread read becomes a data edge)
+                    p = jax.device_put(p, self._cur_device)
+                return jnp.asarray(p, jnp.int32)
+
+            refs = [jnp.stack([_ref_plane(f, c) for f in rframes])
+                    for c in range(3)]
             for (w, h) in _canonical_pu_sizes(1 << (self.ctb_log2 or 6)):
                 batch = cp.inter.get((w, h))
                 if batch is None:
@@ -363,5 +395,9 @@ class TpuBackend:
                 plan.cb_qp_offset, plan.cr_qp_offset,
                 has_base, has_scaling, tuple(layout), plan.log2_ctb_size,
                 ipal, has_cc, bool(plan.intra_smoothing_disabled),
-                refs_padded)
+                refs_padded, self.shard)
+        if self.shard is not None and refs is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ns3 = NamedSharding(self.shard.mesh, P(None, "sp", None))
+            refs = [jax.device_put(r, ns3) for r in refs]
         return (refs, packed, prof)

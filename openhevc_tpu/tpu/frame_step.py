@@ -87,7 +87,21 @@ def frame_step(refs, packed, prof):
     (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, resid_keys,
      deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
      has_scaling, layout, log2_ctb, ipal, has_cc, smooth_off,
-     refs_padded) = prof
+     refs_padded, shard) = prof
+
+    # sp-axis spatial sharding (multi-chip): planes partition over CTB-row
+    # bands; the deblock/SAO halo reads across band edges become
+    # XLA-inserted collective-permutes over ICI (SURVEY.md §2.3 mapping).
+    # `shard` is a NamedSharding whose mesh carries the 'sp' axis; None on
+    # single-chip runs (the constraint is identity there anyway).
+    def _sc(x):
+        if shard is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = PartitionSpec(*([None] * (x.ndim - 2) + ["sp", None]))
+        return lax.with_sharding_constraint(
+            x, NamedSharding(shard.mesh, spec))
+
     arrays = _unpack(packed, layout)
     hs = 1 if cfmt in (1, 2) else 0
     vs = 1 if cfmt == 1 else 0
@@ -171,6 +185,7 @@ def frame_step(refs, packed, prof):
 
     if inter_sizes and use_pallas:
         planes = [planes[c][:shapes[c][0], :shapes[c][1]] for c in range(3)]
+    planes = [_sc(p) for p in planes]       # post-MC band layout
 
     # ---- residual canvas: the WHOLE frame's dequant+IDCT in one batched
     # dispatch per (plane, size) — residuals never depend on reconstruction,
@@ -221,6 +236,7 @@ def frame_step(refs, packed, prof):
                     rcanvas[c] = ((mixed + 0x8000) & 0xFFFF) - 0x8000
         # inter/PCM-base pixels become final here: recon = clip(pred + res);
         # intra block pixels hold junk until their scan step overwrites them
+        rcanvas = [_sc(r) for r in rcanvas]
         planes = [jnp.clip(planes[c] + rcanvas[c], 0, maxv) for c in range(3)]
 
     # ---- intra reconstruction ----
@@ -294,6 +310,8 @@ def frame_step(refs, packed, prof):
 
         planes_t, _ = lax.scan(body, tuple(planes), scan_xs)
         planes = list(planes_t)
+
+    planes = [_sc(p) for p in planes]       # pre-filter band layout
 
     # ---- deblock ----
     if deblock_on:
@@ -400,6 +418,7 @@ def frame_step(refs, packed, prof):
                                  pre[c], filt)
             out.append(filt)
         planes = out
+    planes = [_sc(p) for p in planes]       # final band layout
     # wire copy for host fetch: one flat uint8/uint16 buffer instead of
     # three int32 planes (4x / 2x less device->host traffic)
     wdt = jnp.uint8 if bd == 8 else jnp.uint16

@@ -64,3 +64,37 @@ def test_mesh_decode_tpu_backend_devices():
         for c in range(3):
             np.testing.assert_array_equal(f.planes[c], want[c],
                                           err_msg=f"frame {i} plane {c}")
+
+
+@pytest.mark.slow
+def test_sp_sharded_product_frame_step():
+    """The PRODUCT fused frame_step decodes bit-exact with sp-axis
+    CTB-row-band sharding on the virtual mesh (VERDICT r2 item 5)."""
+    from openhevc_tpu.parallel import make_mesh, dryrun_step
+    mesh = make_mesh(len(jax.devices()))
+    assert mesh.shape.get("sp", 1) >= 2, f"mesh {dict(mesh.shape)}"
+    frames = dryrun_step(mesh)          # asserts MD5 + plane equality
+    assert len(frames) == 3
+
+
+@pytest.mark.slow
+def test_open_gop_pipelined_multi_device():
+    """A single open GOP (CRA/RASL, unsplittable) pipelines dependent
+    frames round-robin across devices with explicit ref transfer,
+    bit-exact vs serial decode (VERDICT r2 item 6; reference analog
+    pthread_frame.c:325-513)."""
+    from tests.test_robustness import _open_gop_stream
+    from openhevc_tpu.tpu import TpuBackend
+    stream, _ = _open_gop_stream()
+    assert len(split_closed_gops(stream)) == 1      # truly unsplittable
+    serial = Decoder(check_md5=True).decode_stream(stream)
+    mdec = MeshDecoder(check_md5=True, use_native=True)
+    frames = mdec.decode_stream(stream)
+    assert mdec.md5_fail == 0 and mdec.md5_ok > 0
+    assert len(frames) == len(serial) == 7
+    for i, (f, s) in enumerate(zip(frames, serial)):
+        assert f.poc == s.poc
+        for c in range(3):
+            np.testing.assert_array_equal(
+                f.planes[c], np.asarray(s.planes[c]),
+                err_msg=f"poc {f.poc} plane {c}")
