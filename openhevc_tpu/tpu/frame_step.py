@@ -328,37 +328,36 @@ def frame_step(refs, packed, prof):
             bmap = arrays[("map", "dbbeta")]
             tmap = arrays[("map", "dbtc")]
             s3 = log2_ctb - 3
-            s4 = log2_ctb - 4
             rv = jnp.arange(Hp // 8) >> s3               # luma v rows
             ev = (jnp.arange(max(1, Wp // 8 - 1)) + 1) >> s3
-            b_lv = bmap[rv[:, None], ev[None, :]]
+            b_lv = bmap[rv[:, None], ev[None, :]]        # (H/8, ne)
             t_lv = tmap[rv[:, None], ev[None, :]]
             cw_m = bmap.shape[1]
             ch_ = jnp.arange(Wp // 8) >> s3              # luma h cols (beta)
             eh = (jnp.arange(max(1, Hp // 8 - 1)) + 1) >> s3
-            b_lh = bmap[eh[None, :], ch_[:, None]]
+            b_lh = bmap[eh[:, None], ch_[None, :]]       # (ne, W/8)
             # the horizontal tc always reads the CURRENT CTB, i.e. the CTB
             # containing x+8, clamped at the picture edge (hevc_filter.c:
             # TC_CALC's tc_offset stays cur in the horizontal luma loop)
             ch_tc = jnp.minimum((jnp.arange(Wp // 8) + 1) >> s3, cw_m - 1)
-            t_lh = tmap[eh[None, :], ch_tc[:, None]]
+            t_lh = tmap[eh[:, None], ch_tc[None, :]]
             hsub_ = 2 if cfmt in (1, 2) else 1
             vsub_ = 2 if cfmt == 1 else 1
-            # chroma v: luma y = 8*vsub*r, x = 8*hsub*(e+1)
-            rcv = (jnp.arange(Hp // (8 * vsub_)) * vsub_) >> s3
+            # chroma v: per chroma-4-row group g, luma y4 = vsub*g; edge e,
+            # luma x8 = hsub*(e+1) -> tc map row = (vsub*g)>>1 >> s3
+            gcv = (vsub_ * jnp.arange(Hp // (4 * vsub_))) >> 1 >> s3
             ecv = ((jnp.arange(max(1, Wp // (8 * hsub_) - 1)) + 1) *
                    hsub_) >> s3
-            t_cv = tmap[rcv[:, None], ecv[None, :]][..., None]
-            # chroma h: per-half, luma x = hsub*(8c + 4j), tc from the CTB
-            # containing x + 4*hsub (cur for the left-CTB first half)
-            cch = jnp.arange(Wp // (8 * hsub_))
+            t_cv = tmap[gcv[:, None], ecv[None, :]]      # (ch/4, ne)
+            # chroma h: per chroma-4-col group c4 (luma x = 4*hsub*c4), tc
+            # from the CTB containing x + 4*hsub (cur for the left-CTB
+            # first half)
+            cc4 = jnp.arange(Wp // (4 * hsub_))
             ech = ((jnp.arange(max(1, Hp // (8 * vsub_) - 1)) + 1) *
                    vsub_) >> s3
-            jj = jnp.arange(2)
-            cch_j = jnp.minimum(
-                ((8 * cch[:, None] + 4 * jj[None, :] + 4) * hsub_) >> log2_ctb,
-                cw_m - 1)
-            t_ch = tmap[ech[None, :, None], cch_j[:, None, :]]
+            cc4_tc = jnp.minimum((4 * hsub_ * (cc4 + 1)) >> log2_ctb,
+                                 cw_m - 1)
+            t_ch = tmap[ech[:, None], cc4_tc[None, :]]   # (ne, cw/4)
         else:
             b_lv = t_lv = b_lh = t_lh = None
         luma = jnp.pad(planes[0], ((0, ph), (0, pw))) if (ph or pw) else planes[0]
@@ -405,8 +404,14 @@ def frame_step(refs, packed, prof):
             ch, cw = shapes[c]
 
             def expand(g, csy=csy, csx=csx, ch=ch, cw=cw):
-                return jnp.repeat(jnp.repeat(g, csy, axis=0), csx,
-                                  axis=1)[:ch, :cw]
+                # broadcast+reshape beats jnp.repeat (gather) ~5x on TPU;
+                # g is (gh, gw) or (gh, gw, k) (per-CTB offset vectors)
+                gh, gw = g.shape[:2]
+                tail = g.shape[2:]
+                e = jnp.broadcast_to(
+                    g[:, None, :, None],
+                    (gh, csy, gw, csx) + tail)
+                return e.reshape((gh * csy, gw * csx) + tail)[:ch, :cw]
 
             tm = expand(arrays[("sao", c, "tm")])
             bm = expand(arrays[("sao", c, "bm")])

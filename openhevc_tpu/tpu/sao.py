@@ -35,11 +35,13 @@ def sao_plane(src, type_map, band_pos_map, eo_map, offset_map, bit_depth=8):
                                         offset_map[..., k + 1], 0)
     band_out = jnp.clip(src + band_off, 0, maxv)
 
-    # edge: compare with the two neighbors per class
+    # edge: compare with the two neighbors per class (static slices of the
+    # padded plane; lax.dynamic_slice with constant starts lowered ~2x
+    # slower on TPU)
     pad = jnp.pad(src, 1, mode="edge")
 
     def neigh(dx, dy):
-        return jax.lax.dynamic_slice(pad, (1 + dy, 1 + dx), (h, w))
+        return pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
 
     edge_out = src
     border_x = (jnp.arange(w) == 0) | (jnp.arange(w) == w - 1)
