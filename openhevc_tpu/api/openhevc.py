@@ -294,6 +294,25 @@ class OpenHevcDecoder:
         f.nUPitch = f.nWidth // (2 if sps.chroma_format_idc in (1, 2) else 1)
         f.nVPitch = f.nUPitch
         f.display_picture_number = self._current.poc
+        if sps.vui is not None:
+            f.sample_aspect_ratio = (sps.vui.sar_num, sps.vui.sar_den)
+            if sps.vui.num_units_in_tick:
+                f.frameRate = (sps.vui.time_scale, sps.vui.num_units_in_tick)
+            f.flag = sps.vui.field_seq  # progressive/interlaced hint
+        return f
+
+    def get_picture_info_cpy(self) -> FrameInfo:
+        """libOpenHevcGetPictureInfoCpy analog (openHevcWrapper.c:245):
+        pitches in BYTES of the packed copy-out layout — chroma pitch
+        truncates odd widths (width>>1) and >8-bit doubles every pitch."""
+        f = self.get_picture_info()
+        hi = 1 if f.nBitDepth > 8 else 0
+        if f.chromat_format == YUV444:
+            cpitch = f.nWidth
+        else:
+            cpitch = f.nWidth >> 1      # floor: odd widths drop a column
+        f.nYPitch = f.nWidth << hi
+        f.nUPitch = f.nVPitch = cpitch << hi
         return f
 
     def get_output(self, copy: bool = False) -> Optional[OutputFrame]:
@@ -311,6 +330,16 @@ class OpenHevcDecoder:
         u = np.asarray(u)[t:(u.shape[0] - b) or None, l:(u.shape[1] - r) or None]
         v = np.asarray(v)[t:(v.shape[0] - b) or None, l:(v.shape[1] - r) or None]
         dt = np.uint16 if sps.bit_depth > 8 else np.uint8
+        if copy:
+            # copy-out layout parity (libOpenHevcGetOutputCpy,
+            # openHevcWrapper.c:354-397): rows are dst-pitch bytes of the
+            # source rows, so odd-width 4:2:0/4:2:2 chroma drops its last
+            # column (nUPitch = width>>1 floor)
+            info = self.get_picture_info_cpy()
+            hi = 1 if sps.bit_depth > 8 else 0
+            cw = info.nUPitch >> hi     # chroma width in samples
+            u = u[:, :cw]
+            v = v[:, :cw]
         out = OutputFrame(pvY=y.astype(dt), pvU=u.astype(dt), pvV=v.astype(dt),
                           frameInfo=info)
         return out

@@ -142,3 +142,60 @@ def test_poc_reset_output_order_and_prior_pics_discard():
     # discard: the second IDR drops undisplayed prior pictures
     pocs2 = run(make_stream(discard=True))
     assert len(pocs2) < 6
+
+
+
+@pytest.mark.slow
+def test_get_output_cpy_pitch_quirks():
+    """GetOutputCpy pitch parity (openHevcWrapper.c:245-397): byte pitches,
+    odd-width chroma truncation, >8-bit doubling."""
+    import numpy as np
+    from openhevc_tpu.api.openhevc import (libOpenHevcInit,
+                                           libOpenHevcStartDecoder,
+                                           libOpenHevcDecode,
+                                           libOpenHevcGetOutputCpy,
+                                           libOpenHevcClose)
+    from openhevc_tpu.encoder import Encoder, EncoderConfig
+    from tests.util_e2e import make_source
+    # coded 72 cropped to 70 via the conformance window: chroma pitch
+    # nUPitch = nWidth>>1 = 35 while the stored chroma plane is 36 wide —
+    # the Cpy copy loop reads dst-pitch bytes per row
+    rng = np.random.default_rng(3)
+    enc = Encoder(EncoderConfig(width=72, height=40, qp=30, rng_seed=5))
+    enc.sps.conf_win = (0, 1, 0, 0)     # crop 2 luma / 1 chroma col right
+    stream = b"".join(enc.parameter_set_nals())
+    base = make_source(rng, 72, 40)
+    nal, recon, _ = enc.encode_frame(base, "I")
+    stream += nal
+    h = libOpenHevcInit(1, 1)
+    libOpenHevcStartDecoder(h)
+    for chunk in (stream, b""):
+        libOpenHevcDecode(h, chunk)
+    out = libOpenHevcGetOutputCpy(h)
+    assert out is not None
+    assert out.frameInfo.nWidth == 70 and out.frameInfo.nHeight == 40
+    assert out.frameInfo.nYPitch == 70
+    assert out.frameInfo.nUPitch == 35
+    assert out.pvY.shape == (40, 70)
+    assert out.pvU.shape == (20, 35)
+    np.testing.assert_array_equal(out.pvY, np.asarray(recon[0])[:40, :70])
+    np.testing.assert_array_equal(out.pvU,
+                                  np.asarray(recon[1])[:20, :35])
+    libOpenHevcClose(h)
+
+    # 10-bit: byte pitches double
+    enc = Encoder(EncoderConfig(width=64, height=32, qp=30, bit_depth=10,
+                                rng_seed=6))
+    stream = b"".join(enc.parameter_set_nals())
+    base = make_source(rng, 64, 32, 10)
+    nal, recon, _ = enc.encode_frame(base, "I")
+    stream += nal
+    h = libOpenHevcInit(1, 1)
+    libOpenHevcStartDecoder(h)
+    for chunk in (stream, b""):
+        libOpenHevcDecode(h, chunk)
+    out = libOpenHevcGetOutputCpy(h)
+    assert out.frameInfo.nYPitch == 128 and out.frameInfo.nUPitch == 64
+    assert out.pvY.dtype == np.uint16
+    np.testing.assert_array_equal(out.pvY, np.asarray(recon[0]))
+    libOpenHevcClose(h)
