@@ -444,6 +444,25 @@ static const uint8_t CTX_IDX_MAP[5][16] = {
     {2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2},
 };
 
+// sig-flag context per scan position, pre-fused through the 4x4 subblock
+// scan order: MAPPED_SIG[scan][map][sn] = CTX_IDX_MAP[map][pos4x4(sn)]
+// (removes two table loads + address arithmetic from the hottest loop)
+static uint8_t MAPPED_SIG[3][5][16];
+// lv[] write offset within a 4x4 group: cy*4 + cx in scan order
+static uint8_t SCAN_POS4[3][16];
+static const int _init_sig_tables = [] {
+    const uint8_t *cxs[3] = {SCAN_DIAG_2_CX, SCAN_HORIZ_2_CX, SCAN_VERT_2_CX};
+    const uint8_t *cys[3] = {SCAN_DIAG_2_CY, SCAN_HORIZ_2_CY, SCAN_VERT_2_CY};
+    for (int s = 0; s < 3; s++)
+        for (int sn = 0; sn < 16; sn++) {
+            int pos = (cys[s][sn] << 2) + cxs[s][sn];
+            SCAN_POS4[s][sn] = (uint8_t)pos;
+            for (int m = 0; m < 5; m++)
+                MAPPED_SIG[s][m][sn] = CTX_IDX_MAP[m][pos];
+        }
+    return 0;
+}();
+
 struct ScanSet {
     const uint8_t *cx, *cy, *gx, *gy;
     const int16_t *inv;
@@ -569,16 +588,16 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
         if (y_cg < ((n - 1) >> 2)) prev_sig += csbf[y_cg + 1][x_cg] ? 2 : 0;
 
         if (csbf[y_cg][x_cg] && n_end >= 0) {
-            const uint8_t *map;
+            int map_id;
             int scf_offset = c_idx ? 27 : 0;
             int ts_ctx = p->ts_context && (tskip || tq_bypass);
             if (ts_ctx) {
                 // transform-skip sig contexts (hevc_cabac.c:1633-1640)
-                map = CTX_IDX_MAP[4];
+                map_id = 4;
                 scf_offset = c_idx ? 14 + 27 : 40;
-            } else if (log2n == 2) map = CTX_IDX_MAP[0];
+            } else if (log2n == 2) map_id = 0;
             else {
-                map = CTX_IDX_MAP[prev_sig + 1];
+                map_id = prev_sig + 1;
                 if (c_idx == 0) {
                     if (x_cg > 0 || y_cg > 0) scf_offset += 3;
                     if (log2n == 3)
@@ -588,13 +607,15 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
                     scf_offset += log2n == 3 ? 9 : 12;
                 }
             }
+            // branchless sig loop: the flag carries ~1 bit of entropy, so
+            // a data-dependent branch here mispredicted half the time
+            const uint8_t *mrow = MAPPED_SIG[scan_idx][map_id];
+            int sig_base = CTX_SIGNIFICANT_COEFF_FLAG + scf_offset;
             for (int sn = n_end; sn > 0; sn--) {
-                int xc = sc.cx[sn], yc = sc.cy[sn];
-                int inc = map[(yc << 2) + xc] + scf_offset;
-                if (cc.decode_bin(CTX_SIGNIFICANT_COEFF_FLAG + inc)) {
-                    sig_idx[n_sig++] = sn;
-                    implicit_nz = 0;
-                }
+                int b = cc.decode_bin(sig_base + mrow[sn]);
+                sig_idx[n_sig] = sn;
+                n_sig += b;
+                implicit_nz &= b ^ 1;
             }
             if (implicit_nz == 0) {
                 int off0;
@@ -617,13 +638,16 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
         int g1[8];
         int first_g1 = -1;
         int ng1 = n_sig > 8 ? 8 : n_sig;
+        int g1_base = CTX_COEFF_ABS_LEVEL_GREATER1_FLAG + (ctx_set << 2) +
+                      (c_idx ? 16 : 0);
         for (int m = 0; m < ng1; m++) {
-            int inc = (ctx_set << 2) + greater1_ctx + (c_idx ? 16 : 0);
-            g1[m] = cc.decode_bin(CTX_COEFF_ABS_LEVEL_GREATER1_FLAG + inc);
-            if (g1[m]) {
-                greater1_ctx = 0;
-                if (first_g1 == -1) first_g1 = m;
-            } else if (greater1_ctx > 0 && greater1_ctx < 3) greater1_ctx++;
+            int b = cc.decode_bin(g1_base + greater1_ctx);
+            g1[m] = b;
+            // branchless ctx walk (cmovs): 0 on a 1-bin, saturating ++ else
+            int bumped = greater1_ctx + (greater1_ctx > 0 &&
+                                         greater1_ctx < 3);
+            greater1_ctx = b ? 0 : bumped;
+            first_g1 = (b && first_g1 < 0) ? m : first_g1;
         }
         int sign_hidden;
         if (tq_bypass || erd_flag ||
