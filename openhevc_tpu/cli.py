@@ -42,6 +42,9 @@ def main(argv=None):
     ap.add_argument("-b", dest="backend", default="auto",
                     choices=("auto", "tpu", "np"),
                     help="reconstruction backend")
+    ap.add_argument("-r", dest="framerate", type=float, default=0,
+                    help="pace output to N fps (the reference's display "
+                         "framerate knob, main_hm getopt.c:180)")
     args = ap.parse_args(argv)
     if args.verbose:
         from .log import set_debug_mode
@@ -97,6 +100,12 @@ def main(argv=None):
     t0 = time.time()
     for frame in dec.frames(data, max_tid=args.temporal_layer,
                             max_frames=args.stop_frame):
+        if args.framerate > 0:
+            # real-time pacing (SDL_framerate.c analog, sans display)
+            due = t0 + nframes / args.framerate
+            delay = due - time.time()
+            if delay > 0:
+                time.sleep(delay)
         nframes += 1
         last = frame
         if fout:

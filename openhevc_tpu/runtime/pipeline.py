@@ -189,6 +189,12 @@ class PipelinedDecoder:
             if getattr(self.backend, "ctb_log2", None) is None:
                 self.backend.ctb_log2 = plan.log2_ctb_size
             planes, wire = self.backend.decode_frame(plan, self.dpb)
+            if hasattr(wire, "copy_to_host_async"):
+                # start the device->host wire transfer now: it streams
+                # behind the async dispatch queue while the host parses
+                # ahead, so the consumer's host_planes() is a wait, not a
+                # cold 1.5 B/px fetch over the (slow) TPU link
+                wire.copy_to_host_async()
         else:
             planes = recon_np.execute_plan(plan, dpb=self.dpb)
             recon_np.deblock_frame(plan, planes)

@@ -59,6 +59,7 @@ class TpuBackend:
         # T(intra) by caps(inter) and explodes the scan cost
         self._slot_caps = {"I": {}, "PB": {}}
         self._inter_caps = {}
+        self._work_caps = {}            # compacted MC work-batch caps
         self._slot_T = {"I": {}, "PB": {}}
         self._flat_len = {"I": {}, "PB": {}}
         self._resid_len = {"I": {}, "PB": {}}
@@ -124,6 +125,39 @@ class TpuBackend:
             parts.append((path, np.ascontiguousarray(arr, np.int16)))
 
         # ---- inter batches (padded, canonical size list) ----
+        # MC runs over a COMPACTED work batch: one (sel, x, y, mv) entry
+        # per needed (PU, direction) — uni-predicted PUs cost one filter
+        # pass, not two — and per-row indices i0/i1 gather the results
+        # back for the weighted combine (halves P-frame MC work)
+        def work_form(b, valid, key):
+            pf = np.asarray(b["pf"])
+            v = valid.astype(bool)
+            m0 = ((pf & 1) != 0) & v
+            m1 = ((pf & 2) != 0) & v
+            n0, n1 = int(m0.sum()), int(m1.sum())
+            nw = n0 + n1
+            def cat(f0, f1):
+                return np.concatenate([np.asarray(b[f0])[m0],
+                                       np.asarray(b[f1])[m1]])
+            wf = dict(wxs=cat("xs", "xs"), wys=cat("ys", "ys"),
+                      wsel=cat("s0", "s1"), wmvx=cat("mvx0", "mvx1"),
+                      wmvy=cat("mvy0", "mvy1"))
+            tgt = max(nw, self._work_caps.get(key, 8))
+            self._work_caps[key] = tgt
+            pad = tgt - nw
+            if pad:
+                for f in wf:
+                    last = wf[f][-1:] if nw else np.zeros(1, np.int32)
+                    wf[f] = np.concatenate(
+                        [wf[f], np.repeat(last, pad, axis=0)])
+            i0 = np.zeros(len(pf), np.int32)
+            i0[m0] = np.arange(n0)
+            i1 = np.zeros(len(pf), np.int32)
+            i1[m1] = n0 + np.arange(n1)
+            wf["i0"] = i0
+            wf["i1"] = i1
+            return wf
+
         inter_sizes = []
         refs = None
         refs_padded = False
@@ -165,8 +199,10 @@ class TpuBackend:
                         valid = np.concatenate([valid, np.zeros(pad, bool)])
                     self._inter_caps[(w, h)] = len(valid)
                 b["valid"] = valid.astype(np.int32)
-                for f, v in b.items():
-                    add(("inter", w, h, f), v)
+                b.update(work_form(b, valid, (w, h)))
+                for f in ("xs", "ys", "pf", "wden", "w0", "w1", "valid",
+                          "i0", "i1", "wxs", "wys", "wsel", "wmvx", "wmvy"):
+                    add(("inter", w, h, f), b[f])
                 inter_sizes.append((w, h))
         else:
             # dummy refs keep the pytree structure stable

@@ -133,7 +133,7 @@ def frame_step(refs, packed, prof):
                            (0, bshapes[c][1] - shapes[c][1])))
                   for c in range(3)]
 
-    def _mc(c, b, xs, ys, mvx, mvy, sel, wc, hc):
+    def _mc(c, xs, ys, mvx, mvy, sel, wc, hc):
         if use_pallas:
             sh_, sv_ = (hs, vs) if c else (0, 0)
             Hc, Wc = H >> sv_, W >> sh_
@@ -146,16 +146,20 @@ def frame_step(refs, packed, prof):
 
     for (w, h) in inter_sizes:
         b = {f: arrays[("inter", w, h, f)]
-             for f in ("xs", "ys", "pf", "s0", "mvx0", "mvy0", "s1", "mvx1",
-                       "mvy1", "wden", "w0", "w1", "valid")}
+             for f in ("xs", "ys", "pf", "wden", "w0", "w1", "valid",
+                       "i0", "i1", "wxs", "wys", "wsel", "wmvx", "wmvy")}
         valid = b["valid"].astype(bool)
         for c in range(3):
             sh_, sv_ = (hs, vs) if c else (0, 0)
             xs = b["xs"] >> sh_
             ys = b["ys"] >> sv_
             wc, hc = w >> sh_, h >> sv_
-            val0 = _mc(c, b, xs, ys, b["mvx0"], b["mvy0"], b["s0"], wc, hc)
-            val1 = _mc(c, b, xs, ys, b["mvx1"], b["mvy1"], b["s1"], wc, hc)
+            # one filter pass over the compacted (PU, direction) work
+            # batch; per-row gathers rebuild val0/val1 for the combine
+            out = _mc(c, b["wxs"] >> sh_, b["wys"] >> sv_,
+                      b["wmvx"], b["wmvy"], b["wsel"], wc, hc)
+            val0 = jnp.take(out, b["i0"], axis=0)
+            val1 = jnp.take(out, b["i1"], axis=0)
             maxv = (1 << bd) - 1
             is_l0 = (b["pf"] == 1)[:, None, None]
             denom = b["wden"][:, 0 if c == 0 else 1][:, None, None]

@@ -39,16 +39,30 @@ def _round_up(v, m):
 
 def _mc_kernel(sel_ref, sy_ref, sx_ref, ro_ref, co_ref, fx_ref, fy_ref,
                refs_ref, filt_ref, out_ref, win_ref, sem,
-               *, w, h, taps, bit_depth, WH, WW):
+               *, w, h, taps, bit_depth, WH, WW, n):
     i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+
     # starts arrive pre-divided so Mosaic can prove tile alignment
-    dma = pltpu.make_async_copy(
-        refs_ref.at[sel_ref[i], pl.ds(sy_ref[i] * 8, WH),
-                    pl.ds(sx_ref[i] * 128, WW)],
-        win_ref, sem)
-    dma.start()
-    dma.wait()
-    win = win_ref[...]
+    def copy_for(j, s):
+        return pltpu.make_async_copy(
+            refs_ref.at[sel_ref[j], pl.ds(sy_ref[j] * 8, WH),
+                        pl.ds(sx_ref[j] * 128, WW)],
+            win_ref.at[s], sem.at[s])
+
+    # double-buffered DMA: tile i+1's window streams in while tile i
+    # filters (per-tile DMA latency ~= the FIR cost, so this overlaps
+    # nearly all of it)
+    @pl.when(i == 0)
+    def _():
+        copy_for(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        copy_for(i + 1, 1 - slot).start()
+
+    copy_for(i, slot).wait()
+    win = win_ref[slot]
     # rotate the sub-tile offsets out (shift = size - off == -off mod size)
     win = pltpu.roll(win, WW - co_ref[i], 1)
     win = pltpu.roll(win, WH - ro_ref[i], 0)
@@ -89,11 +103,11 @@ def mc_batch_pallas(refs_padded, sel, sy, sx, ro, co, fx, fy, w, h, is_luma,
                   pl.BlockSpec(memory_space=pltpu.VMEM)],      # filter table
         out_specs=pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((WH, WW), jnp.int32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, WH, WW), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     kernel = partial(_mc_kernel, w=w, h=h, taps=taps, bit_depth=bit_depth,
-                     WH=WH, WW=WW)
+                     WH=WH, WW=WW, n=n)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
