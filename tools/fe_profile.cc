@@ -71,13 +71,26 @@ int main(int argc, char **argv) {
     }
     fprintf(stderr, "loaded %zu slice calls\n", calls.size());
 
-    auto t0 = std::chrono::steady_clock::now();
+    // pristine copies: calls mutate their buffers (scratch/ctx/qp are read
+    // as neighbour context), so replays after rep 1 would desync and decode
+    // garbage without a restore; the restore runs OUTSIDE the timer
+    std::vector<std::vector<std::vector<uint8_t>>> pristine(calls.size());
+    for (size_t k = 0; k < calls.size(); k++)
+        for (auto &b : calls[k].args)
+            pristine[k].push_back(b.bytes);
+
+    double total = 0.0;
     int64_t out_sizes[4];
+    int nerr = 0;
     std::vector<int32_t> ops, levels;       // reused across replays
     for (int r = 0; r < reps; r++) {
-        for (auto &c : calls) {
-            // arg order matches native/__init__.py decode_slice_data call
-            std::vector<Blob> &a = c.args;  // in-place replay (timing only)
+        for (size_t k = 0; k < calls.size(); k++) {
+            auto &c = calls[k];
+            for (size_t j = 0; j < c.args.size(); j++)
+                if (!c.args[j].is_scalar)
+                    memcpy(c.args[j].bytes.data(), pristine[k][j].data(),
+                           pristine[k][j].size());
+            std::vector<Blob> &a = c.args;
             auto P = (const SliceParams *)c.params.bytes.data();
             int i = 0;
             auto nb = [&]() { return a[i++].bytes.data(); };
@@ -103,6 +116,7 @@ int main(int argc, char **argv) {
             int32_t *sao_out = (int32_t *)nb();
             uint8_t *cbf = nb(), *scratch = nb(), *ctx_io = nb();
             int32_t *rext = (int32_t *)nb();
+            auto t0 = std::chrono::steady_clock::now();
             decode_slice_data(P, c.seg.bytes.data(), c.seg.bytes.size(),
                               rs2ts, ts2rs, tid, zsc, rpl0, rpl1,
                               col_mv, col_poc, col_pred, col_ri,
@@ -111,15 +125,16 @@ int main(int argc, char **argv) {
                               mvf_mv, mvf_poc, mvf_pred, mvf_ri,
                               vbs, hbs, qp_y_tab, pcm_map, sao_out,
                               cbf, scratch, ctx_io, rext, out_sizes);
-            if (out_sizes[2] != 0)
+            total += std::chrono::duration<double>(
+                std::chrono::steady_clock::now() - t0).count();
+            if (out_sizes[2] != 0 && nerr++ < 5)
                 fprintf(stderr, "err %lld on a call\n",
                         (long long)out_sizes[2]);
         }
     }
-    auto dt = std::chrono::duration<double>(
-        std::chrono::steady_clock::now() - t0).count();
-    fprintf(stderr, "%d reps x %zu calls in %.3fs -> %.1f ms/rep\n",
-            reps, calls.size(), dt, dt / reps * 1000);
+    double dt = total;
+    fprintf(stderr, "%d reps x %zu calls in %.3fs -> %.1f ms/rep (%d errs)\n",
+            reps, calls.size(), dt, dt / reps * 1000, nerr);
 #ifdef FE_STATS
     fe_stats_print(dt);
 #endif
