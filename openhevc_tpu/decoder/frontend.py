@@ -289,6 +289,8 @@ class Frontend:
         st.first_qp_group = 1
         st.is_cu_qp_delta_coded = 0
         st.cu_qp_delta = 0
+        st.cu_qp_offset_cb = 0                   # hevc.c:1091-1092
+        st.cu_qp_offset_cr = 0
         if sh.slice_type != I_SLICE:
             poc0 = cur["plan"].poc
             lt_pocs = resolve_lt_pocs(

@@ -61,6 +61,7 @@ class SliceHeader:
     slice_qp: int = 26
     slice_cb_qp_offset: int = 0
     slice_cr_qp_offset: int = 0
+    cu_chroma_qp_offset_enabled: int = 0       # hevc.c:957-960
     deblocking_filter_disabled: int = 0
     beta_offset: int = 0
     tc_offset: int = 0
@@ -200,6 +201,8 @@ def parse_slice_header(r: BitReader, nal_type: int, sps: SPS, pps: PPS,
         if pps.slice_chroma_qp_offsets_present:
             sh.slice_cb_qp_offset = r.se()
             sh.slice_cr_qp_offset = r.se()
+        if pps.chroma_qp_offset_list_enabled:
+            sh.cu_chroma_qp_offset_enabled = r.u1()
         sh.deblocking_filter_disabled = pps.deblocking_filter_disabled
         sh.beta_offset = pps.beta_offset
         sh.tc_offset = pps.tc_offset
@@ -379,6 +382,8 @@ def write_slice_header(sh: SliceHeader, nal_type: int, sps: SPS, pps: PPS,
         if pps.slice_chroma_qp_offsets_present:
             w.se(sh.slice_cb_qp_offset)
             w.se(sh.slice_cr_qp_offset)
+        if pps.chroma_qp_offset_list_enabled:
+            w.u1(sh.cu_chroma_qp_offset_enabled)
         if pps.deblocking_filter_control_present:
             override = (sh.deblocking_filter_disabled !=
                         pps.deblocking_filter_disabled or

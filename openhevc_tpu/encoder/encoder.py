@@ -89,6 +89,9 @@ class EncoderConfig:
     intra_smoothing_disabled: bool = False
     cross_component: bool = False   # requires chroma_format == 3
     transquant_bypass: float = 0.0  # per-CU bypass probability (RExt paths)
+    # PPS chroma-QP offset lists: [(cb, cr), ...] pairs; enables the
+    # cu_chroma_qp_offset TU syntax (hevc.c:1247-1263)
+    chroma_qp_offsets: tuple = ()
 
 
 class Encoder:
@@ -135,7 +138,7 @@ class Encoder:
                 or cfg.implicit_rdpcm or cfg.explicit_rdpcm
                 or cfg.persistent_rice or cfg.intra_smoothing_disabled
                 or cfg.cross_component or cfg.chroma_format != 1
-                or cfg.transquant_bypass):
+                or cfg.transquant_bypass or cfg.chroma_qp_offsets):
             # the reference gates pps_range_extensions on the RExt profile
             s.ptl.profile_idc = 4
         if cfg.scaling_lists:
@@ -187,6 +190,14 @@ class Encoder:
         if cfg.cu_qp_delta:
             self.pps.cu_qp_delta_enabled = 1
             self.pps.diff_cu_qp_delta_depth = self.rng.randrange(0, 3)
+        if cfg.chroma_qp_offsets:
+            self.pps.has_range_ext = 1
+            self.pps.chroma_qp_offset_list_enabled = 1
+            self.pps.diff_cu_chroma_qp_offset_depth = self.rng.randrange(0, 3)
+            self.pps.cb_qp_offset_list = [cb for cb, _ in
+                                          cfg.chroma_qp_offsets]
+            self.pps.cr_qp_offset_list = [cr for _, cr in
+                                          cfg.chroma_qp_offsets]
         if not cfg.deblock:
             self.pps.deblocking_filter_control_present = 1
             self.pps.deblocking_filter_disabled = 1
@@ -252,6 +263,8 @@ class Encoder:
                              self.pps.loop_filter_across_slices_enabled))
         if cfg.no_output_of_prior_pics:
             sh.no_output_of_prior_pics = 1
+        if self.pps.chroma_qp_offset_list_enabled:
+            sh.cu_chroma_qp_offset_enabled = 1
         if stype == I_SLICE and nal_type is None:
             nal_type = nalmod.NAL_IDR_W_RADL
         if stype == I_SLICE:
@@ -396,6 +409,8 @@ class Encoder:
                 st.first_qp_group = 1
                 st.is_cu_qp_delta_coded = 0
                 st.cu_qp_delta = 0
+                st.cu_qp_offset_cb = 0
+                st.cu_qp_offset_cr = 0
             if cfg.slice_filter_variants and not sh_k.dependent_slice_segment:
                 rng = self.rng
                 sh_k.deblocking_filter_disabled = \
@@ -575,6 +590,7 @@ class Encoder:
             cu = self._plan_inter_cu(x0, y0, log2)
             if cfg.cu_qp_delta:
                 cu.cu_qp_delta = rng.choice([0, 0, 1, -1, 3, -4])
+            self._pick_chroma_qp_offset(cu)
             return cu
         cu = CUData(pred_mode=MODE_INTRA)
         if self._maybe_pcm(cu, x0, y0, log2):
@@ -605,7 +621,14 @@ class Encoder:
         cu.tt = self._plan_tt(log2, 0, intra_split=nxn)
         if cfg.cu_qp_delta:
             cu.cu_qp_delta = rng.choice([0, 0, 1, -1, 3, -4])
+        self._pick_chroma_qp_offset(cu)
         return cu
+
+    def _pick_chroma_qp_offset(self, cu):
+        if self.cfg.chroma_qp_offsets and not cu.tq_bypass:
+            n = len(self.cfg.chroma_qp_offsets)
+            cu.cu_chroma_qp_offset_idx = self.rng.choice(
+                [-1, -1, 0, n - 1, self.rng.randrange(n)])
 
     def _pick_luma_mode(self):
         r = self.rng.random()

@@ -45,6 +45,8 @@ _PARAM_FIELDS = [
     "has_wp", "wp_denom_y", "wp_denom_c",
     "implicit_rdpcm", "explicit_rdpcm", "persistent_rice", "ts_context",
     "ts_rotation", "cross_component",
+    "cu_chroma_qp_offset_enabled", "diff_cu_chroma_qp_offset_depth",
+    "chroma_qp_offset_list_len",
 ]
 
 
@@ -53,7 +55,9 @@ class SliceParams(ctypes.Structure):
         [("wp_w", ctypes.c_int32 * 3 * 16 * 2),
          ("wp_o", ctypes.c_int32 * 3 * 16 * 2),
          ("rpl_lt", ctypes.c_int32 * 16 * 2),
-         ("col_lt", ctypes.c_int32 * 16 * 2)]
+         ("col_lt", ctypes.c_int32 * 16 * 2),
+         ("cb_qp_offset_list", ctypes.c_int32 * 6),
+         ("cr_qp_offset_list", ctypes.c_int32 * 6)]
 
 
 def _source_hash():
@@ -192,6 +196,14 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
     p.diff_cu_qp_delta_depth = pps.diff_cu_qp_delta_depth
     p.cb_qp_offset = pps.cb_qp_offset + sh.slice_cb_qp_offset
     p.cr_qp_offset = pps.cr_qp_offset + sh.slice_cr_qp_offset
+    if pps.chroma_qp_offset_list_enabled and sh.cu_chroma_qp_offset_enabled:
+        p.cu_chroma_qp_offset_enabled = 1
+        p.diff_cu_chroma_qp_offset_depth = pps.diff_cu_chroma_qp_offset_depth
+        p.chroma_qp_offset_list_len = len(pps.cb_qp_offset_list)
+        for i, (cb, cr) in enumerate(zip(pps.cb_qp_offset_list[:6],
+                                         pps.cr_qp_offset_list[:6])):
+            p.cb_qp_offset_list[i] = cb
+            p.cr_qp_offset_list[i] = cr
     p.transquant_bypass_enabled = pps.transquant_bypass_enabled
     p.transform_skip_enabled = pps.transform_skip_enabled
     p.cross_component = pps.cross_component_prediction_enabled

@@ -243,10 +243,15 @@ struct SliceParams {                 // keep in sync with native/__init__.py
     // RExt tool enables (sps/pps range extensions)
     int32_t implicit_rdpcm, explicit_rdpcm, persistent_rice, ts_context,
         ts_rotation, cross_component;
+    // chroma-QP offset lists (hevc.c:1247-1263; slice flag hevc.c:957)
+    int32_t cu_chroma_qp_offset_enabled, diff_cu_chroma_qp_offset_depth,
+        chroma_qp_offset_list_len;
     int32_t wp_w[2][16][3];              // [list][ref][y/cb/cr] weights
     int32_t wp_o[2][16][3];              // offsets
     int32_t rpl_lt[2][16];               // long-term flag per (list, ref)
     int32_t col_lt[2][16];               // same for the collocated frame
+    int32_t cb_qp_offset_list[6];        // PPS chroma-QP offset pairs
+    int32_t cr_qp_offset_list[6];
 };
 
 struct Ctx {
@@ -283,6 +288,7 @@ struct Ctx {
     int end_of_tiles_x, end_of_tiles_y;
     int boundary_up, boundary_left; // slice|tile<<1
     int qp_y, qp_y_pred, first_qp_group, is_cu_qp_delta_coded, cu_qp_delta;
+    int is_cu_chroma_qp_offset_coded, cu_qp_offset_cb, cu_qp_offset_cr;
     // persistent RExt state (borrowed, decoder lifetime):
     // [0..3] stat_coeff, [4] stale pu intra mode, [5] stale pu chroma mode
     int32_t *rext;
@@ -419,7 +425,8 @@ static void intra_avail(Ctx &c, int x0, int y0, int log2n, int c_idx,
 
 static int chroma_qp(Ctx &c, int qp_y, int c_idx) {
     const SliceParams *p = c.p;
-    int offset = c_idx == 1 ? p->cb_qp_offset : p->cr_qp_offset;
+    int offset = c_idx == 1 ? p->cb_qp_offset + c.cu_qp_offset_cb
+                            : p->cr_qp_offset + c.cu_qp_offset_cr;
     int qp_i = av_clip(qp_y + offset, -p->qp_bd_offset, 57);
     int qp;
     if (p->chroma_format_idc == 1) {
@@ -1596,6 +1603,30 @@ static void code_transform_unit(Ctx &c, CuInfo &cu, int x0, int y0,
     if (any_cbf) {
         if (p->cu_qp_delta_enabled && !c.is_cu_qp_delta_coded)
             decode_cu_qp_delta(c, cu);
+        // cu_chroma_qp_offset_flag/_idx once per chroma-QP group
+        // (hevc.c:1247-1263; idx unary on one ctx, hevc_cabac.c:766-774)
+        int cbf_chroma = cbf_cb[0] || cbf_cr[0] ||
+            (p->chroma_format_idc == 2 && (cbf_cb[1] || cbf_cr[1]));
+        if (p->cu_chroma_qp_offset_enabled && cbf_chroma &&
+            !cu.tq_bypass && !c.is_cu_chroma_qp_offset_coded) {
+            if (c.cc.decode_bin(CTX_CU_CHROMA_QP_OFFSET_FLAG)) {
+                int idx = 0;
+                if (p->chroma_qp_offset_list_len > 1) {
+                    // the reference's FFMAX(5, len-1) quirk
+                    int c_max = p->chroma_qp_offset_list_len - 1;
+                    if (c_max < 5) c_max = 5;
+                    while (idx < c_max &&
+                           c.cc.decode_bin(CTX_CU_CHROMA_QP_OFFSET_IDX))
+                        idx++;
+                }
+                c.cu_qp_offset_cb = p->cb_qp_offset_list[idx];
+                c.cu_qp_offset_cr = p->cr_qp_offset_list[idx];
+            } else {
+                c.cu_qp_offset_cb = 0;
+                c.cu_qp_offset_cr = 0;
+            }
+            c.is_cu_chroma_qp_offset_coded = 1;
+        }
         int qp_y = c.qp_y + p->qp_bd_offset;
         if (cbf_luma) {
             int rot, rdir;
@@ -2045,6 +2076,9 @@ static void code_quadtree(Ctx &c, int x0, int y0, int log2_cb, int depth) {
         c.is_cu_qp_delta_coded = 0;
         c.cu_qp_delta = 0;
     }
+    if (p->cu_chroma_qp_offset_enabled &&
+        log2_cb >= p->log2_ctb - p->diff_cu_chroma_qp_offset_depth)
+        c.is_cu_chroma_qp_offset_coded = 0;   // hevc.c:2531-2534
     int split;
     if (inside && can_split) {
         int mask = (1 << p->log2_ctb) - 1;
@@ -2176,6 +2210,9 @@ static void setup_ctx(Ctx &c, const SliceParams *p, const SharedBufs &b,
     c.qp_y_pred = p->slice_qp;
     c.rext = rext;
     c.first_qp_group = (p->init_state || p->slice_start) ? 1 : 0;
+    c.is_cu_chroma_qp_offset_coded = 0;      // hevc.c:1091-1092
+    c.cu_qp_offset_cb = 0;
+    c.cu_qp_offset_cr = 0;
     c.end_of_tiles_x = p->width;
     c.end_of_tiles_y = p->height;
     // scratch layout: ct_depth | tab_ipm | skip_flag | slice_addr_tab

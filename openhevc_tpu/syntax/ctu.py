@@ -54,6 +54,8 @@ _CBF_CBCR = CTX_OFFSET["cbf_cb_cr"]
 _SAO_MERGE = CTX_OFFSET["sao_merge_flag"]
 _SAO_TYPE = CTX_OFFSET["sao_type_idx"]
 _CU_QP_DELTA = CTX_OFFSET["cu_qp_delta"]
+_CU_CHROMA_QP_OFFSET_FLAG = CTX_OFFSET["cu_chroma_qp_offset_flag"]
+_CU_CHROMA_QP_OFFSET_IDX = CTX_OFFSET["cu_chroma_qp_offset_idx"]
 
 # chroma qp mapping for chroma_array_type == 1 (spec table 8-10)
 _QP_C = (29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37)
@@ -110,6 +112,8 @@ class CUData:
     rqt_root_cbf: int = 1
     tt: Optional[TTNode] = None
     cu_qp_delta: int = 0
+    # encoder-supplied chroma-QP-offset-list index (-1 = code flag 0)
+    cu_chroma_qp_offset_idx: int = -1
     # filled during walk
     intra_modes: List[int] = field(default_factory=lambda: [1, 1, 1, 1])
     intra_mode_c: int = 1
@@ -164,6 +168,12 @@ class FrameState:
         self.is_cu_qp_delta_coded = 0
         self.cu_qp_delta = 0
         self.first_qp_group = 1
+        # per-TU chroma QP offsets from the PPS offset lists (RExt;
+        # hevc.c:1091-1092 resets at slice init, 1247-1263 decodes per
+        # chroma-QP group, hevc_cabac.c:1453-1458 applies in dequant)
+        self.is_cu_chroma_qp_offset_coded = 0
+        self.cu_qp_offset_cb = 0
+        self.cu_qp_offset_cr = 0
         # motion field at 4x4 granularity (TEST_MV_POC layout)
         h4, w4 = h >> 2, w >> 2
         self.mvf_mv = np.zeros((h4, w4, 2, 2), np.int32)
@@ -299,8 +309,9 @@ class FrameState:
 
     def chroma_qp(self, qp_y, c_idx):
         sps, pps, sh = self.sps, self.pps, self.sh
-        offset = (pps.cb_qp_offset + sh.slice_cb_qp_offset) if c_idx == 1 else \
-            (pps.cr_qp_offset + sh.slice_cr_qp_offset)
+        offset = (pps.cb_qp_offset + sh.slice_cb_qp_offset +
+                  self.cu_qp_offset_cb) if c_idx == 1 else \
+            (pps.cr_qp_offset + sh.slice_cr_qp_offset + self.cu_qp_offset_cr)
         qp_i = max(-sps.qp_bd_offset, min(57, qp_y + offset))
         if sps.chroma_format_idc == 1:
             if qp_i < 30:
@@ -464,6 +475,11 @@ def code_quadtree(io: CabacIO, st: FrameState, x0, y0, log2_cb, depth,
             log2_cb >= sps.log2_ctb_size - st.pps.diff_cu_qp_delta_depth:
         st.is_cu_qp_delta_coded = 0
         st.cu_qp_delta = 0
+
+    if st.sh.cu_chroma_qp_offset_enabled and \
+            log2_cb >= sps.log2_ctb_size - \
+            st.pps.diff_cu_chroma_qp_offset_depth:
+        st.is_cu_chroma_qp_offset_coded = 0      # hevc.c:2531-2534
 
     if split:
         if node.children is None:
@@ -1063,6 +1079,11 @@ def code_transform_unit(io: CabacIO, st: FrameState, cu: CUData, x0, y0,
     if any_cbf:
         if pps.cu_qp_delta_enabled and not st.is_cu_qp_delta_coded:
             _code_cu_qp_delta(io, st, cu)
+        cbf_chroma = tu.cbf_cb[0] or tu.cbf_cr[0] or \
+            (sps.chroma_format_idc == 2 and (tu.cbf_cb[1] or tu.cbf_cr[1]))
+        if (sh.cu_chroma_qp_offset_enabled and cbf_chroma and
+                not cu.tq_bypass and not st.is_cu_chroma_qp_offset_coded):
+            _code_cu_chroma_qp_offset(io, st, cu)
         qp_y = st.qp_y + sps.qp_bd_offset
 
         if tu.cbf_luma:
@@ -1344,6 +1365,34 @@ def _code_cu_qp_delta(io: CabacIO, st: FrameState, cu: CUData):
     st.is_cu_qp_delta_coded = 1
     set_qpy(st, cu.x0, cu.y0, val)
     return val
+
+
+def _code_cu_chroma_qp_offset(io: CabacIO, st: FrameState, cu: CUData):
+    """cu_chroma_qp_offset_flag / _idx (hevc.c:1247-1263).
+
+    Decoded once per chroma-QP group when a TU has coded chroma; the index
+    selects a (cb, cr) pair from the PPS offset lists, applied to the
+    chroma QP of every TU until the next group (hevc_cabac.c:1453-1458).
+    The idx is unary on one context with cMax = max(5, len-1) — the
+    reference's FFMAX quirk (hevc_cabac.c:768) — and is only coded when
+    the list has more than one entry (hevc.c:1252)."""
+    pps = st.pps
+    supply = not io.decoding
+    want = cu.cu_chroma_qp_offset_idx if supply else None
+    flag = io.bin(_CU_CHROMA_QP_OFFSET_FLAG,
+                  (1 if want >= 0 else 0) if supply else None)
+    if flag:
+        idx = 0
+        if len(pps.cb_qp_offset_list) > 1:
+            c_max = max(5, len(pps.cb_qp_offset_list) - 1)
+            idx = io.tr_unary(c_max, lambda i: _CU_CHROMA_QP_OFFSET_IDX,
+                              want if supply else None)
+        st.cu_qp_offset_cb = pps.cb_qp_offset_list[idx]
+        st.cu_qp_offset_cr = pps.cr_qp_offset_list[idx]
+    else:
+        st.cu_qp_offset_cb = 0
+        st.cu_qp_offset_cr = 0
+    st.is_cu_chroma_qp_offset_coded = 1
 
 
 def expand_qp_map(st: FrameState, sps):

@@ -88,6 +88,54 @@ def test_cross_component():
     _run(dict(chroma_format=3, cross_component=True, qp=30), frames="IPP")
 
 
+def test_chroma_qp_offset_lists():
+    # PPS chroma-QP offset lists + per-group cu_chroma_qp_offset TU syntax
+    # (hevc.c:1247-1263, applied in dequant hevc_cabac.c:1453-1458)
+    _run(dict(chroma_qp_offsets=((2, -2), (5, 1), (-3, 4)), qp=30),
+         frames="IPP")
+
+
+def test_chroma_qp_offset_lists_single_entry():
+    # single-entry list: the idx is never coded (hevc.c:1252)
+    _run(dict(chroma_qp_offsets=((4, -4),), cu_qp_delta=True, qp=30),
+         frames="IPP", seed=9)
+
+
+def test_rext_parse_only_flags():
+    # extended precision / high-precision offsets / CABAC bypass alignment
+    # are parse-only in the reference (hevc_ps.c:1920-1959); a stream
+    # carrying them must parse and decode identically on both decoders
+    cfg = EncoderConfig(width=96, height=64, rng_seed=7, chroma_format=3,
+                        transform_skip=True, qp=30)
+    enc = Encoder(cfg)
+    enc.sps.extended_precision_processing = 1
+    enc.sps.high_precision_offsets_enabled = 1
+    enc.sps.cabac_bypass_alignment_enabled = 1
+    stream = b"".join(enc.parameter_set_nals())
+    rng = np.random.default_rng(7)
+    base = [rng.integers(0, 256, (64, 96)).astype(np.int32),
+            rng.integers(0, 256, (64, 96)).astype(np.int32),
+            rng.integers(0, 256, (64, 96)).astype(np.int32)]
+    recons = []
+    for i, t in enumerate("IP"):
+        nal, recon, _ = enc.encode_frame([np.roll(p, i, 0) for p in base], t)
+        stream += nal
+        recons.append([np.asarray(p).copy() for p in recon])
+
+    dec = Decoder(check_md5=True)
+    out = dec.decode_stream(stream)
+    assert dec.md5_fail == 0
+    sps = dec.fe.sps
+    assert sps.extended_precision_processing == 1
+    assert sps.high_precision_offsets_enabled == 1
+    assert sps.cabac_bypass_alignment_enabled == 1
+    for fi, (got, want) in enumerate(zip(
+            oracle_decode(stream, 96, 64, chroma=3), recons)):
+        for c in range(3):
+            np.testing.assert_array_equal(got[c], want[c],
+                                          err_msg=f"oracle f{fi} p{c}")
+
+
 def test_rext_combo():
     _run(dict(chroma_format=3, cross_component=True, transform_skip=True,
               persistent_rice=True, implicit_rdpcm=True,
@@ -138,6 +186,16 @@ def test_native_rdpcm_rotation():
 
 def test_native_cross_component():
     _run_native(dict(chroma_format=3, cross_component=True, qp=30))
+
+
+def test_native_chroma_qp_offset_lists():
+    _run_native(dict(chroma_qp_offsets=((2, -2), (5, 1), (-3, 4)),
+                     cu_qp_delta=True, qp=30), frames="IPP")
+
+
+def test_native_chroma_qp_offset_lists_wpp():
+    _run_native(dict(chroma_qp_offsets=((1, -1), (6, 0)), wpp=True, qp=30),
+                frames="IPP", seed=5)
 
 
 def test_native_rext_combo():
