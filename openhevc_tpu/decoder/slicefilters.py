@@ -69,6 +69,12 @@ def build_sao_boundary_restore(plan, sps, pps, lfase_map, slice_addr_map):
                           not pps.loop_filter_across_tiles_enabled)
     if plan.sao is None or (lfase_map.all() and not no_tile_filter):
         return None
+    # single-slice picture: no slice boundaries exist, so lfase==0 restores
+    # nothing (the reference's edge flags only fire across a slice_addr
+    # change, hevc_filter.c sao edge flags) — skip the per-CTB scan
+    if not no_tile_filter and \
+            (slice_addr_map == slice_addr_map.flat[0]).all():
+        return None
     ctb = 1 << plan.log2_ctb_size
     cfmt = plan.chroma_format_idc
     hs = 1 if cfmt in (1, 2) else 0

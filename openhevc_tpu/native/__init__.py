@@ -46,7 +46,7 @@ _PARAM_FIELDS = [
     "implicit_rdpcm", "explicit_rdpcm", "persistent_rice", "ts_context",
     "ts_rotation", "cross_component",
     "cu_chroma_qp_offset_enabled", "diff_cu_chroma_qp_offset_depth",
-    "chroma_qp_offset_list_len",
+    "chroma_qp_offset_list_len", "lv_base",
 ]
 
 
@@ -368,6 +368,7 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
                     last_ts=pic["last_ts"])
     for si, (ts0, ts1) in enumerate(bounds):
         p.first_ctb_ts, p.last_ctb_ts = ts0, ts1
+        p.lv_base = lv_total        # emitted level offsets come out absolute
         p.init_state = 1 if (si == 0 and first_slice) else 0
         p.slice_start = 1 if si == 0 else 0
         p.ctx_load = 1 if (loads[si] or
@@ -398,10 +399,6 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
         if out_sizes[2] != 0 or ops_total + out_sizes[0] > ops_cap or \
                 lv_total + out_sizes[1] > lv_cap:
             raise RuntimeError(f"native front-end error {out_sizes[2]}")
-        # level offsets inside this segment's ops are relative; rebase them
-        if lv_total:
-            _rebase_levels(ops[ops_total:ops_total + out_sizes[0]], lv_total,
-                           has_wp=bool(p.has_wp))
         ops_total += out_sizes[0]
         lv_total += out_sizes[1]
         pic["last_ts"] = int(out_sizes[3])
@@ -412,25 +409,6 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
                 mvf_ref_idx=mvf_ref_idx, vbs=vbs, hbs=hbs,
                 qp_y_tab=qp_y_tab, pcm_map=pcm_map, sao=sao_out,
                 last_ts=pic["last_ts"])
-
-
-def _rebase_levels(ops, delta, has_wp=False):
-    i = 0
-    n = len(ops)
-    while i < n:
-        t = ops[i]
-        if t == 1:
-            i += 11
-        elif t == 2:
-            ops[i + 7] += delta
-            i += 9
-        elif t == 3:
-            i += 12 + (14 if has_wp else 0)
-        elif t == 4:                    # PCM: samples live in the level buffer
-            ops[i + 5] += delta
-            i += 6
-        else:
-            raise ValueError("bad op tag")
 
 
 def split_ops(raw_ops, has_wp=False):

@@ -246,6 +246,8 @@ struct SliceParams {                 // keep in sync with native/__init__.py
     // chroma-QP offset lists (hevc.c:1247-1263; slice flag hevc.c:957)
     int32_t cu_chroma_qp_offset_enabled, diff_cu_chroma_qp_offset_depth,
         chroma_qp_offset_list_len;
+    int32_t lv_base;   // absolute base for emitted level offsets (multi-
+                       // substream pictures: replaces the python rebase)
     int32_t wp_w[2][16][3];              // [list][ref][y/cb/cr] weights
     int32_t wp_o[2][16][3];              // offsets
     int32_t rpl_lt[2][16];               // long-term flag per (list, ref)
@@ -268,7 +270,7 @@ struct Ctx {
     const int32_t *col_rpl0, *col_rpl1;
     // outputs (borrowed)
     int32_t *ops; int64_t ops_pos, ops_cap;
-    int32_t *levels; int64_t lv_pos, lv_cap;
+    int32_t *levels; int64_t lv_pos, lv_cap, lv_base;
     int32_t *mvf_mv;                // (h4, w4, 2, 2)
     int32_t *mvf_poc;               // (h4, w4, 2)
     uint8_t *mvf_pred;
@@ -1506,7 +1508,8 @@ static void emit_resid_op(Ctx &c, int c_idx, int x, int y, int log2n, int qp,
     // rext word: bits 0-1 rdpcm_dir+1, bit 2 rotation, bits 8-13 alpha+16
     int rext = (rdir + 1) | (rot ? 4 : 0) | ((alpha + 16) << 8);
     emit(c, 2); emit(c, c_idx); emit(c, x); emit(c, y); emit(c, log2n);
-    emit(c, qp); emit(c, kind); emit(c, (int32_t)c.lv_pos); emit(c, rext);
+    emit(c, qp); emit(c, kind); emit(c, (int32_t)(c.lv_base + c.lv_pos));
+    emit(c, rext);
     if (c.lv_pos + n * n <= c.lv_cap)
         memcpy(c.levels + c.lv_pos, lv, sizeof(int32_t) * n * n);
     c.lv_pos += n * n;
@@ -1962,7 +1965,7 @@ static void code_pcm(Ctx &c, CuInfo &cu, int x0, int y0, int log2_cb) {
         int h = ci ? (cb_size >> vs) : cb_size;
         emit(c, 4); emit(c, ci);
         emit(c, ci ? (x0 >> hs) : x0); emit(c, ci ? (y0 >> vs) : y0);
-        emit(c, w); emit(c, (int32_t)c.lv_pos);
+        emit(c, w); emit(c, (int32_t)(c.lv_base + c.lv_pos));
         for (int yy = 0; yy < h; yy++)
             for (int xx = 0; xx < w; xx++) {
                 int32_t v = (int32_t)c.cc.read_raw(pbd) << shift;
@@ -2196,6 +2199,7 @@ static void setup_ctx(Ctx &c, const SliceParams *p, const SharedBufs &b,
     c.col_rpl1 = b.col_rpl1;
     c.ops = ops; c.ops_cap = ops_cap;
     c.levels = levels; c.lv_cap = lv_cap;
+    c.lv_base = p->lv_base;
     c.mvf_mv = b.mvf_mv; c.mvf_poc = b.mvf_poc; c.mvf_pred = b.mvf_pred;
     c.mvf_ref_idx = b.mvf_ref_idx;
     c.vbs = b.vbs; c.hbs = b.hbs; c.qp_y_tab = b.qp_y_tab;

@@ -37,11 +37,15 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
+_MC_LOOKAHEAD = 8
+
+
 def _mc_kernel(sel_ref, sy_ref, sx_ref, ro_ref, co_ref, fx_ref, fy_ref,
                refs_ref, filt_ref, out_ref, win_ref, sem,
                *, w, h, taps, bit_depth, WH, WW, n):
     i = pl.program_id(0)
-    slot = jax.lax.rem(i, 2)
+    K = _MC_LOOKAHEAD
+    slot = jax.lax.rem(i, K)
 
     # starts arrive pre-divided so Mosaic can prove tile alignment
     def copy_for(j, s):
@@ -50,16 +54,18 @@ def _mc_kernel(sel_ref, sy_ref, sx_ref, ro_ref, co_ref, fx_ref, fy_ref,
                         pl.ds(sx_ref[j] * 128, WW)],
             win_ref.at[s], sem.at[s])
 
-    # double-buffered DMA: tile i+1's window streams in while tile i
-    # filters (per-tile DMA latency ~= the FIR cost, so this overlaps
-    # nearly all of it)
+    # K-deep DMA pipeline: per-step compute is far below the per-DMA
+    # latency, so a 2-deep double buffer left the grid latency-bound
+    # (each step stalled on the copy issued one step earlier); K windows
+    # in flight amortize the latency down to the issue/bandwidth floor
     @pl.when(i == 0)
     def _():
-        copy_for(0, 0).start()
+        for j in range(min(K - 1, n)):
+            copy_for(j, j).start()
 
-    @pl.when(i + 1 < n)
+    @pl.when(i + K - 1 < n)
     def _():
-        copy_for(i + 1, 1 - slot).start()
+        copy_for(i + K - 1, jax.lax.rem(i + K - 1, K)).start()
 
     copy_for(i, slot).wait()
     win = win_ref[slot]
@@ -90,6 +96,16 @@ def mc_batch_pallas(refs_padded, sel, sy, sx, ro, co, fx, fy, w, h, is_luma,
     Returns (N, h, w) int32 14-bit intermediates.
     """
     n = sel.shape[0]
+    if n > _MC_CAPN:
+        # scalar-prefetch SMEM cap: 7 arrays x 4B = 28B per block; 4K PU
+        # buckets exceed the ~1MB SMEM in one call
+        return jnp.concatenate(
+            [mc_batch_pallas(refs_padded, sel[i:i + _MC_CAPN],
+                             sy[i:i + _MC_CAPN], sx[i:i + _MC_CAPN],
+                             ro[i:i + _MC_CAPN], co[i:i + _MC_CAPN],
+                             fx[i:i + _MC_CAPN], fy[i:i + _MC_CAPN],
+                             w, h, is_luma, bit_depth, interpret)
+             for i in range(0, n, _MC_CAPN)])
     taps = 8 if is_luma else 4
     table = jnp.asarray(_QPEL if is_luma else _EPEL)
     wh, ww = h + taps - 1, w + taps - 1
@@ -103,8 +119,8 @@ def mc_batch_pallas(refs_padded, sel, sy, sx, ro, co, fx, fy, w, h, is_luma,
                   pl.BlockSpec(memory_space=pltpu.VMEM)],      # filter table
         out_specs=pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, WH, WW), jnp.int32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((_MC_LOOKAHEAD, WH, WW), jnp.int32),
+                        pltpu.SemaphoreType.DMA((_MC_LOOKAHEAD,))],
     )
     kernel = partial(_mc_kernel, w=w, h=h, taps=taps, bit_depth=bit_depth,
                      WH=WH, WW=WW, n=n)
@@ -235,11 +251,25 @@ def _band_paint_kernel(tidx, rb, lb, first, ok, xs, ys, tiles_ref, plane_in,
             .astype(out_ref.dtype)
 
 
+# scalar-prefetch SMEM budget: each tile costs 5 entry arrays x 4 band
+# intersections x 4B + xs/ys = 88B of the ~1MB SMEM; 4K residual batches
+# (32k+ tiles) must split into chained calls (each chunk's per-band dummy
+# entries re-copy the evolving plane, so chaining is exact)
+_PAINT_CAPN = 6144
+_MC_CAPN = 16384
+
+
 @partial(jax.jit, static_argnames=("h", "w", "interpret"))
 def band_paint(plane, tiles, xs, ys, valid, h, w, interpret=False):
     """Paint (N, h, w) tiles into the band-padded (Hp, Wp) plane at
     (ys, xs); rows with valid==0 are skipped.  Returns the updated plane.
     Tiles must be spatially disjoint (h <= 64, w <= 256)."""
+    if tiles.shape[0] > _PAINT_CAPN:
+        for i in range(0, tiles.shape[0], _PAINT_CAPN):
+            plane = band_paint(plane, tiles[i:i + _PAINT_CAPN],
+                               xs[i:i + _PAINT_CAPN], ys[i:i + _PAINT_CAPN],
+                               valid[i:i + _PAINT_CAPN], h, w, interpret)
+        return plane
     Hp, Wp = plane.shape
     RB, LB = Hp // BH, Wp // SBAND
     tidx, rb, lb, first, ok = _band_entries(

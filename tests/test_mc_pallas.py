@@ -123,3 +123,25 @@ def test_band_paint_empty_bands():
     for i in range(3):
         want[ys[i]:ys[i] + 8, xs[i]:xs[i] + 8] = tiles[i]
     np.testing.assert_array_equal(got, want)
+
+
+def test_band_paint_chunked(monkeypatch):
+    """N above the SMEM scalar-prefetch cap splits into chained calls
+    (the 4K residual batches overflow SMEM in one call)."""
+    from openhevc_tpu.tpu import mc_pallas
+    monkeypatch.setattr(mc_pallas, "_PAINT_CAPN", 5)
+    rng = np.random.default_rng(11)
+    Hp, Wp = band_pad_shape(128, 512)
+    plane = rng.integers(0, 255, (Hp, Wp)).astype(np.int16)
+    N, h, w = 17, 8, 8
+    xs, ys = _disjoint_positions(rng, 128, 512, h, w, N)
+    valid = rng.integers(0, 2, N).astype(np.int32)
+    tiles = rng.integers(0, 255, (N, h, w)).astype(np.int16)
+    want = plane.copy()
+    for i in range(N):
+        if valid[i]:
+            want[ys[i]:ys[i] + h, xs[i]:xs[i] + w] = tiles[i]
+    got = np.asarray(mc_pallas.band_paint.__wrapped__(
+        jnp.asarray(plane), jnp.asarray(tiles), jnp.asarray(xs),
+        jnp.asarray(ys), jnp.asarray(valid), h, w, interpret=True))
+    np.testing.assert_array_equal(got, want)
