@@ -87,8 +87,9 @@ class Frontend:
         elif t in (nalmod.NAL_SEI_PREFIX, nalmod.NAL_SEI_SUFFIX):
             from .sei import parse_sei
             try:
-                sps = self.sps_list.get(self.sei_active_sps_id, self.sps)
-                for kind, payload in parse_sei(nal.rbsp, t, sps=sps):
+                for kind, payload in parse_sei(
+                        nal.rbsp, t, sps=self.sps, sps_list=self.sps_list,
+                        active_sps_id=self.sei_active_sps_id):
                     if kind == "picture_hash":
                         if self._cur is not None:       # suffix SEI
                             self._cur["md5"] = payload

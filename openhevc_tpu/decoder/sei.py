@@ -61,14 +61,25 @@ def _parse_active_ps(r):
     return {"active_seq_parameter_set_id": active_sps}
 
 
-def parse_sei(rbsp: bytes, nal_type: int, sps=None):
+def parse_sei(rbsp: bytes, nal_type: int, sps=None, sps_list=None,
+              active_sps_id=None):
     """-> list of (kind, payload).  Parsed kinds: picture_hash,
     frame_packing, pic_timing, active_parameter_sets (the set the
     reference parses, hevc_sei.c:134-180); other types pass through as
-    (payload_type, None)."""
+    (payload_type, None).
+
+    sps_list/active_sps_id: an active_parameter_sets message re-targets
+    the SPS used by a pic_timing payload LATER IN THE SAME NAL (the
+    reference updates active_seq_parameter_set_id mid-NAL,
+    hevc_sei.c:163-171); `sps` is the fallback when no id resolves."""
     r = BitReader(rbsp)
     out = []
     is_prefix = nal_type == nalmod.NAL_SEI_PREFIX
+
+    def active_sps():
+        if sps_list is not None and active_sps_id is not None:
+            return sps_list.get(active_sps_id, sps)
+        return sps
     while True:
         ptype = 0
         b = 0xFF
@@ -95,9 +106,11 @@ def parse_sei(rbsp: bytes, nal_type: int, sps=None):
         elif ptype == FRAME_PACKING and is_prefix:
             out.append(("frame_packing", _parse_frame_packing(r)))
         elif ptype == PIC_TIMING and is_prefix:
-            out.append(("pic_timing", _parse_pic_timing(r, sps)))
+            out.append(("pic_timing", _parse_pic_timing(r, active_sps())))
         elif ptype == ACTIVE_PARAMETER_SETS and is_prefix:
-            out.append(("active_parameter_sets", _parse_active_ps(r)))
+            aps = _parse_active_ps(r)
+            active_sps_id = aps["active_seq_parameter_set_id"]
+            out.append(("active_parameter_sets", aps))
         else:
             for _ in range(psize):
                 r.u(8)

@@ -87,6 +87,21 @@ def demux_ogg(data: bytes) -> bytes:
         if not (htype & 1):              # not a continuation page
             partial = b""
             cont_open = False
+        elif not cont_open:
+            # continuation with no open packet (the opening page was
+            # dropped, e.g. bad CRC): the orphaned continued data up to
+            # its terminating lace < 255 belongs to a packet whose head
+            # is lost — discard it (oggdec drops continued data with no
+            # open packet rather than emitting a truncated packet)
+            keep = []
+            dropping = True
+            for seg, lace in segs:
+                if dropping:
+                    if lace < 255:
+                        dropping = False
+                    continue
+                keep.append((seg, lace))
+            segs = keep
         for seg, lace in segs:
             partial += seg
             if lace < 255:               # lacing < 255 terminates a packet

@@ -330,8 +330,13 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
     # host-parallel WPP decode (reference analog hevc.c:2751-2832): pure
     # WPP rows of a fresh picture, no substream-chained state (persistent
     # rice stats / RDPCM stale-mode reads)
+    # ctb_width > 1: 1-CTB-wide rows load the previous row's snapshot,
+    # but the snapshot is saved at a row's 2nd CTB and so never exists
+    # (the w>1 rule in _substream_ctx_rules / hevc_cabac.c save_states);
+    # those pictures take the serial loop, which re-inits per row
     if (threads > 1 and len(bounds) > 1 and not p.stop_at_eos and
             pps.entropy_coding_sync_enabled and not pps.tiles_enabled and
+            sps.ctb_width > 1 and
             first_slice and not sps.persistent_rice_adaptation_enabled and
             not sps.explicit_rdpcm_enabled and
             not sps.implicit_rdpcm_enabled and
@@ -344,6 +349,10 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
         p.slice_start = 1
         sub_off = np.asarray(offsets, np.int64)
         sub_ts = np.asarray(bounds, np.int32).reshape(-1)
+        # the parallel attempt partially writes the per-picture maps on
+        # failure; keep the sticky pcm map's pre-attempt state for the
+        # serial redo (the other buffers re-allocate fresh)
+        pcm_saved = pcm_map.copy()
         err = lib.decode_substreams_wpp(
             ctypes.byref(p), payload, cp(sub_off), cp(sub_ts),
             ctypes.c_int32(len(bounds)), ctypes.c_int32(threads),
@@ -355,17 +364,38 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
             cp(mvf_mv), cp(mvf_poc), cp(mvf_pred), cp(mvf_ref_idx),
             cp(vbs), cp(hbs), cp(qp_y_tab), cp(pcm_map), cp(sao_out),
             cp(cbf_luma), cp(scratch), cp(out_sizes))
-        if err != 0:
-            raise RuntimeError(f"native parallel front-end error {err}")
-        pic["ops_total"] = int(out_sizes[0])
-        pic["lv_total"] = int(out_sizes[1])
-        pic["last_ts"] = int(out_sizes[3])
-        return dict(ops=ops[:pic["ops_total"]],
-                    levels=levels[:pic["lv_total"]],
-                    mvf_mv=mvf_mv, mvf_poc=mvf_poc, mvf_pred=mvf_pred,
-                    mvf_ref_idx=mvf_ref_idx, vbs=vbs, hbs=hbs,
-                    qp_y_tab=qp_y_tab, pcm_map=pcm_map, sao=sao_out,
-                    last_ts=pic["last_ts"])
+        if err == 0:
+            pic["ops_total"] = int(out_sizes[0])
+            pic["lv_total"] = int(out_sizes[1])
+            pic["last_ts"] = int(out_sizes[3])
+            return dict(ops=ops[:pic["ops_total"]],
+                        levels=levels[:pic["lv_total"]],
+                        mvf_mv=mvf_mv, mvf_poc=mvf_poc, mvf_pred=mvf_pred,
+                        mvf_ref_idx=mvf_ref_idx, vbs=vbs, hbs=hbs,
+                        qp_y_tab=qp_y_tab, pcm_map=pcm_map, sao=sao_out,
+                        last_ts=pic["last_ts"])
+        # a disproportionately dense row can overflow its equal per-row
+        # ops/levels carve (err 5) even when the global caps would fit the
+        # slice: redo serially into fresh buffers (the serial loop checks
+        # only the global totals, matching the reference's behavior)
+        from ..log import logger
+        logger.warning("parallel WPP decode failed (err %d); "
+                       "falling back to serial substream decode", int(err))
+        # the sticky pcm map is caller-owned (frontend._pcm_sticky carries
+        # across pictures): restore it in place, keep the same array
+        pcm_map[:] = pcm_saved
+        fresh = alloc_pic_buffers(sps, pps, sh, pcm_map=pcm_map)
+        for k in ("ops", "levels", "mvf_mv", "mvf_poc", "mvf_pred",
+                  "mvf_ref_idx", "vbs", "hbs", "qp_y_tab", "pcm_map",
+                  "sao_out", "cbf_luma", "scratch", "ctx_io"):
+            pic[k] = fresh[k]
+        ops, levels = pic["ops"], pic["levels"]
+        mvf_mv, mvf_poc = pic["mvf_mv"], pic["mvf_poc"]
+        mvf_pred, mvf_ref_idx = pic["mvf_pred"], pic["mvf_ref_idx"]
+        vbs, hbs, qp_y_tab = pic["vbs"], pic["hbs"], pic["qp_y_tab"]
+        pcm_map, sao_out = pic["pcm_map"], pic["sao_out"]
+        cbf_luma, scratch = pic["cbf_luma"], pic["scratch"]
+        ctx_io = pic["ctx_io"]
     for si, (ts0, ts1) in enumerate(bounds):
         p.first_ctb_ts, p.last_ctb_ts = ts0, ts1
         p.lv_base = lv_total        # emitted level offsets come out absolute

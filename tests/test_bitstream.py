@@ -165,3 +165,41 @@ def test_sei_types_parse():
     out = parse_sei(payload(129, b), nalmod.NAL_SEI_PREFIX)
     assert out[0] == ("active_parameter_sets",
                       {"active_seq_parameter_set_id": 2})
+
+
+def test_sei_active_ps_retargets_pic_timing_mid_nal():
+    """An active_parameter_sets message re-targets the SPS used by a
+    pic_timing payload LATER IN THE SAME SEI NAL (the reference updates
+    active_seq_parameter_set_id mid-NAL, hevc_sei.c:163-171)."""
+    from openhevc_tpu.decoder.sei import parse_sei
+    from openhevc_tpu.bitstream import nal as nalmod
+    from openhevc_tpu.ps.params import SPS, VUI
+
+    sps0 = SPS()                                  # no VUI: pic_timing None
+    sps1 = SPS()
+    sps1.vui = VUI(frame_field_info_present=1)
+
+    w = BitWriter()
+
+    def put(ptype, bits):
+        body = bits.get_bytes()
+        w.u(ptype, 8)
+        w.u(len(body), 8)
+        for byte in body:
+            w.u(byte, 8)
+
+    b1 = BitWriter()                              # active_parameter_sets -> 1
+    b1.u(0, 4); b1.u1(1); b1.u1(0); b1.ue(0); b1.ue(1)
+    b1.rbsp_trailing_bits()
+    put(129, b1)
+    b2 = BitWriter()                              # pic_timing, struct=2
+    b2.u(2, 4); b2.u(0, 2); b2.u(0, 1)
+    b2.rbsp_trailing_bits()
+    put(1, b2)
+    w.rbsp_trailing_bits()
+
+    out = parse_sei(w.get_bytes(), nalmod.NAL_SEI_PREFIX, sps=sps0,
+                    sps_list={0: sps0, 1: sps1}, active_sps_id=0)
+    assert out[0] == ("active_parameter_sets",
+                      {"active_seq_parameter_set_id": 1})
+    assert out[1] == ("pic_timing", {"picture_struct": 2})

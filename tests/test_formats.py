@@ -193,3 +193,25 @@ def test_cli_ogg_input(tmp_path):
                                            .ravel() for p in f])
                            for f in recons])
     np.testing.assert_array_equal(got, want)
+
+
+def test_ogg_orphaned_continuation_dropped():
+    """A continuation page whose opening page was dropped (bad CRC) must
+    not emit a truncated packet: continued data with no open packet is
+    discarded up to its terminating lace (oggdec parity), and the next
+    whole packet survives."""
+    from openhevc_tpu.formats import ogg as oggm
+    from openhevc_tpu.formats.ogg import demux_ogg
+    rng = np.random.default_rng(5)
+    a = bytes(rng.integers(0, 256, 70_000, dtype=np.uint8))
+    b = bytes(rng.integers(0, 256, 1_000, dtype=np.uint8))
+    out = bytearray()
+    oggm._emit_page(out, 7, 0, -1, 2, a[:65025], packet_ends=False)
+    oggm._emit_page(out, 7, 1, 0, 1, a[65025:], packet_ends=True)
+    oggm._emit_page(out, 7, 2, 1, 0, b, packet_ends=True)
+    assert demux_ogg(bytes(out)) == a + b
+    # corrupt the opening page of packet `a`: its continuation tail is an
+    # orphan and must vanish with it, leaving exactly packet `b`
+    corrupt = bytearray(out)
+    corrupt[100] ^= 0xFF
+    assert demux_ogg(bytes(corrupt)) == b

@@ -149,3 +149,77 @@ def test_native_cu_qp_delta():
 def test_native_cu_qp_delta_wpp():
     _run(EncoderConfig(width=96, height=96, qp=33, cu_qp_delta=True, wpp=True,
                        rng_seed=90), "IP", 10)
+
+
+def test_native_wpp_parallel_1ctb_wide():
+    """1-CTB-wide WPP pictures never write the row snapshot (it is saved
+    at a row's 2nd CTB, hevc_cabac.c save_states w>1 rule), so each row
+    re-inits: the host-parallel path must not load a snapshot there.
+    Regression: parallel decode used ctx_load=1 unconditionally and read
+    a zero-filled context table."""
+    cfg = EncoderConfig(width=32, height=256, qp=30, wpp=True, log2_ctb=5,
+                        sao=True, rng_seed=91)
+    rng = np.random.default_rng(91)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    base = make_source(rng, cfg.width, cfg.height, cfg.bit_depth)
+    for i, t in enumerate("IP"):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, _, _ = enc.encode_frame(src, t)
+        stream += nal
+    py = _plans(stream, False)
+    for threads in (1, 4):
+        _diff(py, _plans(stream, True, threads=threads))
+
+
+def test_native_wpp_parallel_overflow_fallback(monkeypatch):
+    """A failed parallel WPP attempt (a dense row overflowing its equal
+    per-row ops/levels carve returns err 5) must fall back to the serial
+    substream loop and still produce the exact op stream — even though
+    the attempt partially scribbled the per-picture buffers."""
+    import openhevc_tpu.native as native
+    cfg = EncoderConfig(width=192, height=160, qp=30, wpp=True, sao=True,
+                        temporal_mvp=True, rng_seed=87)
+    rng = np.random.default_rng(7)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    base = make_source(rng, cfg.width, cfg.height, cfg.bit_depth)
+    for i, t in enumerate("IPBP"):
+        src = [np.roll(p, i, 0) for p in base]
+        nal, _, _ = enc.encode_frame(src, t)
+        stream += nal
+    serial = _plans(stream, True)
+
+    pics = []
+    real_alloc = native.alloc_pic_buffers
+
+    def spy_alloc(*a, **k):
+        pic = real_alloc(*a, **k)
+        pics.append(pic)
+        return pic
+
+    real_get_lib = native.get_lib
+
+    class FailingWpp:
+        _wpp_ready = True
+
+        def __init__(self, lib):
+            self._lib = lib
+
+        def __getattr__(self, k):
+            return getattr(self._lib, k)
+
+        def decode_substreams_wpp(self, *args):
+            pic = pics[-1]
+            for k in ("mvf_mv", "mvf_poc", "mvf_pred", "mvf_ref_idx",
+                      "vbs", "hbs", "qp_y_tab", "pcm_map", "sao_out",
+                      "cbf_luma", "scratch", "ctx_io"):
+                pic[k][...] = 1          # simulate partial writes
+            return 5                     # err 5: per-row carve overflow
+
+    monkeypatch.setattr(native, "alloc_pic_buffers", spy_alloc)
+    monkeypatch.setattr(native, "get_lib",
+                        lambda: FailingWpp(real_get_lib()))
+    par = _plans(stream, True, threads=4)
+    monkeypatch.undo()
+    _diff(serial, par)
