@@ -441,6 +441,36 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
                 last_ts=pic["last_ts"])
 
 
+def pack_levels_native(resid_rows, raw_levels, bucket_base, lv8,
+                       esc_cap=4096):
+    """One C pass over the resid SoA rows: int8 coefficient levels written
+    straight into the wire buffer `lv8` (per-bucket regions at
+    `bucket_base`), plus the rare |level| > 127 escapes.
+    -> (esc_bucket, esc_idx, esc_val) int32/int64/int32 arrays."""
+    lib = get_lib()
+    if not hasattr(lib, "_packlv_ready"):
+        lib.pack_levels.restype = ctypes.c_int64
+        lib._packlv_ready = True
+
+    def cp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    resid_rows = np.ascontiguousarray(resid_rows, np.int32)
+    raw = np.ascontiguousarray(raw_levels, np.int32)
+    bb = np.ascontiguousarray(bucket_base, np.int64)
+    assert lv8.dtype == np.int8 and lv8.flags.c_contiguous
+    while True:
+        eb = np.empty(esc_cap, np.int32)
+        ei = np.empty(esc_cap, np.int64)
+        ev = np.empty(esc_cap, np.int32)
+        n = lib.pack_levels(cp(resid_rows), ctypes.c_int64(len(resid_rows)),
+                            cp(raw), cp(bb), cp(lv8), cp(eb), cp(ei), cp(ev),
+                            ctypes.c_int64(esc_cap))
+        if n <= esc_cap:
+            return eb[:n], ei[:n], ev[:n]
+        esc_cap = int(n)                # rare: retry with the exact size
+
+
 def split_ops(raw_ops, has_wp=False):
     """One C pass over the tagged op stream -> per-type SoA row arrays.
 

@@ -2528,3 +2528,51 @@ extern "C" int64_t split_ops(const int32_t *ops, int64_t n, int32_t has_wp,
     counts[0] = ni; counts[1] = nr; counts[2] = nm; counts[3] = npc;
     return 0;
 }
+
+// Pack per-TU coefficient levels into the int8 wire format, one pass in
+// decode order (the order tpu/plan_soa.py resid_fields keeps its rows in).
+// Levels are 99.99+% int8 on real content; values outside [-128, 127]
+// (clipped to the int16 spec range first, hevcdsp coefficient range) are
+// emitted as escapes (bucket, flat index, value) that the device scatters
+// over the widened int8 plane.  Buckets are (c_idx, log2n): b = c*4+log2n-2.
+// lv8 regions may be PADDED (bucket_base from the caller's sticky caps);
+// padding bytes are left untouched (caller pre-zeroes).
+// Returns the total number of escapes found (only the first esc_cap are
+// written -- the caller retries with a bigger buffer when ret > esc_cap).
+extern "C" int64_t pack_levels(
+    const int32_t *resid, int64_t nr,    // (nr, 8) rows, decode order
+    const int32_t *raw_levels,
+    const int64_t *bucket_base,          // 12 element offsets into lv8
+    int8_t *lv8,
+    int32_t *esc_bucket, int64_t *esc_idx, int32_t *esc_val,
+    int64_t esc_cap)
+{
+    int64_t fill[12] = {0};
+    int64_t nesc = 0;
+    for (int64_t r = 0; r < nr; r++) {
+        const int32_t *row = resid + r * 8;
+        int b = row[0] * 4 + (row[3] - 2);
+        int nn = 1 << (2 * row[3]);
+        const int32_t *src = raw_levels + row[6];
+        int64_t ebase = fill[b] * nn;
+        int8_t *dst = lv8 + bucket_base[b] + ebase;
+        for (int k = 0; k < nn; k++) {
+            int32_t v = src[k];
+            if (v > 32767) v = 32767;        // spec int16 coefficient range
+            if (v < -32768) v = -32768;
+            int8_t v8 = (int8_t)v;
+            if ((int32_t)v8 != v) {
+                if (nesc < esc_cap) {
+                    esc_bucket[nesc] = b;
+                    esc_idx[nesc] = ebase + k;
+                    esc_val[nesc] = v;
+                }
+                nesc++;
+                v8 = 0;                      // device scatters the true value
+            }
+            dst[k] = v8;
+        }
+        fill[b]++;
+    }
+    return nesc;
+}

@@ -63,6 +63,7 @@ class TpuBackend:
         self._slot_T = {"I": {}, "PB": {}}
         self._flat_len = {"I": {}, "PB": {}}
         self._resid_len = {"I": {}, "PB": {}}
+        self._resc_len = {"I": {}, "PB": {}}    # escape-level caps
         self._ipal_chunks = {"I": {}, "PB": {}}
 
     def decode_frame(self, plan: FramePlan, dpb):
@@ -121,8 +122,11 @@ class TpuBackend:
         parts = []          # (path, int32 ndarray) in layout order
 
         def add(path, arr):
-            # int16 wire format (see frame_step._unpack); every field fits
-            parts.append((path, np.ascontiguousarray(arr, np.int16)))
+            # int16 wire format (see frame_step._unpack); every field fits.
+            # arrays keep their native dtype here — the single packing pass
+            # below casts each one exactly once, straight into the final
+            # pinned buffer (no per-field int16 copy + big concatenate)
+            parts.append((path, np.asarray(arr)))
 
         # ---- inter batches (padded, canonical size list) ----
         # MC runs over a COMPACTED work batch: one (sel, x, y, mv) entry
@@ -253,8 +257,7 @@ class TpuBackend:
         if fast:
             from . import plan_soa
             T, caps, data = 1, {}, {}
-            resid = plan_soa.resid_buckets(plan.soa["resid"],
-                                           plan.raw_levels, cfmt)
+            resid = plan_soa.resid_fields(plan.soa["resid"], cfmt)
         elif use_ipal:
             T, caps, data, resid = schedule_slots(plan, min_caps=None,
                                                   intra=False)
@@ -289,7 +292,13 @@ class TpuBackend:
                 add(("slot",) + key + (f,), v)
 
         # ---- whole-frame residual batches (outside the scan) ----
+        # coefficient levels ride a SEPARATE int8 wire buffer: 99.99+% of
+        # levels fit int8 on real content, halving the dominant plan
+        # section; the rare exceptions ship as (index, value) escapes in
+        # the int16 buffer and the device scatters them over the widened
+        # plane (reference stores full int16 coeffs, hevc_cabac.c:1950)
         resid_keys = []
+        lv_specs = []                   # (key, n_rows, tgt) per bucket
         for key in sorted(resid.keys()):
             c, n = key
             d = resid[key]
@@ -299,14 +308,72 @@ class TpuBackend:
             self._resid_len[fam][key] = tgt
             valid = np.zeros(tgt, np.int32)
             valid[:n_rows] = 1
-            for f in ("xs", "ys", "qp", "kind", "mid", "xtra", "levels"):
+            for f in ("xs", "ys", "qp", "kind", "mid", "xtra"):
                 v = d[f]
                 if len(v) < tgt:
                     v = np.concatenate(
                         [v, np.zeros((tgt - len(v),) + v.shape[1:], v.dtype)])
                 add(("resid", c, n, f), v)
             add(("resid", c, n, "valid"), valid)
-            resid_keys.append((c, n, tgt))
+            lv_specs.append((key, n_rows, tgt))
+
+        # int8 buffer layout + fill (native one-pass on the fast path)
+        layout8 = []
+        off8 = 0
+        bucket_base = np.zeros(12, np.int64)
+        for (key, n_rows, tgt) in lv_specs:
+            c, n = key
+            layout8.append((("resid", c, n, "levels"), off8, (tgt, n, n)))
+            bucket_base[c * 4 + (n.bit_length() - 3)] = off8
+            off8 += tgt * n * n
+        packed8_np = np.zeros(max(off8, 1), np.int8)
+        if lv_specs:
+            if fast:
+                from ..native import pack_levels_native
+                eb, ei, ev = pack_levels_native(
+                    plan.soa["resid"], plan.raw_levels, bucket_base,
+                    packed8_np)
+            else:
+                ebl, eil, evl = [], [], []
+                for (key, n_rows, tgt), (lpath, o8, _shape) in \
+                        zip(lv_specs, layout8):
+                    c, n = key
+                    b = c * 4 + (n.bit_length() - 3)
+                    lv = np.clip(resid[key]["levels"], -32768, 32767) \
+                        .astype(np.int32).reshape(n_rows, -1) \
+                        if n_rows else np.zeros((0, n * n), np.int32)
+                    lv8 = lv.astype(np.int8)
+                    esc = lv8.astype(np.int32) != lv
+                    if esc.any():
+                        idx = np.flatnonzero(esc.ravel())
+                        ebl.append(np.full(len(idx), b, np.int32))
+                        eil.append(idx.astype(np.int64))
+                        evl.append(lv.ravel()[idx])
+                        lv8.ravel()[idx] = 0
+                    packed8_np[o8:o8 + n_rows * n * n] = lv8.ravel()
+                eb = np.concatenate(ebl) if ebl else np.zeros(0, np.int32)
+                ei = np.concatenate(eil) if eil else np.zeros(0, np.int64)
+                ev = np.concatenate(evl) if evl else np.zeros(0, np.int32)
+
+        # per-bucket escape sections (sticky caps; idx split lo/hi int16)
+        for (key, n_rows, tgt) in lv_specs:
+            c, n = key
+            b = c * 4 + (n.bit_length() - 3)
+            m = eb == b
+            cnt = int(m.sum())
+            ecap = max(_pow2(cnt) if cnt else 0,
+                       self._resc_len.setdefault(fam, {}).get(key, 0))
+            self._resc_len[fam][key] = ecap
+            if ecap:
+                oob = tgt * n * n       # out-of-range: device drops it
+                idx = np.full(ecap, oob, np.int64)
+                val = np.zeros(ecap, np.int32)
+                idx[:cnt] = ei[m]
+                val[:cnt] = ev[m]
+                add(("resc", c, n, "lo"), idx & 0xFFFF)
+                add(("resc", c, n, "hi"), idx >> 16)
+                add(("resc", c, n, "val"), val)
+            resid_keys.append((c, n, tgt, ecap))
         resid_keys = tuple(resid_keys)
 
         # ---- cross-component alpha maps (RExt 4:4:4) ----
@@ -412,16 +479,19 @@ class TpuBackend:
                 add(("scale", n),
                     np.stack([plan.scaling[(l2, m)] for m in range(6)]))
 
-        # ---- one packed buffer + static layout ----
+        # ---- two packed buffers (int16 + int8 levels) + static layouts ----
         layout = []
-        bufs = []
         off = 0
         for path, arr in parts:
             layout.append((path, off, arr.shape))
-            bufs.append(arr.ravel())
             off += arr.size
-        packed = jnp.asarray(np.concatenate(bufs) if bufs
-                             else np.zeros(1, np.int16))
+        packed_np = np.zeros(1, np.int16) if not parts \
+            else np.empty(off, np.int16)
+        for (path, o, shape), (_p, arr) in zip(layout, parts):
+            # single casting copy per field, straight into the wire buffer
+            packed_np[o:o + arr.size] = arr.reshape(-1)
+        packed = jnp.asarray(packed_np)
+        packed8 = jnp.asarray(packed8_np)
 
         prof = (bd, bool(plan.strong_intra_smoothing), cfmt, plan.height,
                 plan.width, tuple(inter_sizes), slot_keys, slot_caps,
@@ -431,9 +501,9 @@ class TpuBackend:
                 plan.cb_qp_offset, plan.cr_qp_offset,
                 has_base, has_scaling, tuple(layout), plan.log2_ctb_size,
                 ipal, has_cc, bool(plan.intra_smoothing_disabled),
-                refs_padded, self.shard)
+                refs_padded, self.shard, tuple(layout8))
         if self.shard is not None and refs is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             ns3 = NamedSharding(self.shard.mesh, P(None, "sp", None))
             refs = [jax.device_put(r, ns3) for r in refs]
-        return (refs, packed, prof)
+        return (refs, packed, packed8, prof)

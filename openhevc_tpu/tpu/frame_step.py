@@ -72,22 +72,24 @@ def _unpack(packed, layout):
 
 
 @partial(jax.jit, static_argnames=("prof",))
-def frame_step(refs, packed, prof):
+def frame_step(refs, packed, packed8, prof):
     """One fused frame reconstruction.
 
     prof: (bd, strong, chroma_fmt, H, W, inter_sizes, slot_keys, slot_caps,
            resid_keys, deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off,
-           has_base, has_scaling, layout, log2_ctb, ipal)
+           has_base, has_scaling, layout, log2_ctb, ipal, ..., layout8)
     beta_off/tc_off: slice-0 scalars, or the string "map" when the frame
     carries per-CTB offset maps (multi-slice pictures, hevc.c:2677).
     ipal: () for the lax.scan wavefront, else ((c, n_chunks), ...) selecting
     the sequential Pallas intra kernel (intra_pallas.intra_seq).
-    refs: [3 stacked ref tensors] (device); packed: flat int32 plan buffer.
+    refs: [3 stacked ref tensors] (device); packed: flat int16 plan buffer;
+    packed8: flat int8 buffer carrying the coefficient levels (the rare
+    |level| > 127 escapes ride `packed` and scatter over the widened plane).
     """
     (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, resid_keys,
      deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
      has_scaling, layout, log2_ctb, ipal, has_cc, smooth_off,
-     refs_padded, shard) = prof
+     refs_padded, shard, layout8) = prof
 
     # sp-axis spatial sharding (multi-chip): planes partition over CTB-row
     # bands; the deblock/SAO halo reads across band edges become
@@ -103,6 +105,7 @@ def frame_step(refs, packed, prof):
             x, NamedSharding(shard.mesh, spec))
 
     arrays = _unpack(packed, layout)
+    arrays.update(_unpack(packed8, layout8))
     hs = 1 if cfmt in (1, 2) else 0
     vs = 1 if cfmt == 1 else 0
     shapes = [(H, W), (H >> vs, W >> hs), (H >> vs, W >> hs)]
@@ -203,10 +206,20 @@ def frame_step(refs, packed, prof):
             from .mc_pallas import band_paint as _bpaint, band_pad_shape
             rc16 = [jnp.zeros(band_pad_shape(*s), jnp.int16) for s in shapes]
         rcanvas = [jnp.zeros(s, jnp.int32) for s in shapes]
-        for (c, n, N) in resid_keys:
+        for (c, n, N, E) in resid_keys:
             d = {f: arrays[("resid", c, n, f)]
                  for f in ("xs", "ys", "qp", "kind", "mid", "xtra", "levels",
                            "valid")}
+            if E:
+                # widen the int8 levels with the exact int16 escapes
+                # (index split lo/hi int16; OOB-padded entries drop)
+                lo = arrays[("resc", c, n, "lo")] & 0xFFFF
+                hi = arrays[("resc", c, n, "hi")]
+                idx = (hi << 16) | lo
+                val = arrays[("resc", c, n, "val")]
+                d["levels"] = d["levels"].reshape(-1) \
+                    .at[idx].set(val, mode="drop") \
+                    .reshape(d["levels"].shape)
             if scalemats is not None:
                 res = residual_batch(d["levels"], d["qp"], d["kind"], n, bd,
                                      d["mid"], scalemats[n], d["xtra"])

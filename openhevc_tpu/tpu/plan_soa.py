@@ -108,6 +108,32 @@ def tile_buckets(inter, s0, s1):
     return out
 
 
+def resid_fields(resid, chroma_format_idc):
+    """Whole-frame residual batches per (plane, size), decode order —
+    WITHOUT the levels gather: on the fast path the native pack_levels
+    writes int8 levels straight into the wire buffer
+    (native/frontend.cc pack_levels), so the (N, n, n) int32 gather the
+    old resid_buckets did (the dominant host cost at 4K) never happens."""
+    from .wavefront import canonical_resid_keys
+    c = resid[:, 0]
+    log2n = resid[:, 3]
+    kraw = resid[:, 5]
+    rext = resid[:, 7]
+    out = {}
+    for key in canonical_resid_keys(chroma_format_idc):
+        kc, n = key
+        m = (c == kc) & (log2n == n.bit_length() - 1)
+        rows = resid[m]
+        out[key] = dict(
+            xs=np.ascontiguousarray(rows[:, 1]),
+            ys=np.ascontiguousarray(rows[:, 2]),
+            qp=np.ascontiguousarray(rows[:, 4]),
+            kind=_KIND_TAB[kraw[m] & 7],
+            mid=((kraw[m] >> 3) - 1).astype(np.int32),
+            xtra=(rext[m] & 7).astype(np.int32))
+    return out
+
+
 def resid_buckets(resid, raw_levels, chroma_format_idc):
     """Whole-frame residual batches per (plane, size), decode order."""
     from .wavefront import canonical_resid_keys

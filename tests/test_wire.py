@@ -1,0 +1,99 @@
+"""The packed-plan wire format (backend.prepare -> frame_step._unpack).
+
+Coefficient levels travel as int8 (halving the dominant plan section,
+NOTES_r3 lever 2); |level| > 127 values ride an (index, value) escape
+side-channel in the int16 buffer.  These tests verify the encoding
+host-side, without compiling any device program."""
+
+import numpy as np
+import pytest
+
+from openhevc_tpu.encoder import Encoder, EncoderConfig
+from openhevc_tpu.decoder.frontend import Frontend
+from openhevc_tpu.decoder.refs import DPB
+from tests.util_e2e import make_source
+
+
+def _plan(qp):
+    cfg = EncoderConfig(width=64, height=64, qp=qp, rng_seed=77)
+    rng = np.random.default_rng(7)
+    enc = Encoder(cfg)
+    stream = b"".join(enc.parameter_set_nals())
+    base = make_source(rng, cfg.width, cfg.height, cfg.bit_depth)
+    nal, _, _ = enc.encode_frame(base, "I")
+    stream += nal
+    fe = Frontend(dpb=DPB(), use_native=True)
+    return fe.decode_bytes(stream)[0], fe.sps.log2_ctb_size
+
+
+def _prepare(plan, ctb_log2, fast, monkeypatch):
+    # OPENHEVC_IPAL=interp selects the SoA fast path (native pack_levels)
+    # on CPU jax; unset leaves the schedule_slots path (numpy encoding)
+    if fast:
+        monkeypatch.setenv("OPENHEVC_IPAL", "interp")
+    else:
+        monkeypatch.delenv("OPENHEVC_IPAL", raising=False)
+    from openhevc_tpu.tpu import TpuBackend
+    backend = TpuBackend(ctb_log2=ctb_log2)
+    refs, packed, packed8, prof = backend.prepare(plan, DPB())
+    return np.asarray(packed), np.asarray(packed8), prof
+
+
+def _wire_levels(packed, packed8, prof):
+    """Re-widen the wire levels exactly like frame_step does (numpy)."""
+    layout = prof[17]
+    layout8 = prof[-1]
+    resid_keys = prof[8]
+    arr = {p: packed[o:o + int(np.prod(s))].reshape(s).astype(np.int32)
+           for p, o, s in layout}
+    arr8 = {p: packed8[o:o + int(np.prod(s))].reshape(s).astype(np.int32)
+            for p, o, s in layout8}
+    out = {}
+    for (c, n, N, E) in resid_keys:
+        lv = arr8[("resid", c, n, "levels")].copy()
+        if E:
+            lo = arr[("resc", c, n, "lo")] & 0xFFFF
+            hi = arr[("resc", c, n, "hi")]
+            idx = (hi << 16) | lo
+            val = arr[("resc", c, n, "val")]
+            flat = lv.reshape(-1)
+            ok = idx < flat.size            # mode="drop" semantics
+            flat[idx[ok]] = val[ok]
+            lv = flat.reshape(lv.shape)
+        out[(c, n)] = (lv, arr[("resid", c, n, "valid")])
+    return out
+
+
+def _check_vs_oracle(qp, fast, monkeypatch):
+    from openhevc_tpu.tpu import plan_soa
+    plan, ctb_log2 = _plan(qp)
+    got = _wire_levels(*_prepare(plan, ctb_log2, fast, monkeypatch))
+    want = plan_soa.resid_buckets(np.asarray(plan.soa["resid"]),
+                                  plan.raw_levels,
+                                  plan.chroma_format_idc)
+    n_esc = 0
+    for key, d in want.items():
+        if key not in got:              # slow path omits empty buckets
+            assert len(d["levels"]) == 0
+            continue
+        lv, valid = got[key]
+        N = len(d["levels"])
+        assert (lv[:N] == d["levels"]).all(), f"levels mismatch {key}"
+        assert (lv[N:] == 0).all(), f"padding not zero {key}"
+        assert valid[:N].all() and not valid[N:].any()
+        n_esc += int((np.abs(d["levels"]) > 127).sum())
+    return n_esc
+
+
+def test_wire_levels_int8_native(monkeypatch):
+    assert _check_vs_oracle(qp=30, fast=True, monkeypatch=monkeypatch) == 0
+
+
+def test_wire_levels_escapes_native(monkeypatch):
+    # qp=0 noise: guaranteed |level| > 127 coefficients hit the escapes
+    assert _check_vs_oracle(qp=0, fast=True, monkeypatch=monkeypatch) > 0
+
+
+def test_wire_levels_escapes_slow_path(monkeypatch):
+    # the schedule_slots (non-SoA) path must encode the same wire levels
+    assert _check_vs_oracle(qp=0, fast=False, monkeypatch=monkeypatch) > 0
