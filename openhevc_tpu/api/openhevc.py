@@ -212,16 +212,12 @@ class OpenHevcDecoder:
                 self._backend.ctb_log2 = self.fe.sps.log2_ctb_size
             planes, wire = self._backend.decode_frame(plan, self.dpb)
             # the API surface hands out host ndarrays: fetch through the
-            # narrow wire buffer, then keep host copies (refs included —
+            # narrow wire buffer (bit-packed for 10/12-bit, see
+            # Frame.host_planes), then keep host copies (refs included —
             # the API decoder is host-centric, unlike the pipeline)
-            got, off = [], 0
-            w = np.asarray(wire)
-            for p in planes:
-                n = int(p.shape[0]) * int(p.shape[1])
-                got.append(w[off:off + n].reshape(p.shape)
-                           .astype(np.int32))
-                off += n
-            planes = got
+            tmp = Frame(poc=plan.poc, planes=list(planes), wire=wire,
+                        bit_depth=plan.bit_depth)
+            planes = [p.astype(np.int32) for p in tmp.host_planes()]
         else:
             planes = recon_np.execute_plan(plan, dpb=self.dpb)
             recon_np.deblock_frame(plan, planes)

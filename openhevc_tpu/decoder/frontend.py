@@ -613,8 +613,9 @@ class Decoder:
     def _verify_md5(self, frame, expected):
         from .sei import plane_md5
         bd = self.fe.sps.bit_depth
+        hp = frame.host_planes()        # narrow wire fetch, not int32 planes
         for c in range(3):
-            got = plane_md5(np.asarray(frame.planes[c]), bd)
+            got = plane_md5(np.asarray(hp[c]), bd)
             if got == expected[c]:
                 self.md5_ok += 1
                 self.stats.md5_ok += 1
@@ -637,6 +638,7 @@ class Decoder:
             planes = recon_np.sao_frame(plan, planes,
                                         1 << self.fe.sps.log2_ctb_size)
         return Frame(poc=plan.poc, planes=planes, wire=wire,
+                     bit_depth=plan.bit_depth,
                      mvf_mv=plan.mvf_mv, mvf_poc=plan.mvf_poc,
                      mvf_pred=plan.mvf_pred, mvf_ref_idx=plan.mvf_ref_idx,
                      rpl=plan.rpl, rpl_lt=plan.rpl_lt)

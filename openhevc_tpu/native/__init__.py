@@ -68,16 +68,34 @@ def _source_hash():
     return h.hexdigest()
 
 
+def _build_flags():
+    """Compiler flags: -O3 -march=native, plus profile-guided optimization
+    when a training profile exists (tools/pgo_train.py regenerates it; the
+    profile only matters for the residual/CABAC hot loops, and a stale one
+    degrades gracefully via -Wno-*coverage* + correction counts)."""
+    flags = ["-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-pthread"]
+    pgo_dir = os.path.join(_DIR, "pgo")
+    if os.path.isdir(pgo_dir) and any(
+            f.endswith(".gcda") for f in os.listdir(pgo_dir)):
+        flags += [f"-fprofile-use={pgo_dir}", "-fprofile-correction",
+                  "-Wno-missing-profile", "-Wno-coverage-mismatch"]
+    extra = os.environ.get("OPENHEVC_CFLAGS")
+    if extra:
+        flags += extra.split()
+    return flags
+
+
 def build_lib(force=False):
-    """Compile the native front-end (cached by source hash)."""
+    """Compile the native front-end (cached by source hash + flags)."""
     if not os.path.exists(_TABLES):
         from .gen_tables import generate
         generate(_TABLES)
-    want = _source_hash()
+    flags = _build_flags()
+    want = _source_hash() + " " + " ".join(flags)
     have = open(_STAMP).read().strip() if os.path.exists(_STAMP) else ""
     if force or not os.path.exists(_SO) or have != want:
-        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                        "-pthread", _CC, "-o", _SO], check=True)
+        subprocess.run(["g++"] + flags + [_CC, "-o", _SO], check=True)
         with open(_STAMP, "w") as f:
             f.write(want)
     return _SO
@@ -86,7 +104,8 @@ def build_lib(force=False):
 def get_lib():
     global _lib
     if _lib is None:
-        _lib = ctypes.CDLL(build_lib())
+        so = os.environ.get("OPENHEVC_NATIVE_SO") or build_lib()
+        _lib = ctypes.CDLL(so)
         _lib.decode_slice_data.restype = ctypes.c_int64
     return _lib
 

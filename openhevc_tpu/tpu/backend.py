@@ -35,6 +35,19 @@ def _pow2(x):
     return p
 
 
+def _quant(x):
+    """Next size of the form 2^k * {1, 1.25, 1.5, 1.75} (>= 8): bounds the
+    sticky padding waste of the big level buffers at 25% (vs 100% for
+    pow2), at the cost of a few more shape variants during warmup."""
+    p = _pow2(x)
+    if p > 8:
+        for m in (10, 12, 14):
+            c = (p >> 4) * m
+            if c >= x:
+                return c
+    return p
+
+
 class TpuBackend:
     def __init__(self, ctb_log2=None, shard=None, device_schedule=None):
         self.ctb_log2 = ctb_log2
@@ -121,12 +134,20 @@ class TpuBackend:
             cp = compile_plan(plan)
         parts = []          # (path, int32 ndarray) in layout order
 
+        parts8 = []         # int8 wire sections (joins the levels buffer)
+
         def add(path, arr):
             # int16 wire format (see frame_step._unpack); every field fits.
             # arrays keep their native dtype here — the single packing pass
             # below casts each one exactly once, straight into the final
             # pinned buffer (no per-field int16 copy + big concatenate)
             parts.append((path, np.asarray(arr)))
+
+        def add8(path, arr):
+            # int8 wire sections: fields whose values provably fit int8
+            # (masks, QP maps, SAO params, small resid/inter fields) ride
+            # the int8 buffer — half the tunnel bytes of the int16 wire
+            parts8.append((path, np.asarray(arr)))
 
         # ---- inter batches (padded, canonical size list) ----
         # MC runs over a COMPACTED work batch: one (sel, x, y, mv) entry
@@ -204,9 +225,13 @@ class TpuBackend:
                     self._inter_caps[(w, h)] = len(valid)
                 b["valid"] = valid.astype(np.int32)
                 b.update(work_form(b, valid, (w, h)))
-                for f in ("xs", "ys", "pf", "wden", "w0", "w1", "valid",
-                          "i0", "i1", "wxs", "wys", "wsel", "wmvx", "wmvy"):
+                # w0/w1 stay int16: a weight is (1 << denom) + delta,
+                # up to 255 (hevc_ps.c pred_weight_table ranges)
+                for f in ("xs", "ys", "i0", "i1", "wxs", "wys",
+                          "wmvx", "wmvy", "w0", "w1"):
                     add(("inter", w, h, f), b[f])
+                for f in ("pf", "wden", "valid", "wsel"):
+                    add8(("inter", w, h, f), b[f])
                 inter_sizes.append((w, h))
         else:
             # dummy refs keep the pytree structure stable
@@ -303,7 +328,7 @@ class TpuBackend:
             c, n = key
             d = resid[key]
             n_rows = len(d["xs"])
-            tgt = max(_pow2(max(1, n_rows)),
+            tgt = max(_quant(max(1, n_rows)),
                       self._resid_len.setdefault(fam, {}).get(key, 1))
             self._resid_len[fam][key] = tgt
             valid = np.zeros(tgt, np.int32)
@@ -313,8 +338,8 @@ class TpuBackend:
                 if len(v) < tgt:
                     v = np.concatenate(
                         [v, np.zeros((tgt - len(v),) + v.shape[1:], v.dtype)])
-                add(("resid", c, n, f), v)
-            add(("resid", c, n, "valid"), valid)
+                (add if f in ("xs", "ys") else add8)(("resid", c, n, f), v)
+            add8(("resid", c, n, "valid"), valid)
             lv_specs.append((key, n_rows, tgt))
 
         # int8 buffer layout + fill (native one-pass on the fast path)
@@ -385,7 +410,7 @@ class TpuBackend:
                                                plan.height, plan.width)
                 for c in (1, 2):
                     if amaps[c - 1] is not None:
-                        add(("ccmap", c), amaps[c - 1])
+                        add8(("ccmap", c), amaps[c - 1])
                         has_cc = True
             else:
                 from ..decoder.plan import ResidualOp as _ROp
@@ -400,7 +425,7 @@ class TpuBackend:
                             nn = 1 << op.log2_size
                             amap[op.y:op.y + nn, op.x:op.x + nn] = op.cc_alpha
                     if amap is not None:
-                        add(("ccmap", c), amap)
+                        add8(("ccmap", c), amap)
                         has_cc = True
 
         # ---- filter maps ----
@@ -413,14 +438,14 @@ class TpuBackend:
 
         nfm0 = (plan.no_filter_map if plan.no_filter_map is not None
                 else np.zeros((plan.height // 4, plan.width // 4), np.int32))
-        add(("map", "vbs"), padmap(plan.vertical_bs, ph // 4, pw // 8))
-        add(("map", "hbs"), padmap(plan.horizontal_bs, ph // 8, pw // 4))
-        add(("map", "qp"), padmap(plan.qp_map, ph // 8, pw // 8))
-        add(("map", "nfm"), padmap(nfm0, ph // 4, pw // 4))
+        add8(("map", "vbs"), padmap(plan.vertical_bs, ph // 4, pw // 8))
+        add8(("map", "hbs"), padmap(plan.horizontal_bs, ph // 8, pw // 4))
+        add8(("map", "qp"), padmap(plan.qp_map, ph // 8, pw // 8))
+        add8(("map", "nfm"), padmap(nfm0, ph // 4, pw // 4))
         db_maps = plan.deblock_beta_map is not None
         if db_maps:
-            add(("map", "dbbeta"), plan.deblock_beta_map)
-            add(("map", "dbtc"), plan.deblock_tc_map)
+            add8(("map", "dbbeta"), plan.deblock_beta_map)
+            add8(("map", "dbtc"), plan.deblock_tc_map)
 
         # ---- SAO maps ----
         sao_on = plan.sao is not None and (plan.sao_luma or plan.sao_chroma)
@@ -434,10 +459,10 @@ class TpuBackend:
                 shape = (plan.height >> (vs if c else 0),
                          plan.width >> (hs if c else 0))
                 tm, bm, em, om = build_sao_grids(plan, c, grid)
-                add(("sao", c, "tm"), tm)
-                add(("sao", c, "bm"), bm)
-                add(("sao", c, "em"), em)
-                add(("sao", c, "om"), om)
+                add8(("sao", c, "tm"), tm)
+                add8(("sao", c, "bm"), bm)
+                add8(("sao", c, "em"), em)
+                add8(("sao", c, "om"), om)   # |offset| <= 31 (cmax, 7.3.8.3)
                 if restore_any:
                     rep = 4 >> (1 if (c and cfmt == 1) else 0)
                     mask = np.repeat(np.repeat(np.asarray(
@@ -447,7 +472,7 @@ class TpuBackend:
                     if plan.sao_restore is not None:
                         mask = mask | np.asarray(plan.sao_restore[c],
                                                  bool)[:shape[0], :shape[1]]
-                    add(("sao", c, "restore"), mask.astype(np.int32))
+                    add8(("sao", c, "restore"), mask.astype(np.int8))
 
         # ---- PCM base canvas (verbatim samples precede the wavefront) ----
         if fast:
@@ -479,7 +504,7 @@ class TpuBackend:
                 add(("scale", n),
                     np.stack([plan.scaling[(l2, m)] for m in range(6)]))
 
-        # ---- two packed buffers (int16 + int8 levels) + static layouts ----
+        # ---- two packed buffers (int16 + int8) + static layouts ----
         layout = []
         off = 0
         for path, arr in parts:
@@ -490,8 +515,18 @@ class TpuBackend:
         for (path, o, shape), (_p, arr) in zip(layout, parts):
             # single casting copy per field, straight into the wire buffer
             packed_np[o:o + arr.size] = arr.reshape(-1)
+        # int8 buffer: [levels region | int8 field sections]
+        o8 = off8
+        for path, arr in parts8:
+            layout8.append((path, o8, arr.shape))
+            o8 += arr.size
+        full8 = np.empty(max(o8, 1), np.int8)
+        full8[:off8] = packed8_np[:off8]
+        for (path, o, shape), (_p, arr) in zip(layout8[len(lv_specs):],
+                                               parts8):
+            full8[o:o + arr.size] = arr.reshape(-1)
         packed = jnp.asarray(packed_np)
-        packed8 = jnp.asarray(packed8_np)
+        packed8 = jnp.asarray(full8)
 
         prof = (bd, bool(plan.strong_intra_smoothing), cfmt, plan.height,
                 plan.width, tuple(inter_sizes), slot_keys, slot_caps,

@@ -48,6 +48,8 @@ def _wire_levels(packed, packed8, prof):
            for p, o, s in layout}
     arr8 = {p: packed8[o:o + int(np.prod(s))].reshape(s).astype(np.int32)
             for p, o, s in layout8}
+    arr.update({p: v for p, v in arr8.items()
+                if p[-1] != "levels"})      # int8 field sections
     out = {}
     for (c, n, N, E) in resid_keys:
         lv = arr8[("resid", c, n, "levels")].copy()
