@@ -21,6 +21,17 @@ from .refs import Frame
 from .frontend import Decoder
 
 
+_UPSAMPLER = None
+
+
+def _tpu_upsampler():
+    global _UPSAMPLER
+    if _UPSAMPLER is None:
+        from ..tpu.upsample import TpuUpsampler
+        _UPSAMPLER = TpuUpsampler()
+    return _UPSAMPLER
+
+
 def make_il_ref(bl: Frame, el_sps, el_is_irap: bool, nb_list: int,
                 el_dpb=None, phase_align: int = 0) -> Frame:
     """Build the inter-layer reference frame for the current EL picture.
@@ -34,14 +45,23 @@ def make_il_ref(bl: Frame, el_sps, el_is_irap: bool, nb_list: int,
       (set_refindex_data, hevc_refs.c:376-396) — used by TMVP through the
       IL collocated ref
     """
-    h_bl, w_bl = np.asarray(bl.planes[0]).shape
+    h_bl, w_bl = bl.planes[0].shape
     w_el, h_el = el_sps.width, el_sps.height
     bd = el_sps.bit_depth
     info = UpsampleInfo(w_bl, h_bl, w_el, h_el, phase_align)
-    planes = upsample_frame([np.asarray(p) for p in bl.planes], w_el, h_el,
-                            bit_depth=bd,
-                            chroma_format_idc=el_sps.chroma_format_idc,
-                            phase_align_flag=phase_align)
+    if not isinstance(bl.planes[0], np.ndarray):
+        # BL reconstructed on device: upsample there too (bit-exact jit
+        # polyphase FIR, tpu/upsample.py) — the EL DPB entry stays in HBM
+        # and feeds the EL frame_step refs without a host round-trip
+        planes = _tpu_upsampler().upsample_frame(
+            bl.planes, w_el, h_el, bit_depth=bd,
+            chroma_format_idc=el_sps.chroma_format_idc,
+            phase_align_flag=phase_align)
+    else:
+        planes = upsample_frame([np.asarray(p) for p in bl.planes],
+                                w_el, h_el, bit_depth=bd,
+                                chroma_format_idc=el_sps.chroma_format_idc,
+                                phase_align_flag=phase_align)
     h4, w4 = h_el >> 2, w_el >> 2
     if el_is_irap or bl.mvf_pred is None:
         mv = np.zeros((h4, w4, 2, 2), np.int32)
@@ -80,8 +100,17 @@ class ShvcDecoder:
                  nb_layers=2):
         self.decoders = []
         for lid in range(nb_layers):
-            d = Decoder(backend=backend if lid else None,
-                        check_md5=check_md5, use_native=use_native)
+            # `backend` may be a factory (class/callable): then EVERY
+            # layer reconstructs on its own backend instance (sticky plan
+            # caps are per-geometry, so layers must not share one), and
+            # the inter-layer upsample runs on device (make_il_ref).
+            # A plain backend object keeps the legacy meaning: EL only.
+            if callable(backend):
+                be = backend()
+            else:
+                be = backend if lid else None
+            d = Decoder(backend=be, check_md5=check_md5,
+                        use_native=use_native)
             d.fe.layer_id = lid
             self.decoders.append(d)
         for d in self.decoders[1:]:

@@ -44,6 +44,8 @@ class EncoderConfig:
     bit_depth: int = 8
     chroma_format: int = 1      # 1=4:2:0, 2=4:2:2, 3=4:4:4
     log2_ctb: int = 5
+    amp: bool = False           # asymmetric motion partitions (SPS flag)
+    p_amp: float = 0.3          # P(AMP mode) for eligible inter CUs
     sao: bool = False
     deblock: bool = True
     sign_data_hiding: bool = False
@@ -118,6 +120,7 @@ class Encoder:
                        log2_max_tb_size=5,
                        max_transform_hierarchy_depth_intra=1,
                        max_transform_hierarchy_depth_inter=1,
+                       amp_enabled=1 if cfg.amp else 0,
                        sao_enabled=1 if cfg.sao else 0,
                        temporal_mvp_enabled=1 if cfg.temporal_mvp else 0,
                        strong_intra_smoothing_enabled=1 if cfg.strong_intra_smoothing else 0)
@@ -685,8 +688,14 @@ class Encoder:
             cu.pus = [PUData(merge_flag=1, merge_idx=rng.randrange(0, 5))]
             cu.tt = None
             return cu
-        # part mode: 2Nx2N / 2NxN / Nx2N (no AMP, no inter NxN)
-        cu.part_mode = rng.choice([PART_2Nx2N, PART_2Nx2N, 1, 2])
+        # part mode: 2Nx2N / 2NxN / Nx2N, plus the four AMP modes
+        # (2NxnU/2NxnD/nLx2N/nRx2N; hls_prediction_unit, hevc.c:1968)
+        # when enabled and legal (log2 > min_cb; binarization 9.3.3.7)
+        if cfg.amp and log2 > sps.log2_min_cb_size and \
+                rng.random() < cfg.p_amp:
+            cu.part_mode = int(rng.choice([4, 5, 6, 7]))
+        else:
+            cu.part_mode = rng.choice([PART_2Nx2N, PART_2Nx2N, 1, 2])
         geom = _PART_GEOM[cu.part_mode]
         cb = 1 << log2
         q = cb >> 2

@@ -66,8 +66,7 @@ class TpuUpsampler:
 
     def upsample_frame(self, bl_planes, width_el, height_el, bit_depth=8,
                        chroma_format_idc=1, phase_align_flag=0):
-        bl0 = np.asarray(bl_planes[0])
-        h_bl, w_bl = bl0.shape
+        h_bl, w_bl = bl_planes[0].shape     # no host fetch: shape only
         info = UpsampleInfo(w_bl, h_bl, width_el, height_el, phase_align_flag)
         if info.is_snr:
             return [jnp.asarray(p, jnp.int32) for p in bl_planes]

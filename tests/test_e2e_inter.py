@@ -90,3 +90,12 @@ def test_weighted_pred():
 def test_cu_qp_delta():
     _run(EncoderConfig(width=96, height=64, qp=30, cu_qp_delta=True,
                        rng_seed=16), "IPPB", seed=13)
+
+
+def test_amp_partitions():
+    """AMP inter partitions (2NxnU/2NxnD/nLx2N/nRx2N; hls_prediction_unit
+    part modes, hevc.c:1968) decode bit-exact vs the encoder recon AND the
+    reference oracle.  Round-3 gap: both front-ends implemented AMP but no
+    generated stream ever exercised it."""
+    _run(EncoderConfig(width=96, height=96, qp=30, amp=True, p_amp=0.8,
+                       p_skip=0.1, log2_ctb=6, rng_seed=61), "IPBP", seed=21)

@@ -223,3 +223,9 @@ def test_native_wpp_parallel_overflow_fallback(monkeypatch):
     par = _plans(stream, True, threads=4)
     monkeypatch.undo()
     _diff(serial, par)
+
+
+def test_native_amp():
+    """AMP part modes through the C front-end vs the Python walker."""
+    _run(EncoderConfig(width=96, height=96, qp=30, amp=True, p_amp=0.8,
+                       p_skip=0.1, log2_ctb=6, rng_seed=92), "IPP", 12)

@@ -40,7 +40,9 @@ inp, outp = sys.argv[1], sys.argv[2]
 stream = open(inp, "rb").read()
 dec = Decoder(backend=TpuBackend())
 frames = dec.decode_stream(stream)
-mine = [[np.asarray(p) for p in f.planes] for f in frames]
+# host_planes: the product fetch path (narrow wire + 10/12-bit unpack)
+mine = [[np.asarray(p).astype(np.int32) for p in f.host_planes()]
+        for f in frames]
 with open(outp, "wb") as f:
     pickle.dump(mine, f)
 """
@@ -123,3 +125,17 @@ def test_tpu_weighted_pred():
 def test_tpu_wpp_tiles_streams():
     _run(EncoderConfig(width=96, height=64, qp=30, wpp=True, rng_seed=40),
          "IP", seed=10)
+
+
+def test_tpu_main10_packed_wire():
+    # 10-bit: the D2H wire is bit-packed 4 samples -> 5 bytes
+    # (tpu/frame_step.py) and Frame.host_planes unpacks; MD5 SEI
+    # verification inside the Decoder runs over the unpacked planes
+    _run(EncoderConfig(width=64, height=64, qp=30, bit_depth=10,
+                       sao=True, rng_seed=41), "IP", seed=11)
+
+
+def test_tpu_amp():
+    """AMP PU geometries through the fused frame_step MC tile buckets."""
+    _run(EncoderConfig(width=96, height=96, qp=30, amp=True, p_amp=0.8,
+                       p_skip=0.1, log2_ctb=6, rng_seed=42), "IPP", seed=12)
