@@ -58,6 +58,17 @@ def main():
     subprocess.run([sys.executable, "-c", child] + streams, env=env,
                    check=True, cwd=REPO)
     os.remove(so)
+    # gcc writes the profile under <pgo>/<mirrored -o path>-<src>.gcda;
+    # the consuming build (-o .../libhevcfe.so) looks for its OWN mangled
+    # name, so place a copy where -fprofile-use will actually find it
+    import shutil
+    gcdas = [os.path.join(r, f) for r, _d, fs in os.walk(pgo)
+             for f in fs if f.endswith(".gcda")]
+    assert gcdas, "training produced no .gcda profile"
+    target_dir = os.path.join(pgo, *os.path.normpath(_DIR).split(os.sep))
+    os.makedirs(target_dir, exist_ok=True)
+    target = os.path.join(target_dir, "libhevcfe.so-frontend.gcda")
+    shutil.copyfile(gcdas[0], target)
     if os.path.exists(_STAMP):
         os.remove(_STAMP)           # force a -fprofile-use rebuild
     print("PGO profile written to", pgo)
