@@ -508,6 +508,7 @@ class Frontend:
                         sao_eo_class=row[6:9].copy(),
                         sao_offsets=row[9:24].reshape(3, 5).copy())
             plan.sao = sao
+            plan.sao_raw = np.ascontiguousarray(out["sao"])
         else:
             plan.sao = None
 

@@ -97,6 +97,10 @@ class FramePlan:
     qp_map: Optional[np.ndarray] = None           # (h/8, w/8) qp_y per 8x8
     # per-CTB SAO
     sao: Optional[dict] = None   # {(rx, ry): CtbFilterParams}
+    # raw (nctb, 24) int32 SAO rows from the native walk (same data as
+    # `sao`); the TPU backend builds its per-CTB grids from this with one
+    # vectorized reshape instead of a 510-object python loop per frame
+    sao_raw: Optional[object] = None
     deblock_disable: bool = False
     strong_intra_smoothing: bool = False
     intra_smoothing_disabled: bool = False   # RExt sps flag

@@ -77,6 +77,11 @@ class TpuBackend:
         self._flat_len = {"I": {}, "PB": {}}
         self._resid_len = {"I": {}, "PB": {}}
         self._resc_len = {"I": {}, "PB": {}}    # escape-level caps
+        # stacked-ref reuse: consecutive frames mostly share the same RPL,
+        # and re-stacking (n_refs, H, W) on device every frame costs a
+        # dispatch + an HBM copy.  Entries pin the source plane objects so
+        # identity (`is`) checks can't hit recycled ids.
+        self._ref_cache = []                    # [(plane objs, refs)]
         self._ipal_chunks = {"I": {}, "PB": {}}
 
     def decode_frame(self, plan: FramePlan, dpb):
@@ -200,8 +205,20 @@ class TpuBackend:
                     p = jax.device_put(p, self._cur_device)
                 return jnp.asarray(p, jnp.int32)
 
-            refs = [jnp.stack([_ref_plane(f, c) for f in rframes])
-                    for c in range(3)]
+            srcs = [f.planes[0] for f in rframes]
+            refs = None
+            if self._cur_device is None:
+                for planes_list, crefs in self._ref_cache:
+                    if len(planes_list) == len(srcs) and all(
+                            a is b for a, b in zip(planes_list, srcs)):
+                        refs = crefs
+                        break
+            if refs is None:
+                refs = [jnp.stack([_ref_plane(f, c) for f in rframes])
+                        for c in range(3)]
+                if self._cur_device is None:
+                    self._ref_cache = (self._ref_cache +
+                                       [(srcs, refs)])[-3:]
             for (w, h) in _canonical_pu_sizes(1 << (self.ctb_log2 or 6)):
                 batch = cp.inter.get((w, h))
                 if batch is None:

@@ -76,6 +76,15 @@ def build_sao_grids(plan, c_idx, grid_shape):
     ~100 MB of per-pixel maps per 1080p frame.
     """
     rows, cols = grid_shape
+    raw = getattr(plan, "sao_raw", None)
+    if raw is not None and raw.shape[0] == rows * cols:
+        # native-walk fast path: one reshape instead of a per-CTB loop
+        r = np.asarray(raw).reshape(rows, cols, 24)
+        return (np.ascontiguousarray(r[:, :, 0 + c_idx]),
+                np.ascontiguousarray(r[:, :, 3 + c_idx]),
+                np.ascontiguousarray(r[:, :, 6 + c_idx]),
+                np.ascontiguousarray(r[:, :, 9:24].reshape(
+                    rows, cols, 3, 5)[:, :, c_idx]))
     type_g = np.zeros((rows, cols), np.int32)
     band_g = np.zeros((rows, cols), np.int32)
     eo_g = np.zeros((rows, cols), np.int32)
