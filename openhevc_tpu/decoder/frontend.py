@@ -340,12 +340,20 @@ class Frontend:
             bounds = _substream_bounds(sps, pps)
             offsets = nalmod.substream_rbsp_offsets(
                 sh.entry_point_offsets, data_start, skipped, len(payload))
+            if len(offsets) != len(bounds) + 1:
+                # multi-slice picture: this slice carries only its own
+                # whole substreams, starting at its slice address
+                # (hls_decode_entry_wpp decodes num_entry_points+1 rows)
+                bounds = [(max(a, ts0), b) for (a, b) in bounds
+                          if b >= ts0][:len(offsets) - 1]
             assert len(offsets) == len(bounds) + 1, "entry point count mismatch"
         else:
             bounds = [(ts0, nctbs - 1)]
             offsets = [0, len(payload)]
         loads, saves = _substream_ctx_rules(sps, pps, bounds)
-        saved_ctx = None
+        # the WPP row snapshot carries across slice segments of a picture
+        # (ff_hevc_save_states stores per row, not per slice)
+        saved_ctx = cur.get("wpp_saved_ctx")
         prev_ctx = cur["ctx_cont"]
         for si, (b0, b1) in enumerate(bounds):
             if si == 0 and sh.dependent_slice_segment and \
@@ -377,6 +385,7 @@ class Frontend:
                     return
                 if saves[si] and ts == b0 + 1:
                     saved_ctx = ctx.save()
+                    cur["wpp_saved_ctx"] = saved_ctx
         raise ValueError("missing end_of_slice flag")
 
     def end_picture(self):

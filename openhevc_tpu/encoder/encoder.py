@@ -137,6 +137,14 @@ class Encoder:
         s.persistent_rice_adaptation_enabled = int(cfg.persistent_rice)
         if cfg.cross_component:
             assert cfg.chroma_format == 3, "cross-component needs 4:4:4"
+        if cfg.dependent_slices:
+            # dependent slice-state restore shares the snapshot buffer
+            # with the WPP row snapshot on the native path; the reference
+            # combination rules are not modeled — keep them apart
+            assert not (cfg.wpp or cfg.tiles), \
+                "dependent slices + wpp/tiles not supported"
+        if cfg.slices > 1 and cfg.persistent_rice:
+            assert False, "multi-slice + persistent rice not supported"
         if (cfg.transform_skip_rotation or cfg.transform_skip_context
                 or cfg.implicit_rdpcm or cfg.explicit_rdpcm
                 or cfg.persistent_rice or cfg.intra_smoothing_disabled
@@ -384,28 +392,41 @@ class Encoder:
 
         nctbs = sps.pic_size_in_ctbs
         if cfg.slices > 1:
-            assert not cfg.wpp and not cfg.tiles, \
-                "multi-slice + wpp/tiles not supported yet"
-            cuts = [round(i * nctbs / cfg.slices)
-                    for i in range(cfg.slices + 1)]
+            if cfg.wpp or cfg.tiles:
+                # slice cuts align to substream starts (CTB rows / tiles /
+                # rows-in-tiles): each slice carries whole substreams and
+                # its entry points delimit exactly those
+                # (hls_decode_entry_wpp, hevc.c:2751-2832)
+                subs = _substream_bounds(sps, pps)
+                idxs = sorted({min(round(i * len(subs) / cfg.slices),
+                                   len(subs))
+                               for i in range(cfg.slices + 1)})
+                cuts = [subs[i][0] if i < len(subs) else nctbs
+                        for i in idxs]
+            else:
+                cuts = [round(i * nctbs / cfg.slices)
+                        for i in range(cfg.slices + 1)]
             slice_ranges = [(cuts[i], cuts[i + 1] - 1)
-                            for i in range(cfg.slices) if cuts[i] < cuts[i + 1]]
+                            for i in range(len(cuts) - 1)
+                            if cuts[i] < cuts[i + 1]]
         else:
             slice_ranges = [(0, nctbs - 1)]
         slice_nals = []
         segments = []
         cont_ctx = None
+        saved_ctx = None        # WPP row snapshot; carries ACROSS slices
         for sli, (sl0, sl1) in enumerate(slice_ranges):
             sh_k = sh if sli == 0 else copy.copy(sh)
             if sli > 0:
                 # per-slice state reset mirrors the decoder's
                 sh_k.first_slice_in_pic = 0
-                sh_k.slice_segment_addr = sl0       # rs == ts (no tiles)
+                sl0_rs = int(pps.ctb_addr_ts_to_rs[sl0])
+                sh_k.slice_segment_addr = sl0_rs
                 if cfg.dependent_slices:
                     sh_k.dependent_slice_segment = 1
                     sh_k.slice_addr = sh.slice_addr  # containing slice
                 else:
-                    sh_k.slice_addr = sl0
+                    sh_k.slice_addr = sl0_rs
                 st.sh = sh_k
                 st.qp_y = sh_k.slice_qp
                 st.qp_y_pred = sh_k.slice_qp
@@ -425,12 +446,16 @@ class Encoder:
                     sh_k.sao_luma = 1 if rng.random() < 0.8 else 0
                     sh_k.sao_chroma = 1 if rng.random() < 0.8 else 0
             segments.append((sl0, sh_k))
-            bounds = (_substream_bounds(sps, pps) if cfg.slices == 1
-                      else [(sl0, sl1)])
+            if cfg.slices == 1:
+                bounds = _substream_bounds(sps, pps)
+            elif cfg.wpp or cfg.tiles:
+                bounds = [(a, b) for (a, b) in _substream_bounds(sps, pps)
+                          if sl0 <= a and b <= sl1]
+            else:
+                bounds = [(sl0, sl1)]
             loads, saves = _substream_ctx_rules(sps, pps, bounds)
             payload = b""
             entry_points = []       # unescaped substream lengths
-            saved_ctx = None
             prev_ctx = cont_ctx
             for si, (ts0, ts1) in enumerate(bounds):
                 if si == 0 and sli > 0 and cfg.dependent_slices and \
@@ -455,7 +480,7 @@ class Encoder:
                     io.terminate(1 if ts == sl1 else 0)
                     if saves[si] and ts == ts0 + 1:
                         saved_ctx = ctx.save()
-                if ts1 != nctbs - 1 and cfg.slices == 1:
+                if ts1 != sl1:
                     io.terminate(1)          # end_of_subset_one_bit
                 sub = enc.finish()
                 entry_points.append(len(sub))

@@ -336,6 +336,12 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
         bounds = _substream_bounds(sps, pps)
         offsets = substream_rbsp_offsets(
             sh.entry_point_offsets, data_start, skipped, len(payload))
+        if len(offsets) != len(bounds) + 1:
+            # multi-slice picture: this slice carries only its own whole
+            # substreams from its start address (hls_decode_entry_wpp
+            # decodes num_entry_point_offsets+1 rows per slice)
+            bounds = [(max(a, first_ts), b) for (a, b) in bounds
+                      if b >= first_ts][:len(offsets) - 1]
         assert len(offsets) == len(bounds) + 1, "entry point mismatch"
         p.stop_at_eos = 0
 

@@ -162,3 +162,40 @@ def test_slice_filter_variants_tpu_backend():
         for c in range(3):
             np.testing.assert_array_equal(np.asarray(f.planes[c]), want[c],
                                           err_msg=f"tpu frame {i} plane {c}")
+
+
+@pytest.mark.parametrize("kw", [dict(wpp=True), dict(tiles=(2, 2)),
+                                dict(wpp=True, tiles=(2, 2))])
+def test_multislice_with_substreams(kw):
+    """Multi-slice pictures whose slices carry WPP rows / tiles /
+    WPP-in-tiles substreams (slice cuts align to substream starts;
+    hls_decode_entry_wpp decodes num_entry_point_offsets+1 rows per
+    slice, hevc.c:2751-2832).  Round-3 gap: the encoder asserted this
+    combination away, so the decoder paths were never exercised."""
+    stream, recons = _encode(3, seed=88, w=128, h=96, sao=True, **kw)
+    mine = my_decode(stream)
+    for f, want in zip(mine, recons):
+        for p, q in zip(f, want):
+            np.testing.assert_array_equal(np.asarray(p), q)
+    oracle = oracle_decode(stream, 128, 96)
+    assert_frames_equal(recons, oracle, tag=f"slices+{kw}")
+    # native front-end agrees with the python walker (and the recon)
+    dec = Decoder(check_md5=True, use_native=True)
+    frames = dec.decode_stream(stream)
+    assert dec.md5_fail == 0 and dec.md5_ok > 0
+    for f, want in zip(frames, recons):
+        for p, q in zip(f.planes, want):
+            np.testing.assert_array_equal(np.asarray(p), q)
+
+
+def test_multislice_wpp_parallel_parse():
+    """threads>1 on a multi-slice WPP picture: the first slice may take
+    the host-parallel row pool, later slices the serial loop."""
+    stream, recons = _encode(2, seed=89, w=128, h=96, wpp=True)
+    dec = Decoder(check_md5=True, use_native=True)
+    dec.fe.parse_threads = 4
+    frames = dec.decode_stream(stream)
+    assert dec.md5_fail == 0
+    for f, want in zip(frames, recons):
+        for p, q in zip(f.planes, want):
+            np.testing.assert_array_equal(np.asarray(p), q)
