@@ -140,17 +140,34 @@ def compile_plan(plan: FramePlan):
     return cp
 
 
-TILE_SIZES = ((16, 16), (16, 4), (4, 16), (4, 4))
+TILE_SIZES = ((64, 64), (32, 32), (16, 16), (16, 4), (4, 16), (4, 4))
 
 
 def _tile_pu(x, y, w, h):
-    """Cover a (w, h) PU (dims multiples of 4) with fixed tile sizes."""
+    """Cover a (w, h) PU (dims multiples of 4) with fixed tile sizes.
+
+    Greedy largest-first: 64/32 square tiles cover the aligned interior
+    (a 64x64 skip PU is ONE DMA window in the Pallas MC kernel instead of
+    sixteen 16x16 ones — per-window DMA latency dominates small tiles),
+    16x16 covers the remainder, 4-strips the edges."""
     out = []
-    y16 = h - h % 16
-    x16 = w - w % 16
+    y64, x64 = h - h % 64, w - w % 64
+    y32, x32 = h - h % 32, w - w % 32
+    y16, x16 = h - h % 16, w - w % 16
+    for ty in range(0, y64, 64):
+        for tx in range(0, x64, 64):
+            out.append((x + tx, y + ty, 64, 64))
+    for ty in range(0, y32, 32):
+        for tx in range(0, x32, 32):
+            if tx < x64 and ty < y64:
+                continue                    # covered by a 64 tile
+            out.append((x + tx, y + ty, 32, 32))
     for ty in range(0, y16, 16):
         for tx in range(0, x16, 16):
+            if tx < x32 and ty < y32:
+                continue                    # covered by a 64/32 tile
             out.append((x + tx, y + ty, 16, 16))
+    for ty in range(0, y16, 16):
         for tx in range(x16, w, 4):
             out.append((x + tx, y + ty, 4, 16))
     for ty in range(y16, h, 4):

@@ -61,12 +61,38 @@ def tile_buckets(inter, s0, s1):
     idx_all = np.arange(len(inter))
     wmax = int(w.max(initial=0))
     hmax = int(h.max(initial=0))
+    w64 = w - w % 64
+    h64 = h - h % 64
+    w32 = w - w % 32
+    h32 = h - h % 32
 
-    # (16, 16): full grid rows x cols
+    # (64, 64) / (32, 32): greedy large tiles over the aligned interior
+    # (one MC DMA window per 64x64 skip PU instead of sixteen 16x16 ones)
+    txs, tys, tis = [], [], []
+    for b in range(0, hmax, 64):
+        for a in range(0, wmax, 64):
+            m = (a < w64) & (b < h64)
+            if m.any():
+                txs.append(x[m] + a)
+                tys.append(y[m] + b)
+                tis.append(idx_all[m])
+    emit((64, 64), txs, tys, tis)
+
+    txs, tys, tis = [], [], []
+    for b in range(0, hmax, 32):
+        for a in range(0, wmax, 32):
+            m = (a < w32) & (b < h32) & ~((a < w64) & (b < h64))
+            if m.any():
+                txs.append(x[m] + a)
+                tys.append(y[m] + b)
+                tis.append(idx_all[m])
+    emit((32, 32), txs, tys, tis)
+
+    # (16, 16): remainder grid not covered by the 64/32 tiles
     txs, tys, tis = [], [], []
     for b in range(0, hmax, 16):
         for a in range(0, wmax, 16):
-            m = (a < w16) & (b < h16)
+            m = (a < w16) & (b < h16) & ~((a < w32) & (b < h32))
             if m.any():
                 txs.append(x[m] + a)
                 tys.append(y[m] + b)
