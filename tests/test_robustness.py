@@ -150,3 +150,47 @@ def test_pipeline_resilient_mode():
                            resilient=True)
     frames = dec.decode_stream(cut)
     assert len(frames) >= 1
+
+
+def test_bumping_reorder_pyramid():
+    """BUMPING-style stress: a random-access B-pyramid with reorder depth
+    4 — decode order 0,8,4,2,6,1,3,5,7 vs output order 0..8.  The output
+    bump process (DPB fullness vs sps_max_num_reorder_pics,
+    hevc_refs.c output/bumping) must emit strictly POC-ascending frames,
+    bit-exact vs the encoder recon AND the reference oracle."""
+    from tests.util_e2e import oracle_decode, my_decode, assert_frames_equal
+    w, h = 64, 64
+    rng = np.random.default_rng(23)
+    enc = Encoder(EncoderConfig(width=w, height=h, qp=30, rng_seed=55,
+                                temporal_mvp=True, sao=True,
+                                reorder_pics=4))
+    stream = b"".join(enc.parameter_set_nals())
+    base = make_source(rng, w, h)
+    # each RPS lists every picture still needed by later frames in
+    # decode order (real RA streams keep future refs in the RPS too;
+    # the encoder's apply_rps drops anything unlisted from its DPB)
+    order = [(0, "I", None), (8, "P", [0]), (4, "B", [0, 8]),
+             (2, "B", [0, 4, 8]), (6, "B", [4, 8, 0, 2]),
+             (1, "B", [0, 2, 4, 6, 8]), (3, "B", [2, 4, 6, 8]),
+             (5, "B", [4, 6, 8]), (7, "B", [6, 8])]
+    recon_by_poc = {}
+    for poc, t, refs in order:
+        src = [np.roll(p, poc, 0) for p in base]
+        nal, recon, _ = enc.encode_frame(src, t, poc=poc, ref_pocs=refs)
+        stream += nal
+        recon_by_poc[poc] = [np.asarray(p).copy() for p in recon]
+    want = [recon_by_poc[p] for p in range(9)]
+    mine = my_decode(stream)                    # python front-end path
+    assert_frames_equal(mine, want, "bumping-python")
+    # native front-end through the pipelined decoder (bounded reorder)
+    from openhevc_tpu.runtime import PipelinedDecoder
+    dec = PipelinedDecoder(check_md5=True, use_native=True)
+    frames = dec.decode_stream(stream)
+    assert dec.md5_fail == 0 and dec.md5_ok > 0
+    assert [f.poc for f in frames] == list(range(9)), \
+        [f.poc for f in frames]
+    for f, wnt in zip(frames, want):
+        for p, q in zip(f.host_planes(), wnt):
+            np.testing.assert_array_equal(np.asarray(p), q)
+    oracle = oracle_decode(stream, w, h)
+    assert_frames_equal(want, oracle, "bumping-oracle")
