@@ -30,10 +30,27 @@ def _clip16(x):
 
 
 def _inv_stage(mat, coeffs, shift):
-    """clip16((mat^T @ coeffs + add) >> shift) over a batch (N, n, n)."""
+    """clip16((mat^T @ coeffs + add) >> shift) over a batch (N, n, n).
+
+    MXU formulation: an int32 einsum runs on the VPU's multi-pass integer
+    multiplier; instead split the int16 coefficients into hi/lo bytes and
+    run two bf16 matmuls with fp32 accumulation on the MXU.  Every step is
+    exact: transform entries (|m| <= 90, hevcdsp_template.c:280-338 DCT/DST
+    matrices) and both byte halves (|hi| <= 128, lo <= 255) are integers
+    below 2^8 so bf16 (8-bit significand) holds them exactly; each product
+    (<= 90*255) is exact in fp32; every partial sum is an integer bounded
+    by 32*90*255 < 2^24, inside fp32's integer-exact range.  Recombining
+    acc_hi*256 + acc_lo in int32 reproduces the int32 einsum bit-exactly.
+    """
     add = 1 << (shift - 1)
-    acc = jnp.einsum("kn,bkm->bnm", mat, coeffs,
-                     preferred_element_type=jnp.int32)
+    matb = mat.astype(jnp.bfloat16)
+    hi = (coeffs >> 8).astype(jnp.bfloat16)
+    lo = (coeffs & 255).astype(jnp.bfloat16)
+    acc_hi = jnp.einsum("kn,bkm->bnm", matb, hi,
+                        preferred_element_type=jnp.float32)
+    acc_lo = jnp.einsum("kn,bkm->bnm", matb, lo,
+                        preferred_element_type=jnp.float32)
+    acc = acc_hi.astype(jnp.int32) * 256 + acc_lo.astype(jnp.int32)
     return _clip16((acc + add) >> shift)
 
 
