@@ -76,7 +76,8 @@ class TpuBackend:
         self._slot_T = {"I": {}, "PB": {}}
         self._flat_len = {"I": {}, "PB": {}}
         self._resid_len = {"I": {}, "PB": {}}
-        self._resc_len = {"I": {}, "PB": {}}    # escape-level caps
+        self._resc_len = {"I": {}, "PB": {}}    # int16 escape-level caps
+        self._rese_len = {"I": {}, "PB": {}}    # int8 escape-level caps
         # stacked-ref reuse: consecutive frames mostly share the same RPL,
         # and re-stacking (n_refs, H, W) on device every frame costs a
         # dispatch + an HBM copy.  Entries pin the source plane objects so
@@ -334,11 +335,13 @@ class TpuBackend:
                 add(("slot",) + key + (f,), v)
 
         # ---- whole-frame residual batches (outside the scan) ----
-        # coefficient levels ride a SEPARATE int8 wire buffer: 99.99+% of
-        # levels fit int8 on real content, halving the dominant plan
-        # section; the rare exceptions ship as (index, value) escapes in
-        # the int16 buffer and the device scatters them over the widened
-        # plane (reference stores full int16 coeffs, hevc_cabac.c:1950)
+        # coefficient levels ride a SEPARATE wire buffer as packed 4-bit
+        # nibbles: 97-99% of levels fit [-8, 7] on real content, so this
+        # quarters the dominant plan section vs int16.  Exceptions ship as
+        # (index, value) escapes the device scatters over the widened
+        # plane: (7, 127] with int8 values (5 B each), the ultra-rare
+        # |level| > 127 with int16 values (6 B each).  (The reference
+        # stores full int16 coeffs, hevc_cabac.c:1950.)
         resid_keys = []
         lv_specs = []                   # (key, n_rows, tgt) per bucket
         for key in sorted(resid.keys()):
@@ -359,55 +362,70 @@ class TpuBackend:
             add8(("resid", c, n, "valid"), valid)
             lv_specs.append((key, n_rows, tgt))
 
-        # int8 buffer layout + fill (native one-pass on the fast path)
+        # nibble buffer layout + fill (native one-pass on the fast path);
+        # every bucket's nibble region is tgt*n*n/2 bytes (n*n >= 16 even,
+        # so TUs stay byte-aligned)
         layout8 = []
         off8 = 0
         bucket_base = np.zeros(12, np.int64)
         for (key, n_rows, tgt) in lv_specs:
             c, n = key
-            layout8.append((("resid", c, n, "levels"), off8, (tgt, n, n)))
+            layout8.append((("resid", c, n, "levels"), off8, (tgt, n, n),
+                            "nib"))
             bucket_base[c * 4 + (n.bit_length() - 3)] = off8
-            off8 += tgt * n * n
+            off8 += tgt * n * n // 2
         packed8_np = np.zeros(max(off8, 1), np.int8)
         if lv_specs:
             if fast:
                 from ..native import pack_levels_native
-                eb, ei, ev = pack_levels_native(
+                eb, ei, ev, e8b, e8i, e8v = pack_levels_native(
                     plan.soa["resid"], plan.raw_levels, bucket_base,
                     packed8_np)
             else:
                 ebl, eil, evl = [], [], []
-                for (key, n_rows, tgt), (lpath, o8, _shape) in \
+                e8bl, e8il, e8vl = [], [], []
+                for (key, n_rows, tgt), (lpath, o8, _shape, _nib) in \
                         zip(lv_specs, layout8):
                     c, n = key
                     b = c * 4 + (n.bit_length() - 3)
                     lv = np.clip(resid[key]["levels"], -32768, 32767) \
                         .astype(np.int32).reshape(n_rows, -1) \
                         if n_rows else np.zeros((0, n * n), np.int32)
-                    lv8 = lv.astype(np.int8)
-                    esc = lv8.astype(np.int32) != lv
-                    if esc.any():
-                        idx = np.flatnonzero(esc.ravel())
+                    esc8 = ((lv < -8) | (lv > 7)) & (lv >= -128) & (lv <= 127)
+                    esc16 = (lv < -128) | (lv > 127)
+                    if esc8.any():
+                        idx = np.flatnonzero(esc8.ravel())
+                        e8bl.append(np.full(len(idx), b, np.int32))
+                        e8il.append(idx.astype(np.int64))
+                        e8vl.append(lv.ravel()[idx].astype(np.int8))
+                    if esc16.any():
+                        idx = np.flatnonzero(esc16.ravel())
                         ebl.append(np.full(len(idx), b, np.int32))
                         eil.append(idx.astype(np.int64))
                         evl.append(lv.ravel()[idx])
-                        lv8.ravel()[idx] = 0
-                    packed8_np[o8:o8 + n_rows * n * n] = lv8.ravel()
+                    lv4 = np.where(esc8 | esc16, 0, lv).reshape(-1, 2)
+                    by = ((lv4[:, 0] & 15) | ((lv4[:, 1] & 15) << 4)) \
+                        .astype(np.uint8).view(np.int8)
+                    packed8_np[o8:o8 + n_rows * n * n // 2] = by
                 eb = np.concatenate(ebl) if ebl else np.zeros(0, np.int32)
                 ei = np.concatenate(eil) if eil else np.zeros(0, np.int64)
                 ev = np.concatenate(evl) if evl else np.zeros(0, np.int32)
+                e8b = np.concatenate(e8bl) if e8bl else np.zeros(0, np.int32)
+                e8i = np.concatenate(e8il) if e8il else np.zeros(0, np.int64)
+                e8v = np.concatenate(e8vl) if e8vl else np.zeros(0, np.int8)
 
-        # per-bucket escape sections (sticky caps; idx split lo/hi int16)
+        # per-bucket escape sections (sticky caps; idx split lo/hi int16;
+        # int8-value escapes put their value byte on the nibble buffer)
         for (key, n_rows, tgt) in lv_specs:
             c, n = key
             b = c * 4 + (n.bit_length() - 3)
+            oob = tgt * n * n           # out-of-range index: device drops it
             m = eb == b
             cnt = int(m.sum())
             ecap = max(_pow2(cnt) if cnt else 0,
                        self._resc_len.setdefault(fam, {}).get(key, 0))
             self._resc_len[fam][key] = ecap
             if ecap:
-                oob = tgt * n * n       # out-of-range: device drops it
                 idx = np.full(ecap, oob, np.int64)
                 val = np.zeros(ecap, np.int32)
                 idx[:cnt] = ei[m]
@@ -415,7 +433,20 @@ class TpuBackend:
                 add(("resc", c, n, "lo"), idx & 0xFFFF)
                 add(("resc", c, n, "hi"), idx >> 16)
                 add(("resc", c, n, "val"), val)
-            resid_keys.append((c, n, tgt, ecap))
+            m8 = e8b == b
+            cnt8 = int(m8.sum())
+            e8cap = max(_quant(cnt8) if cnt8 else 0,
+                        self._rese_len.setdefault(fam, {}).get(key, 0))
+            self._rese_len[fam][key] = e8cap
+            if e8cap:
+                idx = np.full(e8cap, oob, np.int64)
+                val = np.zeros(e8cap, np.int8)
+                idx[:cnt8] = e8i[m8]
+                val[:cnt8] = e8v[m8]
+                add(("rese", c, n, "lo"), idx & 0xFFFF)
+                add(("rese", c, n, "hi"), idx >> 16)
+                add8(("rese", c, n, "val"), val)
+            resid_keys.append((c, n, tgt, ecap, e8cap))
         resid_keys = tuple(resid_keys)
 
         # ---- cross-component alpha maps (RExt 4:4:4) ----

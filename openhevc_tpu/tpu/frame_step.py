@@ -57,16 +57,29 @@ def _scatter_add_clip(plane, xs, ys, res, valid, bit_depth):
 
 
 def _unpack(packed, layout):
-    """layout: tuple of (path, offset, shape); static slices into `packed`.
+    """layout: tuple of (path, offset, shape[, "nib"]); static slices into
+    `packed`.
 
     The buffer travels host->device as int16 (every plan field provably
     fits: coords < 2^13, CABAC levels clip to [-32768, 32767], PCM samples
     <= 14-bit, SAO/QP/BS params are tiny) and widens to int32 on device —
-    halving the PCIe/tunnel upload vs an int32 buffer.
+    halving the PCIe/tunnel upload vs an int32 buffer.  Sections tagged
+    "nib" carry two 4-bit two's-complement values per byte (low nibble =
+    even element; coefficient levels, 97-99% of which fit [-8, 7]) and are
+    sign-extended here — quartering the level wire vs int16.
     """
     out = {}
-    for path, off, shape in layout:
+    for entry in layout:
+        path, off, shape = entry[:3]
         size = int(np.prod(shape)) if shape else 1
+        if len(entry) > 3 and entry[3] == "nib":
+            raw = packed[off:off + size // 2].astype(jnp.int32) & 0xFF
+            lo = raw & 15
+            lo = lo - ((lo & 8) << 1)
+            hi = raw >> 4
+            hi = hi - ((hi & 8) << 1)
+            out[path] = jnp.stack([lo, hi], axis=-1).reshape(shape)
+            continue
         out[path] = packed[off:off + size].reshape(shape).astype(jnp.int32)
     return out
 
@@ -83,8 +96,9 @@ def frame_step(refs, packed, packed8, prof):
     ipal: () for the lax.scan wavefront, else ((c, n_chunks), ...) selecting
     the sequential Pallas intra kernel (intra_pallas.intra_seq).
     refs: [3 stacked ref tensors] (device); packed: flat int16 plan buffer;
-    packed8: flat int8 buffer carrying the coefficient levels (the rare
-    |level| > 127 escapes ride `packed` and scatter over the widened plane).
+    packed8: flat int8 buffer carrying the 4-bit-packed coefficient levels
+    (escape indices ride `packed` and scatter over the widened plane:
+    int8 values for (7, 127], int16 values for the rare |level| > 127).
     """
     (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, resid_keys,
      deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
@@ -206,13 +220,22 @@ def frame_step(refs, packed, packed8, prof):
             from .mc_pallas import band_paint as _bpaint, band_pad_shape
             rc16 = [jnp.zeros(band_pad_shape(*s), jnp.int16) for s in shapes]
         rcanvas = [jnp.zeros(s, jnp.int32) for s in shapes]
-        for (c, n, N, E) in resid_keys:
+        for (c, n, N, E, E8) in resid_keys:
             d = {f: arrays[("resid", c, n, f)]
                  for f in ("xs", "ys", "qp", "kind", "mid", "xtra", "levels",
                            "valid")}
-            if E:
-                # widen the int8 levels with the exact int16 escapes
+            if E8:
+                # widen the 4-bit levels with the int8-value escapes
                 # (index split lo/hi int16; OOB-padded entries drop)
+                lo = arrays[("rese", c, n, "lo")] & 0xFFFF
+                hi = arrays[("rese", c, n, "hi")]
+                idx = (hi << 16) | lo
+                val = arrays[("rese", c, n, "val")]
+                d["levels"] = d["levels"].reshape(-1) \
+                    .at[idx].set(val, mode="drop") \
+                    .reshape(d["levels"].shape)
+            if E:
+                # ... and the ultra-rare exact int16 escapes
                 lo = arrays[("resc", c, n, "lo")] & 0xFFFF
                 hi = arrays[("resc", c, n, "hi")]
                 idx = (hi << 16) | lo

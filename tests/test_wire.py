@@ -1,9 +1,10 @@
 """The packed-plan wire format (backend.prepare -> frame_step._unpack).
 
-Coefficient levels travel as int8 (halving the dominant plan section,
-NOTES_r3 lever 2); |level| > 127 values ride an (index, value) escape
-side-channel in the int16 buffer.  These tests verify the encoding
-host-side, without compiling any device program."""
+Coefficient levels travel as packed 4-bit nibbles (quartering the dominant
+plan section vs int16); |level| in (7, 127] rides an (index, int8 value)
+escape side-channel, the rare |level| > 127 an (index, int16 value) one.
+These tests verify the encoding host-side, without compiling any device
+program."""
 
 import numpy as np
 import pytest
@@ -39,25 +40,39 @@ def _prepare(plan, ctb_log2, fast, monkeypatch):
     return np.asarray(packed), np.asarray(packed8), prof
 
 
+def _unpack_entry(buf, entry):
+    """Mirror frame_step._unpack for one layout entry (numpy)."""
+    p, o, s = entry[:3]
+    size = int(np.prod(s)) if s else 1
+    if len(entry) > 3 and entry[3] == "nib":
+        raw = buf[o:o + size // 2].astype(np.int32) & 0xFF
+        lo = raw & 15
+        lo = lo - ((lo & 8) << 1)
+        hi = raw >> 4
+        hi = hi - ((hi & 8) << 1)
+        return np.stack([lo, hi], axis=-1).reshape(s)
+    return buf[o:o + size].reshape(s).astype(np.int32)
+
+
 def _wire_levels(packed, packed8, prof):
     """Re-widen the wire levels exactly like frame_step does (numpy)."""
     layout = prof[17]
     layout8 = prof[-1]
     resid_keys = prof[8]
-    arr = {p: packed[o:o + int(np.prod(s))].reshape(s).astype(np.int32)
-           for p, o, s in layout}
-    arr8 = {p: packed8[o:o + int(np.prod(s))].reshape(s).astype(np.int32)
-            for p, o, s in layout8}
+    arr = {e[0]: _unpack_entry(packed, e) for e in layout}
+    arr8 = {e[0]: _unpack_entry(packed8, e) for e in layout8}
     arr.update({p: v for p, v in arr8.items()
                 if p[-1] != "levels"})      # int8 field sections
     out = {}
-    for (c, n, N, E) in resid_keys:
+    for (c, n, N, E, E8) in resid_keys:
         lv = arr8[("resid", c, n, "levels")].copy()
-        if E:
-            lo = arr[("resc", c, n, "lo")] & 0xFFFF
-            hi = arr[("resc", c, n, "hi")]
+        for chan, cnt in (("rese", E8), ("resc", E)):
+            if not cnt:
+                continue
+            lo = arr[(chan, c, n, "lo")] & 0xFFFF
+            hi = arr[(chan, c, n, "hi")]
             idx = (hi << 16) | lo
-            val = arr[("resc", c, n, "val")]
+            val = arr[(chan, c, n, "val")]
             flat = lv.reshape(-1)
             ok = idx < flat.size            # mode="drop" semantics
             flat[idx[ok]] = val[ok]
@@ -73,7 +88,7 @@ def _check_vs_oracle(qp, fast, monkeypatch):
     want = plan_soa.resid_buckets(np.asarray(plan.soa["resid"]),
                                   plan.raw_levels,
                                   plan.chroma_format_idc)
-    n_esc = 0
+    n_esc16 = n_esc8 = 0
     for key, d in want.items():
         if key not in got:              # slow path omits empty buckets
             assert len(d["levels"]) == 0
@@ -83,19 +98,25 @@ def _check_vs_oracle(qp, fast, monkeypatch):
         assert (lv[:N] == d["levels"]).all(), f"levels mismatch {key}"
         assert (lv[N:] == 0).all(), f"padding not zero {key}"
         assert valid[:N].all() and not valid[N:].any()
-        n_esc += int((np.abs(d["levels"]) > 127).sum())
-    return n_esc
+        n_esc16 += int((np.abs(d["levels"]) > 127).sum())
+        n_esc8 += int(((np.abs(d["levels"]) > 7)
+                       & (np.abs(d["levels"]) <= 127)).sum())
+    return n_esc16, n_esc8
 
 
-def test_wire_levels_int8_native(monkeypatch):
-    assert _check_vs_oracle(qp=30, fast=True, monkeypatch=monkeypatch) == 0
+def test_wire_levels_nibble_native(monkeypatch):
+    # qp=30: some int8 escapes, no int16 ones
+    e16, e8 = _check_vs_oracle(qp=30, fast=True, monkeypatch=monkeypatch)
+    assert e16 == 0 and e8 > 0
 
 
 def test_wire_levels_escapes_native(monkeypatch):
     # qp=0 noise: guaranteed |level| > 127 coefficients hit the escapes
-    assert _check_vs_oracle(qp=0, fast=True, monkeypatch=monkeypatch) > 0
+    e16, e8 = _check_vs_oracle(qp=0, fast=True, monkeypatch=monkeypatch)
+    assert e16 > 0 and e8 > 0
 
 
 def test_wire_levels_escapes_slow_path(monkeypatch):
     # the schedule_slots (non-SoA) path must encode the same wire levels
-    assert _check_vs_oracle(qp=0, fast=False, monkeypatch=monkeypatch) > 0
+    e16, e8 = _check_vs_oracle(qp=0, fast=False, monkeypatch=monkeypatch)
+    assert e16 > 0
