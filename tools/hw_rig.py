@@ -178,9 +178,10 @@ def main():
     if want("intra"):
         ok &= rig_intra(W, H)
     if want("mc"):
-        for (w, h) in ((16, 16), (16, 4), (4, 16), (4, 4)):
+        for (w, h) in ((64, 64), (32, 32), (16, 16), (16, 4), (4, 16),
+                       (4, 4)):
             ok &= rig_mc(W, H, True, w, h, 64)
-        for (w, h) in ((8, 8), (8, 2), (2, 8), (2, 2)):
+        for (w, h) in ((32, 32), (16, 16), (8, 8), (8, 2), (2, 8), (2, 2)):
             ok &= rig_mc(W // 2, H // 2, False, w, h, 64)
         ok &= rig_mc(W, H, True, 16, 16, 64, extreme_mv=True)
         ok &= rig_mc(W // 2, H // 2, False, 8, 8, 64, extreme_mv=True)
