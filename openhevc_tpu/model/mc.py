@@ -87,21 +87,23 @@ def _clip_pixel(x, bit_depth):
 
 
 def mc_uni(val, bit_depth=8):
+    # the reference's BIT_DEPTH 14 instantiation pins offset to 0
+    # (hevcdsp_template.c "#if BIT_DEPTH < 14 ... offset" pattern)
     shift = 14 - bit_depth
-    offset = 1 << (shift - 1)
+    offset = (1 << (shift - 1)) if bit_depth < 14 else 0
     return _clip_pixel((val.astype(np.int64) + offset) >> shift, bit_depth).astype(np.int32)
 
 
 def mc_bi(val0, val1, bit_depth=8):
     shift = 15 - bit_depth
-    offset = 1 << (shift - 1)
+    offset = (1 << (shift - 1)) if bit_depth < 14 else 0
     acc = val0.astype(np.int64) + val1.astype(np.int64) + offset
     return _clip_pixel(acc >> shift, bit_depth).astype(np.int32)
 
 
 def mc_uni_w(val, denom, wx, ox, bit_depth=8):
     shift = denom + 14 - bit_depth
-    offset = 1 << (shift - 1)
+    offset = (1 << (shift - 1)) if bit_depth < 14 else 0
     ox = ox * (1 << (bit_depth - 8))
     out = ((val.astype(np.int64) * wx + offset) >> shift) + ox
     return _clip_pixel(out, bit_depth).astype(np.int32)

@@ -76,8 +76,11 @@ def idst4x4(coeffs: np.ndarray, bit_depth: int = 8) -> np.ndarray:
 
 
 def idct_dc(dc: int, n: int, bit_depth: int = 8) -> np.ndarray:
+    # at bit_depth 14 shift is 0: add must drop out (the reference's
+    # "1 << -1" is UB whose int16-truncated result equals add = 0, and the
+    # full-IDCT path it shortcuts gives the same (dc + 1) >> 1)
     shift = 14 - bit_depth
-    add = 1 << (shift - 1)
+    add = (1 << (shift - 1)) if shift > 0 else 0
     coeff = (((int(dc) + 1) >> 1) + add) >> shift
     return np.full((n, n), coeff, np.int32)
 

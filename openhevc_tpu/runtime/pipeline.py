@@ -134,52 +134,95 @@ class PipelinedDecoder:
         t = threading.Thread(target=parser, daemon=True)
         t.start()
 
+        # third stage: reconstruction/dispatch runs on its OWN thread so the
+        # consumer's blocking host fetch (host_planes: the D2H wire wait,
+        # GIL released) overlaps the next frames' prepare() — without this
+        # the fetch wait and the host plan compilation serialize on the one
+        # thread and the wire never hides (the reference's analog is the
+        # frame-thread handoff at ff_thread_finish_setup, hevc.c:3271)
+        out_q = queue.Queue(maxsize=max(2, self.dispatch_ahead + 1))
+
+        def put_out(f):
+            while not stop.is_set():
+                try:
+                    out_q.put(f, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
+        def dispatcher():
+            import time as _time
+            from ..log import logger as _log
+            reorder = []                    # frames awaiting output, by POC
+            try:
+                while True:
+                    item = plans_q.get()
+                    if item is None:
+                        break
+                    plan, is_idr = item
+                    if is_idr:
+                        reorder.sort(key=lambda f: f.poc)
+                        for f in reorder:
+                            if not put_out(f):
+                                return
+                        reorder = []
+                        self.dpb.clear()
+                    _t0 = _time.monotonic()
+                    frame = self._reconstruct(plan)
+                    self.stats.frames_decoded += 1
+                    self.stats.decode_time_s += _time.monotonic() - _t0
+                    _log.debug("decoded poc %d type %d in %.1f ms", plan.poc,
+                               plan.slice_type,
+                               (_time.monotonic() - _t0) * 1e3)
+                    self.dpb.add(frame)
+                    if plan.ref_keep is not None:
+                        self.dpb.retain(set(plan.ref_keep) | {plan.poc})
+                    if self.check_md5 and plan.md5 is not None:
+                        self._verify_md5(frame, plan.md5, plan.bit_depth)
+                    reorder.append(frame)
+                    reorder.sort(key=lambda f: f.poc)
+                    while len(reorder) > plan.num_reorder_pics:
+                        if not put_out(reorder.pop(0)):
+                            return
+                    if stop.is_set():
+                        return
+                reorder.sort(key=lambda f: f.poc)
+                for f in reorder:
+                    if not put_out(f):
+                        return
+            except Exception as e:          # surfaced on the main thread
+                err.append(e)
+            finally:
+                while not stop.is_set():
+                    try:
+                        out_q.put(None, timeout=0.2)
+                        break
+                    except queue.Full:
+                        pass
+
+        td = threading.Thread(target=dispatcher, daemon=True)
+        td.start()
+
         emitted = 0
-        reorder = []                        # frames awaiting output, by POC
-        ready = []                          # dispatched, awaiting handoff
         try:
             while True:
-                item = plans_q.get()
-                if item is None:
+                f = out_q.get()
+                if f is None:
                     break
-                plan, is_idr = item
-                if is_idr:
-                    reorder.sort(key=lambda f: f.poc)
-                    ready.extend(reorder)
-                    reorder = []
-                    self.dpb.clear()
-                import time as _time
-                from ..log import logger as _log
-                _t0 = _time.monotonic()
-                frame = self._reconstruct(plan)
-                self.stats.frames_decoded += 1
-                self.stats.decode_time_s += _time.monotonic() - _t0
-                _log.debug("decoded poc %d type %d in %.1f ms", plan.poc,
-                           plan.slice_type, (_time.monotonic() - _t0) * 1e3)
-                self.dpb.add(frame)
-                if plan.ref_keep is not None:
-                    self.dpb.retain(set(plan.ref_keep) | {plan.poc})
-                if self.check_md5 and plan.md5 is not None:
-                    self._verify_md5(frame, plan.md5, plan.bit_depth)
-                reorder.append(frame)
-                reorder.sort(key=lambda f: f.poc)
-                while len(reorder) > plan.num_reorder_pics:
-                    ready.append(reorder.pop(0))
-                while len(ready) > self.dispatch_ahead:
-                    yield ready.pop(0)
-                    emitted += 1
-                    if max_frames and emitted >= max_frames:
-                        return
-            t.join()
-            if err:
-                raise err[0]
-            reorder.sort(key=lambda f: f.poc)
-            ready.extend(reorder)
-            for f in ready:
                 yield f
                 emitted += 1
                 if max_frames and emitted >= max_frames:
                     return
+            if err:
+                # unblock the producer threads before joining: the parser
+                # may be spinning on a full plans_q after the dispatcher
+                # died mid-stream
+                stop.set()
+            t.join()
+            td.join()
+            if err:
+                raise err[0]
         finally:
             stop.set()
 

@@ -185,18 +185,23 @@ def frame_step(refs, packed, packed8, prof):
             ox0 = (b["w0"][:, ci + 1] * (1 << (bd - 8)))[:, None, None]
             wx1 = b["w1"][:, ci][:, None, None]
             ox1 = (b["w1"][:, ci + 1] * (1 << (bd - 8)))[:, None, None]
-            # weighted uni (identity weights reproduce the unweighted path)
+            # weighted uni (identity weights reproduce the unweighted path);
+            # the reference's BIT_DEPTH 14 template pins the offset to 0
+            # (hevcdsp_template.c "#if BIT_DEPTH < 14" pattern)
             shift_u = denom + (14 - bd)
+            off_u = (1 << (shift_u - 1)) if bd < 14 else 0
             srcu = jnp.where(is_l0, val0, val1)
             wxu = jnp.where(is_l0, wx0, wx1)
             oxu = jnp.where(is_l0, ox0, ox1)
-            uni = jnp.clip(((srcu * wxu + (1 << (shift_u - 1))) >> shift_u)
+            uni = jnp.clip(((srcu * wxu + off_u) >> shift_u)
                            + oxu, 0, maxv)
-            # weighted bi
+            # weighted bi: rounding term is (ox0 + ox1 + 1) << log2Wd with
+            # the SCALED offsets but the +1 unscaled
+            # (hevcdsp_template.c put_hevc_qpel_bi_w_*)
             log2wd = denom + (15 - bd) - 1
             bi = jnp.clip((val0 * wx0 + val1 * wx1 +
-                           ((ox0 + ox1 + (1 << (bd - 8))) << log2wd >>
-                            (bd - 8))) >> (log2wd + 1), 0, maxv)
+                           ((ox0 + ox1 + 1) << log2wd)) >> (log2wd + 1),
+                          0, maxv)
             vals = jnp.where((b["pf"] == 3)[:, None, None], bi, uni)
             if use_pallas:
                 planes[c] = band_paint(planes[c], vals, xs, ys,

@@ -75,8 +75,11 @@ def mc_combine_scatter(plane, xs, ys, val0, val1, pred_flag, valid, w, h,
     shift_u = 14 - bit_depth
     shift_b = 15 - bit_depth
     uni_src = jnp.where((pred_flag == 1)[:, None, None], val0, val1)
-    uni = jnp.clip((uni_src + (1 << (shift_u - 1))) >> shift_u, 0, maxv)
-    bi = jnp.clip((val0 + val1 + (1 << (shift_b - 1))) >> shift_b, 0, maxv)
+    # reference pins offsets to 0 at BIT_DEPTH 14 (hevcdsp_template.c)
+    off_u = (1 << (shift_u - 1)) if bit_depth < 14 else 0
+    off_b = (1 << (shift_b - 1)) if bit_depth < 14 else 0
+    uni = jnp.clip((uni_src + off_u) >> shift_u, 0, maxv)
+    bi = jnp.clip((val0 + val1 + off_b) >> shift_b, 0, maxv)
     vals = jnp.where((pred_flag == 3)[:, None, None], bi, uni)
 
     ph, pw = plane.shape

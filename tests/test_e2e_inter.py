@@ -87,6 +87,13 @@ def test_weighted_pred():
                        rng_seed=15), "IPPBB", seed=12)
 
 
+def test_weighted_pred_main10():
+    # weighted uni/bi at 10-bit, oracle-verified (bi rounding term uses an
+    # unscaled +1 next to the scaled offsets, hevcdsp_template.c bi_w)
+    _run(EncoderConfig(width=96, height=64, qp=30, bit_depth=10,
+                       weighted_pred=True, rng_seed=21), "IPPBB", seed=18)
+
+
 def test_cu_qp_delta():
     _run(EncoderConfig(width=96, height=64, qp=30, cu_qp_delta=True,
                        rng_seed=16), "IPPB", seed=13)

@@ -122,6 +122,14 @@ def test_tpu_weighted_pred():
                        rng_seed=39), "IPB", seed=9)
 
 
+def test_tpu_weighted_pred_main10():
+    # bd > 8 weighted-bi: the rounding term is (ox0+ox1+1) << log2Wd with
+    # scaled offsets but the +1 UNSCALED (hevcdsp_template.c bi_w) — a
+    # formulation that folded the +1 into the offset scale was ~2 LSB off
+    _run(EncoderConfig(width=64, height=64, qp=30, bit_depth=10,
+                       weighted_pred=True, rng_seed=44), "IPB", seed=14)
+
+
 def test_tpu_wpp_tiles_streams():
     _run(EncoderConfig(width=96, height=64, qp=30, wpp=True, rng_seed=40),
          "IP", seed=10)
@@ -133,6 +141,13 @@ def test_tpu_main10_packed_wire():
     # verification inside the Decoder runs over the unpacked planes
     _run(EncoderConfig(width=64, height=64, qp=30, bit_depth=10,
                        sao=True, rng_seed=41), "IP", seed=11)
+
+
+def test_tpu_main14_wire():
+    """14-bit (the reference's BIT_DEPTH 14 template, hevcdsp.c:1060):
+    generic int16 D2H wire + host unpack, SAO/deblock clips at (1<<14)-1."""
+    _run(EncoderConfig(width=64, height=64, qp=33, bit_depth=14,
+                       sao=True, rng_seed=43), "IP", seed=13)
 
 
 def test_tpu_amp():

@@ -44,6 +44,27 @@ def oracle_decode(stream: bytes, width, height, bit_depth=8, chroma=1,
         return frames
 
 
+def oracle_md5_verify(stream: bytes, layer=0):
+    """Run the reference decoder with its own MD5-SEI verification enabled
+    (verify_md5, hevc.c:4045) -> (nframes, nmismatches).  The parity oracle
+    for formats the reference wrapper cannot output (e.g. 14-bit: no
+    PIX_FMT_YUV420P14 case in openHevcWrapper.c:179-232)."""
+    if not have_oracle():
+        pytest.skip("reference oracle_cli not built")
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "in.265")
+        with open(inp, "wb") as f:
+            f.write(stream)
+        r = subprocess.run([ORACLE_CLI, inp, "-", "1", "1", str(layer), "1"],
+                           capture_output=True, text=True)
+        nframes = 0
+        for line in (r.stdout + r.stderr).splitlines():
+            if line.startswith("frames="):
+                nframes = int(line.split("frames=")[1].split()[0])
+        bad = (r.stdout + r.stderr).count("mismatching checksum")
+        return nframes, bad
+
+
 def my_decode(stream: bytes):
     """Decode with our frontend + NumPy back-end -> plane triples, POC order."""
     from openhevc_tpu.decoder.frontend import Decoder

@@ -83,6 +83,10 @@ int main(int argc, char **argv)
     int threads = argc > 3 ? atoi(argv[3]) : 1;
     int ttype = argc > 4 ? atoi(argv[4]) : 1;
     int layer = argc > 5 ? atoi(argv[5]) : 0;
+    /* argv[6]: enable the decoder's own MD5-SEI verification (verify_md5,
+     * hevc.c:4045) — the conformance oracle for formats the wrapper's
+     * GetOutput path cannot carry (e.g. 14-bit, no PIX_FMT case) */
+    int md5 = argc > 6 ? atoi(argv[6]) : 0;
     read_file(argv[1]);
     if (strcmp(argv[2], "-") != 0) {
         fout = fopen(argv[2], "wb");
@@ -90,7 +94,7 @@ int main(int argc, char **argv)
     }
 
     OpenHevc_Handle h = libOpenHevcInit(threads, ttype);
-    libOpenHevcSetCheckMD5(h, 0);
+    libOpenHevcSetCheckMD5(h, md5);
     libOpenHevcSetActiveDecoders(h, layer);
     libOpenHevcSetViewLayers(h, layer);
     libOpenHevcStartDecoder(h);
