@@ -432,6 +432,11 @@ class Frontend:
         if not maps["uniform"]:
             plan.deblock_beta_map = maps["beta_map"]
             plan.deblock_tc_map = maps["tc_map"]
+        else:
+            # canonical scalars: the first ENABLED slice's offsets (slice 0
+            # may be deblock-disabled with meaningless offsets)
+            plan.beta_offset = maps["beta0"]
+            plan.tc_offset = maps["tc0"]
         if plan.sao is not None:
             plan.sao_restore = build_sao_boundary_restore(
                 plan, sps, pps, maps["lfase_map"], maps["slice_addr_map"])

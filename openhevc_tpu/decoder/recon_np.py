@@ -331,11 +331,14 @@ def sao_frame(plan: FramePlan, planes, ctb_size: int):
     # restore transquant-bypass / pcm pixels (restore_tqb_pixels)
     if plan.no_filter_map is not None and plan.no_filter_map.any():
         for c_idx in range(3):
-            hsc = 1 if (c_idx and plan.chroma_format_idc == 1) else 0
+            # per-axis chroma shifts (4:2:2 halves x only), matching
+            # restore_tqb_pixels' x >> hshift / y >> vshift indexing
+            hsc = 1 if (c_idx and plan.chroma_format_idc in (1, 2)) else 0
+            vsc = 1 if (c_idx and plan.chroma_format_idc == 1) else 0
             pl, o = planes[c_idx], out[c_idx]
             ys, xs = np.nonzero(plan.no_filter_map)
             for yy, xx in zip(ys, xs):
-                y0, x0 = (yy * 4) >> hsc, (xx * 4) >> hsc
-                n = 4 >> hsc
-                o[y0:y0 + n, x0:x0 + n] = pl[y0:y0 + n, x0:x0 + n]
+                y0, x0 = (yy * 4) >> vsc, (xx * 4) >> hsc
+                o[y0:y0 + (4 >> vsc), x0:x0 + (4 >> hsc)] = \
+                    pl[y0:y0 + (4 >> vsc), x0:x0 + (4 >> hsc)]
     return out

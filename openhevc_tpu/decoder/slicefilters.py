@@ -43,14 +43,19 @@ def build_filter_param_maps(segments, sps, pps):
         any_deblock |= not sh.deblocking_filter_disabled
         any_sao_l |= bool(sh.sao_luma)
         any_sao_c |= bool(sh.sao_chroma)
-    sh0 = segments[0][1]
-    uniform = all(sh.beta_offset == sh0.beta_offset and
-                  sh.tc_offset == sh0.tc_offset
-                  for _, sh in segments)
+    # a deblock-DISABLED slice's offsets are never consulted (its CTBs'
+    # BS is zeroed at derivation), so the uniform check must ignore them:
+    # the encoder's header clones carry stale offsets there while a parser
+    # leaves the PPS defaults — comparing those desynchronizes the two
+    # sides for identical bitstreams
+    en = [sh for _, sh in segments if not sh.deblocking_filter_disabled]
+    ref = en[0] if en else segments[0][1]
+    uniform = all(sh.beta_offset == ref.beta_offset and
+                  sh.tc_offset == ref.tc_offset for sh in en)
     return dict(beta_map=beta, tc_map=tc, lfase_map=lfase,
                 slice_addr_map=saddr, any_deblock=any_deblock,
                 any_sao_luma=any_sao_l, any_sao_chroma=any_sao_c,
-                uniform=uniform)
+                uniform=uniform, beta0=ref.beta_offset, tc0=ref.tc_offset)
 
 
 def _tile_id_grid(sps, pps):

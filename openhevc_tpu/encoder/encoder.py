@@ -529,6 +529,11 @@ class Encoder:
         if not fmaps["uniform"]:
             plan.deblock_beta_map = fmaps["beta_map"]
             plan.deblock_tc_map = fmaps["tc_map"]
+        else:
+            # slice offsets ride the plan scalars (the plan default of 0
+            # silently dropped per-slice offsets on uniform pictures)
+            plan.beta_offset = fmaps["beta0"]
+            plan.tc_offset = fmaps["tc0"]
         if plan.sao is not None:
             plan.sao_restore = build_sao_boundary_restore(
                 plan, sps, pps, fmaps["lfase_map"], fmaps["slice_addr_map"])

@@ -117,6 +117,17 @@ class TpuBackend:
         use_ipal = (ipal_env != "off"
                     and (jax.default_backend() not in ("cpu",)
                          or ipal_env == "interp"))
+        # fused deblock+SAO Pallas kernel (tpu/filter_pallas.py): one VMEM
+        # pass per plane instead of a dozen whole-plane HLO stages.  Same
+        # env contract as OPENHEVC_IPAL; off under sp-sharding (pallas_call
+        # operates on unsharded planes)
+        ff_env = os.environ.get("OPENHEVC_FFILT", "")
+        if self.shard is not None or ff_env == "off":
+            ffilt = False
+        elif ff_env == "interp":
+            ffilt = "interp"
+        else:
+            ffilt = jax.default_backend() not in ("cpu",)
         # vectorized SoA fast path: batches built straight from the native
         # op arrays, no per-op Python objects (plan_soa.py).  getattr: plans
         # unpickled from caches written before the field existed lack it
@@ -153,7 +164,31 @@ class TpuBackend:
             # int8 wire sections: fields whose values provably fit int8
             # (masks, QP maps, SAO params, small resid/inter fields) ride
             # the int8 buffer — half the tunnel bytes of the int16 wire
-            parts8.append((path, np.asarray(arr)))
+            parts8.append((path, np.asarray(arr), None))
+
+        def add2(path, arr):
+            # 2-bit pack (values in [0, 3]: boundary strengths): 4/byte.
+            # The deblock BS/no-filter maps are ~0.3 MB/frame at 1080p as
+            # int8 — a fifth of the non-level wire — and provably 2/1-bit
+            a = np.asarray(arr)
+            flat = a.reshape(-1)
+            pad = -flat.size % 4
+            if pad:
+                flat = np.concatenate([flat, np.zeros(pad, flat.dtype)])
+            q = flat.reshape(-1, 4).astype(np.uint8)
+            by = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6))
+            parts8.append((path, (by.view(np.int8), a.shape), "b2"))
+
+        def add1(path, arr):
+            # 1-bit pack (flags): 8/byte
+            a = np.asarray(arr)
+            flat = a.reshape(-1).astype(bool)
+            pad = -flat.size % 8
+            if pad:
+                flat = np.concatenate([flat, np.zeros(pad, bool)])
+            by = np.packbits(flat.reshape(-1, 8), axis=1, bitorder="little")
+            parts8.append((path, (by.reshape(-1).view(np.int8), a.shape),
+                           "b1"))
 
         # ---- inter batches (padded, canonical size list) ----
         # MC runs over a COMPACTED work batch: one (sel, x, y, mv) entry
@@ -220,6 +255,9 @@ class TpuBackend:
                 if self._cur_device is None:
                     self._ref_cache = (self._ref_cache +
                                        [(srcs, refs)])[-3:]
+            built = []
+            has_w = False
+            ident = np.array([1, 0, 1, 0, 1, 0], np.int32)
             for (w, h) in _canonical_pu_sizes(1 << (self.ctb_log2 or 6)):
                 batch = cp.inter.get((w, h))
                 if batch is None:
@@ -229,8 +267,8 @@ class TpuBackend:
                              s1=np.zeros(8, np.int32), mvx1=np.zeros(8, np.int32),
                              mvy1=np.zeros(8, np.int32),
                              wden=np.zeros((8, 2), np.int32),
-                             w0=np.tile(np.array([1, 0, 1, 0, 1, 0], np.int32), (8, 1)),
-                             w1=np.tile(np.array([1, 0, 1, 0, 1, 0], np.int32), (8, 1)))
+                             w0=np.tile(ident, (8, 1)),
+                             w1=np.tile(ident, (8, 1)))
                     valid = np.zeros(8, bool)
                 else:
                     b, valid = pad_batch(batch)
@@ -241,19 +279,33 @@ class TpuBackend:
                             [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in b.items()}
                         valid = np.concatenate([valid, np.zeros(pad, bool)])
                     self._inter_caps[(w, h)] = len(valid)
+                    if (np.any(np.asarray(b["wden"])) or
+                            np.any(np.asarray(b["w0"]) != ident) or
+                            np.any(np.asarray(b["w1"]) != ident)):
+                        has_w = True
                 b["valid"] = valid.astype(np.int32)
                 b.update(work_form(b, valid, (w, h)))
-                # w0/w1 stay int16: a weight is (1 << denom) + delta,
-                # up to 255 (hevc_ps.c pred_weight_table ranges)
-                for f in ("xs", "ys", "i0", "i1", "wxs", "wys",
-                          "wmvx", "wmvy", "w0", "w1"):
+                built.append((w, h, b))
+            for (w, h, b) in built:
+                # w0/w1 stay int16: a weight is (1 << denom) + delta, up to
+                # 255 (hevc_ps.c pred_weight_table ranges).  Unweighted
+                # frames (the common case) ship no weight fields at all —
+                # 12 int16 columns/PU saved — and the device combine takes
+                # the exact put_hevc_qpel_{uni,bi} path instead of the
+                # weighted formulas (which differ at BIT_DEPTH 14)
+                flds = ("xs", "ys", "i0", "i1", "wxs", "wys", "wmvx", "wmvy")
+                if has_w:
+                    flds += ("w0", "w1")
+                for f in flds:
                     add(("inter", w, h, f), b[f])
-                for f in ("pf", "wden", "valid", "wsel"):
+                for f in (("pf", "wden", "valid", "wsel") if has_w
+                          else ("pf", "valid", "wsel")):
                     add8(("inter", w, h, f), b[f])
                 inter_sizes.append((w, h))
         else:
             # dummy refs keep the pytree structure stable
             refs = [jnp.zeros((1, 8, 8), jnp.int32) for _ in range(3)]
+            has_w = False
 
         # ---- intra reconstruction path ----
         # on a real TPU the sequential Pallas kernel replaces the lax.scan
@@ -435,16 +487,40 @@ class TpuBackend:
                 add(("resc", c, n, "val"), val)
             m8 = e8b == b
             cnt8 = int(m8.sum())
-            e8cap = max(_quant(cnt8) if cnt8 else 0,
+            # int8-value escapes ship as DELTA-coded indices: one uint16
+            # gap per escape instead of a 32-bit index (3 B/escape, was 5).
+            # idx = cumsum(d) - 1 on device; hops > 65535 split into extra
+            # zero-value entries (the scatter is .add, so val=0 is inert,
+            # as is the d=0 padding tail that re-adds 0 at the last index)
+            if cnt8:
+                perm = np.argsort(e8i[m8], kind="stable")
+                idx8 = e8i[m8][perm]
+                v8 = e8v[m8][perm]
+                d = np.diff(idx8 + 1, prepend=np.int64(0))
+                nsplit = (d - 1) // 65535
+                if nsplit.any():
+                    dl, vl = [], []
+                    for dj, vj, ns in zip(d, v8, nsplit):
+                        for _ in range(int(ns)):
+                            dl.append(65535)
+                            vl.append(0)
+                            dj -= 65535
+                        dl.append(int(dj))
+                        vl.append(vj)
+                    d = np.asarray(dl, np.int64)
+                    v8 = np.asarray(vl, np.int8)
+            else:
+                d = np.zeros(0, np.int64)
+                v8 = np.zeros(0, np.int8)
+            e8cap = max(_quant(len(d)) if len(d) else 0,
                         self._rese_len.setdefault(fam, {}).get(key, 0))
             self._rese_len[fam][key] = e8cap
             if e8cap:
-                idx = np.full(e8cap, oob, np.int64)
+                dd = np.zeros(e8cap, np.int64)
                 val = np.zeros(e8cap, np.int8)
-                idx[:cnt8] = e8i[m8]
-                val[:cnt8] = e8v[m8]
-                add(("rese", c, n, "lo"), idx & 0xFFFF)
-                add(("rese", c, n, "hi"), idx >> 16)
+                dd[:len(d)] = d
+                val[:len(d)] = v8
+                add(("rese", c, n, "d"), dd.astype(np.uint16).view(np.int16))
                 add8(("rese", c, n, "val"), val)
             resid_keys.append((c, n, tgt, ecap, e8cap))
         resid_keys = tuple(resid_keys)
@@ -486,10 +562,10 @@ class TpuBackend:
 
         nfm0 = (plan.no_filter_map if plan.no_filter_map is not None
                 else np.zeros((plan.height // 4, plan.width // 4), np.int32))
-        add8(("map", "vbs"), padmap(plan.vertical_bs, ph // 4, pw // 8))
-        add8(("map", "hbs"), padmap(plan.horizontal_bs, ph // 8, pw // 4))
+        add2(("map", "vbs"), padmap(plan.vertical_bs, ph // 4, pw // 8))
+        add2(("map", "hbs"), padmap(plan.horizontal_bs, ph // 8, pw // 4))
         add8(("map", "qp"), padmap(plan.qp_map, ph // 8, pw // 8))
-        add8(("map", "nfm"), padmap(nfm0, ph // 4, pw // 4))
+        add1(("map", "nfm"), padmap(nfm0, ph // 4, pw // 4))
         db_maps = plan.deblock_beta_map is not None
         if db_maps:
             add8(("map", "dbbeta"), plan.deblock_beta_map)
@@ -512,15 +588,18 @@ class TpuBackend:
                 add8(("sao", c, "em"), em)
                 add8(("sao", c, "om"), om)   # |offset| <= 31 (cmax, 7.3.8.3)
                 if restore_any:
-                    rep = 4 >> (1 if (c and cfmt == 1) else 0)
+                    # per-axis subsampling: 4:2:2 halves x only (hs=1,
+                    # vs=0), 4:2:0 halves both, 4:4:4 neither
+                    rep_y = 4 >> (vs if c else 0)
+                    rep_x = 4 >> (hs if c else 0)
                     mask = np.repeat(np.repeat(np.asarray(
                         plan.no_filter_map if plan.no_filter_map is not None
                         else np.zeros((plan.height // 4, plan.width // 4))),
-                        rep, 0), rep, 1)[:shape[0], :shape[1]].astype(bool)
+                        rep_y, 0), rep_x, 1)[:shape[0], :shape[1]].astype(bool)
                     if plan.sao_restore is not None:
                         mask = mask | np.asarray(plan.sao_restore[c],
                                                  bool)[:shape[0], :shape[1]]
-                    add8(("sao", c, "restore"), mask.astype(np.int8))
+                    add1(("sao", c, "restore"), mask.astype(np.int8))
 
         # ---- PCM base canvas (verbatim samples precede the wavefront) ----
         if fast:
@@ -563,16 +642,25 @@ class TpuBackend:
         for (path, o, shape), (_p, arr) in zip(layout, parts):
             # single casting copy per field, straight into the wire buffer
             packed_np[o:o + arr.size] = arr.reshape(-1)
-        # int8 buffer: [levels region | int8 field sections]
+        # int8 buffer: [levels region | int8 field sections]; "b2"/"b1"
+        # entries store packed bytes with the LOGICAL shape in the layout
         o8 = off8
-        for path, arr in parts8:
-            layout8.append((path, o8, arr.shape))
-            o8 += arr.size
+        flats8 = []
+        for path, arr, tag in parts8:
+            if tag in ("b2", "b1"):
+                by, shape = arr
+                layout8.append((path, o8, shape, tag))
+                flats8.append(by)
+                o8 += by.size
+            else:
+                layout8.append((path, o8, arr.shape))
+                flats8.append(arr.reshape(-1))
+                o8 += arr.size
         full8 = np.empty(max(o8, 1), np.int8)
         full8[:off8] = packed8_np[:off8]
-        for (path, o, shape), (_p, arr) in zip(layout8[len(lv_specs):],
-                                               parts8):
-            full8[o:o + arr.size] = arr.reshape(-1)
+        for (entry, flat) in zip(layout8[len(lv_specs):], flats8):
+            o = entry[1]
+            full8[o:o + flat.size] = flat
         packed = jnp.asarray(packed_np)
         packed8 = jnp.asarray(full8)
 
@@ -584,7 +672,7 @@ class TpuBackend:
                 plan.cb_qp_offset, plan.cr_qp_offset,
                 has_base, has_scaling, tuple(layout), plan.log2_ctb_size,
                 ipal, has_cc, bool(plan.intra_smoothing_disabled),
-                refs_padded, self.shard, tuple(layout8))
+                refs_padded, has_w, ffilt, self.shard, tuple(layout8))
         if self.shard is not None and refs is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             ns3 = NamedSharding(self.shard.mesh, P(None, "sp", None))

@@ -72,13 +72,28 @@ def _unpack(packed, layout):
     for entry in layout:
         path, off, shape = entry[:3]
         size = int(np.prod(shape)) if shape else 1
-        if len(entry) > 3 and entry[3] == "nib":
+        tag = entry[3] if len(entry) > 3 else None
+        if tag == "nib":
             raw = packed[off:off + size // 2].astype(jnp.int32) & 0xFF
             lo = raw & 15
             lo = lo - ((lo & 8) << 1)
             hi = raw >> 4
             hi = hi - ((hi & 8) << 1)
             out[path] = jnp.stack([lo, hi], axis=-1).reshape(shape)
+            continue
+        if tag == "b2":
+            # 4 x 2-bit fields per byte (deblock BS maps)
+            nby = -(-size // 4)
+            raw = packed[off:off + nby].astype(jnp.int32) & 0xFF
+            cols = [(raw >> (2 * k)) & 3 for k in range(4)]
+            out[path] = jnp.stack(cols, -1).reshape(-1)[:size].reshape(shape)
+            continue
+        if tag == "b1":
+            # 8 x 1-bit flags per byte (no-filter / SAO restore masks)
+            nby = -(-size // 8)
+            raw = packed[off:off + nby].astype(jnp.int32) & 0xFF
+            cols = [(raw >> k) & 1 for k in range(8)]
+            out[path] = jnp.stack(cols, -1).reshape(-1)[:size].reshape(shape)
             continue
         out[path] = packed[off:off + size].reshape(shape).astype(jnp.int32)
     return out
@@ -103,7 +118,7 @@ def frame_step(refs, packed, packed8, prof):
     (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, resid_keys,
      deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
      has_scaling, layout, log2_ctb, ipal, has_cc, smooth_off,
-     refs_padded, shard, layout8) = prof
+     refs_padded, has_w, ffilt, shard, layout8) = prof
 
     # sp-axis spatial sharding (multi-chip): planes partition over CTB-row
     # bands; the deblock/SAO halo reads across band edges become
@@ -162,9 +177,11 @@ def frame_step(refs, packed, packed8, prof):
                         hs=hs, vs=vs)
 
     for (w, h) in inter_sizes:
-        b = {f: arrays[("inter", w, h, f)]
-             for f in ("xs", "ys", "pf", "wden", "w0", "w1", "valid",
-                       "i0", "i1", "wxs", "wys", "wsel", "wmvx", "wmvy")}
+        flds = ("xs", "ys", "pf", "valid", "i0", "i1", "wxs", "wys",
+                "wsel", "wmvx", "wmvy")
+        if has_w:
+            flds += ("wden", "w0", "w1")
+        b = {f: arrays[("inter", w, h, f)] for f in flds}
         valid = b["valid"].astype(bool)
         for c in range(3):
             sh_, sv_ = (hs, vs) if c else (0, 0)
@@ -179,30 +196,40 @@ def frame_step(refs, packed, packed8, prof):
             val1 = jnp.take(out, b["i1"], axis=0)
             maxv = (1 << bd) - 1
             is_l0 = (b["pf"] == 1)[:, None, None]
-            denom = b["wden"][:, 0 if c == 0 else 1][:, None, None]
-            ci = 0 if c == 0 else (2 if c == 1 else 4)
-            wx0 = b["w0"][:, ci][:, None, None]
-            ox0 = (b["w0"][:, ci + 1] * (1 << (bd - 8)))[:, None, None]
-            wx1 = b["w1"][:, ci][:, None, None]
-            ox1 = (b["w1"][:, ci + 1] * (1 << (bd - 8)))[:, None, None]
-            # weighted uni (identity weights reproduce the unweighted path);
-            # the reference's BIT_DEPTH 14 template pins the offset to 0
-            # (hevcdsp_template.c "#if BIT_DEPTH < 14" pattern)
-            shift_u = denom + (14 - bd)
-            off_u = (1 << (shift_u - 1)) if bd < 14 else 0
-            srcu = jnp.where(is_l0, val0, val1)
-            wxu = jnp.where(is_l0, wx0, wx1)
-            oxu = jnp.where(is_l0, ox0, ox1)
-            uni = jnp.clip(((srcu * wxu + off_u) >> shift_u)
-                           + oxu, 0, maxv)
-            # weighted bi: rounding term is (ox0 + ox1 + 1) << log2Wd with
-            # the SCALED offsets but the +1 unscaled
-            # (hevcdsp_template.c put_hevc_qpel_bi_w_*)
-            log2wd = denom + (15 - bd) - 1
-            bi = jnp.clip((val0 * wx0 + val1 * wx1 +
-                           ((ox0 + ox1 + 1) << log2wd)) >> (log2wd + 1),
-                          0, maxv)
-            vals = jnp.where((b["pf"] == 3)[:, None, None], bi, uni)
+            if not has_w:
+                # exact put_hevc_qpel_{uni,bi} semantics — offsets pin to 0
+                # at BIT_DEPTH 14 (unlike the weighted formulas, whose bi
+                # rounding term keeps its +1 there)
+                off_u0 = (1 << (14 - bd - 1)) if bd < 14 else 0
+                off_b0 = (1 << (15 - bd - 1)) if bd < 14 else 0
+                uni = jnp.clip((jnp.where(is_l0, val0, val1) + off_u0)
+                               >> (14 - bd), 0, maxv)
+                bi = jnp.clip((val0 + val1 + off_b0) >> (15 - bd), 0, maxv)
+                vals = jnp.where((b["pf"] == 3)[:, None, None], bi, uni)
+            else:
+                denom = b["wden"][:, 0 if c == 0 else 1][:, None, None]
+                ci = 0 if c == 0 else (2 if c == 1 else 4)
+                wx0 = b["w0"][:, ci][:, None, None]
+                ox0 = (b["w0"][:, ci + 1] * (1 << (bd - 8)))[:, None, None]
+                wx1 = b["w1"][:, ci][:, None, None]
+                ox1 = (b["w1"][:, ci + 1] * (1 << (bd - 8)))[:, None, None]
+                # weighted uni; the reference's BIT_DEPTH 14 template pins
+                # the offset to 0 (hevcdsp_template.c "#if BIT_DEPTH < 14")
+                shift_u = denom + (14 - bd)
+                off_u = (1 << (shift_u - 1)) if bd < 14 else 0
+                srcu = jnp.where(is_l0, val0, val1)
+                wxu = jnp.where(is_l0, wx0, wx1)
+                oxu = jnp.where(is_l0, ox0, ox1)
+                uni = jnp.clip(((srcu * wxu + off_u) >> shift_u)
+                               + oxu, 0, maxv)
+                # weighted bi: rounding term is (ox0 + ox1 + 1) << log2Wd
+                # with the SCALED offsets but the +1 unscaled
+                # (hevcdsp_template.c put_hevc_qpel_bi_w_*)
+                log2wd = denom + (15 - bd) - 1
+                bi = jnp.clip((val0 * wx0 + val1 * wx1 +
+                               ((ox0 + ox1 + 1) << log2wd)) >> (log2wd + 1),
+                              0, maxv)
+                vals = jnp.where((b["pf"] == 3)[:, None, None], bi, uni)
             if use_pallas:
                 planes[c] = band_paint(planes[c], vals, xs, ys,
                                        b["valid"], hc, wc)
@@ -230,14 +257,18 @@ def frame_step(refs, packed, packed8, prof):
                  for f in ("xs", "ys", "qp", "kind", "mid", "xtra", "levels",
                            "valid")}
             if E8:
-                # widen the 4-bit levels with the int8-value escapes
-                # (index split lo/hi int16; OOB-padded entries drop)
-                lo = arrays[("rese", c, n, "lo")] & 0xFFFF
-                hi = arrays[("rese", c, n, "hi")]
-                idx = (hi << 16) | lo
+                # widen the 4-bit levels with the int8-value escapes.
+                # Indices are delta-coded uint16 gaps: idx = cumsum(d) - 1
+                # (3 B/escape on the wire).  The scatter is .add over
+                # positions whose nibble is 0 by construction, so the d=0
+                # padding tail (re-adding val 0 at the last index) and
+                # 65535-hop splits are inert; an all-padding bucket lands
+                # on index -1, which mode="drop" discards
+                dd = arrays[("rese", c, n, "d")] & 0xFFFF
+                idx = jnp.cumsum(dd) - 1
                 val = arrays[("rese", c, n, "val")]
                 d["levels"] = d["levels"].reshape(-1) \
-                    .at[idx].set(val, mode="drop") \
+                    .at[idx].add(val, mode="drop") \
                     .reshape(d["levels"].shape)
             if E:
                 # ... and the ultra-rare exact int16 escapes
@@ -405,6 +436,7 @@ def frame_step(refs, packed, packed8, prof):
             t_ch = tmap[ech[:, None], cc4_tc[None, :]]   # (ne, cw/4)
         else:
             b_lv = t_lv = b_lh = t_lh = None
+    if deblock_on and not ffilt:
         luma = jnp.pad(planes[0], ((0, ph), (0, pw))) if (ph or pw) else planes[0]
         luma = dbk.deblock_luma_vertical(
             luma, vbs, qp_map,
@@ -436,8 +468,52 @@ def frame_step(refs, packed, packed8, prof):
                     four20=(cfmt == 1))
                 planes[c] = pl[:ch, :cw]
 
+    # ---- fused deblock+SAO (Pallas): one VMEM streaming pass per plane
+    # replaces the two XLA stages below on TPU (filter_pallas.py docstring)
+    if ffilt and (deblock_on or sao_on):
+        from .filter_pallas import (build_luma_grids, build_chroma_grids,
+                                    fused_filter_plane)
+        interp = (ffilt == "interp")
+        ctb = 1 << (log2_ctb or 6)
+        out = []
+        for c in range(3):
+            chp, cwp = shapes[c]
+            csx = ctb >> (hs if c else 0)
+            csy = ctb >> (vs if c else 0)
+            db_c = deblock_on and (c == 0 or cfmt in (1, 2, 3))
+            if not db_c and not sao_on:
+                out.append(planes[c])
+                continue
+            if db_c and c == 0:
+                bo = (b_lv, b_lh) if beta_off == "map" else beta_off
+                to = (t_lv, t_lh) if beta_off == "map" else tc_off
+                vg, hg = build_luma_grids(vbs, hbs, qp_map, bo, to,
+                                          nfm, bd, Hp, Wp)
+            elif db_c:
+                off = cb_off if c == 1 else cr_off
+                vg, hg = build_chroma_grids(
+                    vbs, hbs, qp_map, off,
+                    t_cv if beta_off == "map" else tc_off,
+                    t_ch if beta_off == "map" else tc_off,
+                    nfm, _QP_C, bd, Hp >> vs, Wp >> hs,
+                    1 << hs, 1 << vs, four20=(cfmt == 1))
+            else:
+                vg = hg = None
+            if sao_on:
+                sg = (arrays[("sao", c, "tm")], arrays[("sao", c, "bm")],
+                      arrays[("sao", c, "em")],
+                      arrays[("sao", c, "om")].transpose(0, 2, 1))
+                rs = arrays.get(("sao", c, "restore"))
+            else:
+                sg = rs = None
+            out.append(fused_filter_plane(
+                planes[c], vg, hg, sg, rs, luma=(c == 0), bd=bd,
+                deblock_on=db_c, sao_on=sao_on, csx=csx, csy=csy,
+                H=chp, W=cwp, interpret=interp))
+        planes = out
+
     # ---- SAO ----
-    if sao_on:
+    if sao_on and not ffilt:
         pre = planes
         out = []
         ctb = 1 << (log2_ctb or 6)

@@ -44,13 +44,22 @@ def _unpack_entry(buf, entry):
     """Mirror frame_step._unpack for one layout entry (numpy)."""
     p, o, s = entry[:3]
     size = int(np.prod(s)) if s else 1
-    if len(entry) > 3 and entry[3] == "nib":
+    tag = entry[3] if len(entry) > 3 else None
+    if tag == "nib":
         raw = buf[o:o + size // 2].astype(np.int32) & 0xFF
         lo = raw & 15
         lo = lo - ((lo & 8) << 1)
         hi = raw >> 4
         hi = hi - ((hi & 8) << 1)
         return np.stack([lo, hi], axis=-1).reshape(s)
+    if tag == "b2":
+        raw = buf[o:o + -(-size // 4)].astype(np.int32) & 0xFF
+        cols = np.stack([(raw >> (2 * k)) & 3 for k in range(4)], -1)
+        return cols.reshape(-1)[:size].reshape(s)
+    if tag == "b1":
+        raw = buf[o:o + -(-size // 8)].astype(np.int32) & 0xFF
+        cols = np.stack([(raw >> k) & 1 for k in range(8)], -1)
+        return cols.reshape(-1)[:size].reshape(s)
     return buf[o:o + size].reshape(s).astype(np.int32)
 
 
@@ -66,13 +75,22 @@ def _wire_levels(packed, packed8, prof):
     out = {}
     for (c, n, N, E, E8) in resid_keys:
         lv = arr8[("resid", c, n, "levels")].copy()
-        for chan, cnt in (("rese", E8), ("resc", E)):
-            if not cnt:
-                continue
-            lo = arr[(chan, c, n, "lo")] & 0xFFFF
-            hi = arr[(chan, c, n, "hi")]
+        if E8:
+            # delta-coded uint16 gaps: idx = cumsum(d) - 1, scatter-ADD
+            # (padding tail re-adds 0 at the last index; all-padding
+            # buckets land on -1 and drop)
+            dd = arr[("rese", c, n, "d")].astype(np.int64) & 0xFFFF
+            idx = np.cumsum(dd) - 1
+            val = arr[("rese", c, n, "val")]
+            flat = lv.reshape(-1)
+            ok = (idx >= 0) & (idx < flat.size)
+            np.add.at(flat, idx[ok], val[ok])
+            lv = flat.reshape(lv.shape)
+        if E:
+            lo = arr[("resc", c, n, "lo")] & 0xFFFF
+            hi = arr[("resc", c, n, "hi")]
             idx = (hi << 16) | lo
-            val = arr[(chan, c, n, "val")]
+            val = arr[("resc", c, n, "val")]
             flat = lv.reshape(-1)
             ok = idx < flat.size            # mode="drop" semantics
             flat[idx[ok]] = val[ok]
