@@ -39,7 +39,10 @@ class Frame:
         here with vectorized numpy shifts (~10 ms at 1080p)."""
         if self.wire is None:
             return [np.asarray(p) for p in self.planes]
-        w = np.asarray(self.wire)
+        if isinstance(self.wire, tuple):    # chunked big-frame wire
+            w = np.concatenate([np.asarray(c) for c in self.wire])
+        else:
+            w = np.asarray(self.wire)
         bd = self.bit_depth or 8
         out, off = [], 0
         for p in self.planes:

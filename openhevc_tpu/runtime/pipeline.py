@@ -232,7 +232,12 @@ class PipelinedDecoder:
             if getattr(self.backend, "ctb_log2", None) is None:
                 self.backend.ctb_log2 = plan.log2_ctb_size
             planes, wire = self.backend.decode_frame(plan, self.dpb)
-            if hasattr(wire, "copy_to_host_async"):
+            if isinstance(wire, tuple):
+                # chunked big-frame wire (frame_step splits >6 MB fetches)
+                for w in wire:
+                    if hasattr(w, "copy_to_host_async"):
+                        w.copy_to_host_async()
+            elif hasattr(wire, "copy_to_host_async"):
                 # start the device->host wire transfer now: it streams
                 # behind the async dispatch queue while the host parses
                 # ahead, so the consumer's host_planes() is a wait, not a

@@ -631,19 +631,19 @@ class TpuBackend:
                 add(("scale", n),
                     np.stack([plan.scaling[(l2, m)] for m in range(6)]))
 
-        # ---- two packed buffers (int16 + int8) + static layouts ----
+        # ---- ONE packed wire blob + static layouts ----
+        # [int16 fields (as raw little-endian bytes) | int8/nibble region]:
+        # a single host->device transfer per frame instead of two — the
+        # tunnel's per-transfer setup cost and its small-chunk rate penalty
+        # both halve (frame_step bitcasts the head back to int16 on device)
         layout = []
         off = 0
         for path, arr in parts:
             layout.append((path, off, arr.shape))
             off += arr.size
-        packed_np = np.zeros(1, np.int16) if not parts \
-            else np.empty(off, np.int16)
-        for (path, o, shape), (_p, arr) in zip(layout, parts):
-            # single casting copy per field, straight into the wire buffer
-            packed_np[o:o + arr.size] = arr.reshape(-1)
-        # int8 buffer: [levels region | int8 field sections]; "b2"/"b1"
-        # entries store packed bytes with the LOGICAL shape in the layout
+        n16 = max(off, 1)
+        # int8 region: [levels | int8 field sections]; "b2"/"b1" entries
+        # store packed bytes with the LOGICAL shape in the layout
         o8 = off8
         flats8 = []
         for path, arr, tag in parts8:
@@ -656,13 +656,19 @@ class TpuBackend:
                 layout8.append((path, o8, arr.shape))
                 flats8.append(arr.reshape(-1))
                 o8 += arr.size
-        full8 = np.empty(max(o8, 1), np.int8)
+        blob_np = np.empty(2 * n16 + max(o8, 1), np.int8)
+        packed_np = blob_np[:2 * n16].view(np.int16)
+        if off < n16:
+            packed_np[off:] = 0
+        for (path, o, shape), (_p, arr) in zip(layout, parts):
+            # single casting copy per field, straight into the wire buffer
+            packed_np[o:o + arr.size] = arr.reshape(-1)
+        full8 = blob_np[2 * n16:]
         full8[:off8] = packed8_np[:off8]
         for (entry, flat) in zip(layout8[len(lv_specs):], flats8):
             o = entry[1]
             full8[o:o + flat.size] = flat
-        packed = jnp.asarray(packed_np)
-        packed8 = jnp.asarray(full8)
+        blob = jnp.asarray(blob_np)
 
         prof = (bd, bool(plan.strong_intra_smoothing), cfmt, plan.height,
                 plan.width, tuple(inter_sizes), slot_keys, slot_caps,
@@ -672,9 +678,9 @@ class TpuBackend:
                 plan.cb_qp_offset, plan.cr_qp_offset,
                 has_base, has_scaling, tuple(layout), plan.log2_ctb_size,
                 ipal, has_cc, bool(plan.intra_smoothing_disabled),
-                refs_padded, has_w, ffilt, self.shard, tuple(layout8))
+                refs_padded, has_w, ffilt, self.shard, tuple(layout8), n16)
         if self.shard is not None and refs is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             ns3 = NamedSharding(self.shard.mesh, P(None, "sp", None))
             refs = [jax.device_put(r, ns3) for r in refs]
-        return (refs, packed, packed8, prof)
+        return (refs, blob, prof)

@@ -100,7 +100,7 @@ def _unpack(packed, layout):
 
 
 @partial(jax.jit, static_argnames=("prof",))
-def frame_step(refs, packed, packed8, prof):
+def frame_step(refs, blob, prof):
     """One fused frame reconstruction.
 
     prof: (bd, strong, chroma_fmt, H, W, inter_sizes, slot_keys, slot_caps,
@@ -110,15 +110,22 @@ def frame_step(refs, packed, packed8, prof):
     carries per-CTB offset maps (multi-slice pictures, hevc.c:2677).
     ipal: () for the lax.scan wavefront, else ((c, n_chunks), ...) selecting
     the sequential Pallas intra kernel (intra_pallas.intra_seq).
-    refs: [3 stacked ref tensors] (device); packed: flat int16 plan buffer;
-    packed8: flat int8 buffer carrying the 4-bit-packed coefficient levels
-    (escape indices ride `packed` and scatter over the widened plane:
-    int8 values for (7, 127], int16 values for the rare |level| > 127).
+    refs: [3 stacked ref tensors] (device); blob: ONE flat int8 plan buffer
+    — the first 2*n16 bytes are the int16 field sections (bitcast below),
+    the rest the int8/nibble region with the 4-bit-packed coefficient
+    levels (escape indices ride the int16 sections and scatter over the
+    widened plane: int8 values for (7, 127], int16 for |level| > 127).
     """
     (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, resid_keys,
      deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
      has_scaling, layout, log2_ctb, ipal, has_cc, smooth_off,
-     refs_padded, has_w, ffilt, shard, layout8) = prof
+     refs_padded, has_w, ffilt, shard, layout8, n16) = prof
+
+    # the blob ships as one int8 buffer: [int16 fields as bytes | int8];
+    # bitcast the head back to int16 (pairs are little-endian low-byte-first)
+    packed = lax.bitcast_convert_type(
+        blob[:2 * n16].reshape(-1, 2), jnp.int16)
+    packed8 = blob[2 * n16:]
 
     # sp-axis spatial sharding (multi-chip): planes partition over CTB-row
     # bands; the deblock/SAO halo reads across band edges become
@@ -569,4 +576,13 @@ def frame_step(refs, packed, packed8, prof):
         wire = jnp.concatenate([pack12(p) for p in planes])
     else:
         wire = jnp.concatenate([p.astype(jnp.uint16).ravel() for p in planes])
+    # large wires (4K: ~12.4 MB) split into <=4 MB chunks: the tunnel's
+    # device->host rate collapses on big single fetches, and per-chunk
+    # copy_to_host_async calls stream back-to-back at the fast small-fetch
+    # rate (runtime/pipeline.py starts them right after dispatch)
+    nbytes = wire.size * wire.dtype.itemsize
+    if nbytes > 6 * 2 ** 20:
+        csize = (4 * 2 ** 20) // wire.dtype.itemsize
+        wire = tuple(wire[i:i + csize]
+                     for i in range(0, wire.size, csize))
     return tuple(planes) + (wire,)
