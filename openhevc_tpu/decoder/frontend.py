@@ -656,4 +656,6 @@ class Decoder:
                      bit_depth=plan.bit_depth,
                      mvf_mv=plan.mvf_mv, mvf_poc=plan.mvf_poc,
                      mvf_pred=plan.mvf_pred, mvf_ref_idx=plan.mvf_ref_idx,
-                     rpl=plan.rpl, rpl_lt=plan.rpl_lt)
+                     rpl=plan.rpl, rpl_lt=plan.rpl_lt,
+                     wire_fmt=getattr(self.backend, "wire_fmt", None),
+                     fetch_cb=getattr(self.backend, "observe_output", None))

@@ -31,18 +31,30 @@ class Frame:
     bit_depth: int = 8
     conf_win: tuple = (0, 0, 0, 0)
     chroma_format_idc: int = 1
+    # output-wire format: None = raw/bit-packed planes, ("d5", caps) =
+    # delta-compressed (frame_step tail); fetch_cb = backend feedback hook
+    # (probe on first fetch, escape-cap overflow reporting)
+    wire_fmt: Optional[tuple] = None
+    fetch_cb: Optional[object] = None
+    _hp_cache: Optional[list] = None
 
     def host_planes(self):
         """[Y, U, V] as host ndarrays; prefers the narrow wire buffer
         (one small transfer) over pulling the int32 device planes.
         10/12-bit wires arrive bit-packed (tpu/frame_step.py) and unpack
         here with vectorized numpy shifts (~10 ms at 1080p)."""
+        if self._hp_cache is not None:
+            return self._hp_cache
         if self.wire is None:
             return [np.asarray(p) for p in self.planes]
         if isinstance(self.wire, tuple):    # chunked big-frame wire
             w = np.concatenate([np.asarray(c) for c in self.wire])
         else:
             w = np.asarray(self.wire)
+        if self.wire_fmt is not None and self.wire_fmt[0] == "d5":
+            out = self._unpack_d5(w, self.wire_fmt[1])
+            self._hp_cache = out
+            return out
         bd = self.bit_depth or 8
         out, off = [], 0
         for p in self.planes:
@@ -72,6 +84,66 @@ class Frame:
             else:
                 out.append(w[off:off + n].reshape(p.shape))
                 off += n
+        if self.fetch_cb is not None:
+            self.fetch_cb(out)          # d5 probe (no-op once decided)
+        self._hp_cache = out
+        return out
+
+    def _unpack_d5(self, w, caps):
+        """Invert the "d5" delta output wire (frame_step tail): 24-byte
+        escape-count header, then per plane 5-bit-packed horizontal deltas
+        (8 samples / 5 bytes) and two (3-byte index, value) escape
+        channels.  One vectorized cumsum per plane rebuilds the pixels.
+        Escape-cap overflow (counts header > caps) falls back to fetching
+        the raw int32 planes and reports to the backend via fetch_cb."""
+        cnts = w[:24].view("<u4").astype(np.int64)
+        if any(cnts[2 * c] > caps[c][0] or cnts[2 * c + 1] > caps[c][1]
+               for c in range(3)):
+            if self.fetch_cb is not None:
+                self.fetch_cb(None, counts=cnts, overflow=True)
+            return [np.asarray(p).astype(np.uint8) for p in self.planes]
+        out = []
+        off = 24
+        for c, p in enumerate(self.planes):
+            hgt, wid = int(p.shape[0]), int(p.shape[1])
+            n = hgt * wid
+            nb = n // 8 * 5
+            b = w[off:off + nb].reshape(-1, 5)
+            off += nb
+            lo = (b[:, 0].astype(np.uint32) | (b[:, 1].astype(np.uint32) << 8)
+                  | (b[:, 2].astype(np.uint32) << 16)
+                  | (b[:, 3].astype(np.uint32) << 24))
+            hi = b[:, 4].astype(np.uint32)
+            g = np.empty((n // 8, 8), np.int32)
+            for k in range(6):
+                g[:, k] = (lo >> (5 * k)) & 31
+            g[:, 6] = ((lo >> 30) & 3) | ((hi & 7) << 2)
+            g[:, 7] = (hi >> 3) & 31
+            y = g.reshape(-1)
+            y -= (y & 16) << 1          # sign-extend 5-bit
+            # escape channels: (3-byte idx, val) — int8 then int16
+            c8, c16 = int(cnts[2 * c]), int(cnts[2 * c + 1])
+            cap8, cap16 = caps[c]
+            i3 = w[off:off + cap8 * 3].reshape(-1, 3)
+            off += cap8 * 3
+            v8 = w[off:off + cap8].view(np.int8)
+            off += cap8
+            if c8:
+                idx = (i3[:c8, 0].astype(np.int64)
+                       | (i3[:c8, 1].astype(np.int64) << 8)
+                       | (i3[:c8, 2].astype(np.int64) << 16))
+                y[idx] = v8[:c8]
+            i3 = w[off:off + cap16 * 3].reshape(-1, 3)
+            off += cap16 * 3
+            v16 = w[off:off + cap16 * 2].view("<i2")
+            off += cap16 * 2
+            if c16:
+                idx = (i3[:c16, 0].astype(np.int64)
+                       | (i3[:c16, 1].astype(np.int64) << 8)
+                       | (i3[:c16, 2].astype(np.int64) << 16))
+                y[idx] = v16[:c16]
+            x = np.cumsum(y.reshape(hgt, wid), axis=1, dtype=np.int32) + 128
+            out.append(x.astype(np.uint8))
         return out
 
 

@@ -253,7 +253,9 @@ class PipelinedDecoder:
                      mvf_pred=plan.mvf_pred, mvf_ref_idx=plan.mvf_ref_idx,
                      rpl=plan.rpl, rpl_lt=plan.rpl_lt, md5=plan.md5,
                      bit_depth=plan.bit_depth, conf_win=plan.conf_win,
-                     chroma_format_idc=plan.chroma_format_idc)
+                     chroma_format_idc=plan.chroma_format_idc,
+                     wire_fmt=getattr(self.backend, "wire_fmt", None),
+                     fetch_cb=getattr(self.backend, "observe_output", None))
 
     def _verify_md5(self, frame, expected, bit_depth):
         from ..decoder.sei import plane_md5

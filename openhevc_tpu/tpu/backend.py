@@ -78,12 +78,52 @@ class TpuBackend:
         self._resid_len = {"I": {}, "PB": {}}
         self._resc_len = {"I": {}, "PB": {}}    # int16 escape-level caps
         self._rese_len = {"I": {}, "PB": {}}    # int8 escape-level caps
+        # delta-compressed output wire state ("d5", frame_step wire tail):
+        #   None  -> probe pending (first fetched frame decides)
+        #   False -> off (content doesn't fit 5-bit deltas, e.g. noise)
+        #   tuple -> per-plane (esc8_cap, esc16_cap) sticky capacities
+        self._dwire = None
+        self.wire_fmt = None            # format of the LAST prepared frame
         # stacked-ref reuse: consecutive frames mostly share the same RPL,
         # and re-stacking (n_refs, H, W) on device every frame costs a
         # dispatch + an HBM copy.  Entries pin the source plane objects so
         # identity (`is`) checks can't hit recycled ids.
         self._ref_cache = []                    # [(plane objs, refs)]
         self._ipal_chunks = {"I": {}, "PB": {}}
+
+    def observe_output(self, hplanes, counts=None, overflow=False):
+        """Fetch-time feedback from refs.host_planes.
+
+        Probe: the FIRST fetched frame's pixels decide whether the "d5"
+        delta output wire wins for this content (escape fraction < 4%) and
+        size its sticky escape capacities.  Overflow: a later frame's
+        escapes outgrew the caps (host fell back to a raw plane fetch);
+        grow the caps so subsequent frames recompile once and fit."""
+        if overflow and isinstance(self._dwire, tuple) and counts is not None:
+            caps = []
+            for c in range(3):
+                o8, o16 = self._dwire[c]
+                caps.append((max(o8, _quant(int(counts[2 * c]) * 2 + 64)),
+                             max(o16, _quant(int(counts[2 * c + 1]) * 2
+                                             + 16))))
+            self._dwire = tuple(caps)
+            return
+        if self._dwire is not None:
+            return
+        self._dwire = False             # claim the probe (re-entrancy)
+        tot = n = 0
+        caps = []
+        for p in hplanes:
+            p = np.asarray(p).astype(np.int32)
+            y = np.concatenate([p[:, :1] - 128, np.diff(p, axis=1)], axis=1)
+            esc = (y < -16) | (y > 15)
+            e8 = int((esc & (y >= -128) & (y <= 127)).sum())
+            e16 = int(esc.sum()) - e8
+            tot += e8 + e16
+            n += y.size
+            caps.append((_quant(e8 * 5 // 2 + 64), _quant(e16 * 3 + 16)))
+        if n and tot / n < 0.04:
+            self._dwire = tuple(caps)
 
     def decode_frame(self, plan: FramePlan, dpb):
         """Returns ([Y, U, V] device int32 planes, wire) — wire is the flat
@@ -128,6 +168,16 @@ class TpuBackend:
             ffilt = "interp"
         else:
             ffilt = jax.default_backend() not in ("cpu",)
+        # delta-compressed output wire: only once the probe enabled it
+        # (8-bit, unsharded; plane sizes must split into groups of 8)
+        dwire = None
+        if (bd == 8 and self.shard is None
+                and isinstance(self._dwire, tuple)
+                and (plan.height * plan.width) % 8 == 0
+                and ((plan.height >> vs) * (plan.width >> hs)) % 8 == 0
+                and os.environ.get("OPENHEVC_DWIRE") != "off"):
+            dwire = self._dwire
+        self.wire_fmt = ("d5", dwire) if dwire is not None else None
         # vectorized SoA fast path: batches built straight from the native
         # op arrays, no per-op Python objects (plan_soa.py).  getattr: plans
         # unpickled from caches written before the field existed lack it
@@ -678,7 +728,8 @@ class TpuBackend:
                 plan.cb_qp_offset, plan.cr_qp_offset,
                 has_base, has_scaling, tuple(layout), plan.log2_ctb_size,
                 ipal, has_cc, bool(plan.intra_smoothing_disabled),
-                refs_padded, has_w, ffilt, self.shard, tuple(layout8), n16)
+                refs_padded, has_w, ffilt, self.shard, tuple(layout8), n16,
+                dwire)
         if self.shard is not None and refs is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             ns3 = NamedSharding(self.shard.mesh, P(None, "sp", None))

@@ -119,7 +119,7 @@ def frame_step(refs, blob, prof):
     (bd, strong, cfmt, H, W, inter_sizes, slot_keys, slot_caps, resid_keys,
      deblock_on, sao_on, beta_off, tc_off, cb_off, cr_off, has_base,
      has_scaling, layout, log2_ctb, ipal, has_cc, smooth_off,
-     refs_padded, has_w, ffilt, shard, layout8, n16) = prof
+     refs_padded, has_w, ffilt, shard, layout8, n16, dwire) = prof
 
     # the blob ships as one int8 buffer: [int16 fields as bytes | int8];
     # bitcast the head back to int16 (pairs are little-endian low-byte-first)
@@ -556,7 +556,57 @@ def frame_step(refs, blob, prof):
     # int32 planes.  8-bit: raw bytes; 10/12-bit: bit-packed (4 samples
     # -> 5 bytes / 2 -> 3), 20-37% less device->host tunnel traffic than
     # uint16 (refs.host_planes unpacks); other depths: uint16
-    if bd == 8:
+    if bd == 8 and dwire is not None:
+        # delta-compressed output wire ("d5"): 5-bit horizontal deltas, 8
+        # samples -> 5 bytes, with (3-byte index, value) escape channels.
+        # Decoded structured video fits ~98%+ of row deltas in [-16, 15]
+        # (the backend probes the first frame and only enables this format
+        # when it wins); the host inverts with one vectorized cumsum.
+        # Escape counts travel in a 24-byte header so refs.host_planes can
+        # detect sticky-cap overflow and fall back to the raw planes.
+        cnts = []
+        secs = []
+
+        def b3(idx):                    # 24-bit little-endian index bytes
+            u = idx.astype(jnp.uint32)
+            return jnp.stack([u & 255, (u >> 8) & 255, (u >> 16) & 255],
+                             1).reshape(-1).astype(jnp.uint8)
+
+        for c in range(3):
+            p = planes[c]
+            cap8, cap16 = dwire[c]
+            y = jnp.concatenate([p[:, :1] - 128, p[:, 1:] - p[:, :-1]],
+                                axis=1).reshape(-1)
+            escA = (y < -16) | (y > 15)
+            esc8 = escA & (y >= -128) & (y <= 127)
+            esc16 = escA & ((y < -128) | (y > 127))
+            y5 = jnp.where(escA, 0, y).astype(jnp.uint32) & 31
+            g = y5.reshape(-1, 8)
+            lo = (g[:, 0] | (g[:, 1] << 5) | (g[:, 2] << 10) |
+                  (g[:, 3] << 15) | (g[:, 4] << 20) | (g[:, 5] << 25) |
+                  ((g[:, 6] & 3) << 30))
+            hi = (g[:, 6] >> 2) | (g[:, 7] << 3)
+            secs.append(jnp.stack(
+                [lo & 255, (lo >> 8) & 255, (lo >> 16) & 255,
+                 (lo >> 24) & 255, hi], 1).reshape(-1).astype(jnp.uint8))
+            n = y.size
+            for esc, cap, wid in ((esc8, cap8, 1), (esc16, cap16, 2)):
+                cnts.append(esc.sum().astype(jnp.int32))
+                idx = jnp.nonzero(esc, size=cap, fill_value=n)[0]
+                val = jnp.where(idx < n, y[jnp.clip(idx, 0, n - 1)], 0)
+                secs.append(b3(idx))
+                if wid == 1:
+                    secs.append((val.astype(jnp.uint32) & 255)
+                                .astype(jnp.uint8))
+                else:
+                    u = val.astype(jnp.uint32)
+                    secs.append(jnp.stack([u & 255, (u >> 8) & 255], 1)
+                                .reshape(-1).astype(jnp.uint8))
+        hdr = jnp.stack(cnts).astype(jnp.uint32)
+        hdr = jnp.stack([hdr & 255, (hdr >> 8) & 255, (hdr >> 16) & 255,
+                         (hdr >> 24) & 255], 1).reshape(-1).astype(jnp.uint8)
+        wire = jnp.concatenate([hdr] + secs)
+    elif bd == 8:
         wire = jnp.concatenate([p.astype(jnp.uint8).ravel() for p in planes])
     elif bd == 10 and all(p.size % 4 == 0 for p in planes):
         def pack10(p):

@@ -37,7 +37,7 @@ def _prepare(plan, ctb_log2, fast, monkeypatch):
     from openhevc_tpu.tpu import TpuBackend
     backend = TpuBackend(ctb_log2=ctb_log2)
     refs, blob, prof = backend.prepare(plan, DPB())
-    n16 = prof[-1]
+    n16 = prof[-2]                      # prof tail: (layout8, n16, dwire)
     b = np.asarray(blob)
     return b[:2 * n16].view(np.int16), b[2 * n16:], prof
 
@@ -68,7 +68,7 @@ def _unpack_entry(buf, entry):
 def _wire_levels(packed, packed8, prof):
     """Re-widen the wire levels exactly like frame_step does (numpy)."""
     layout = prof[17]
-    layout8 = prof[-2]
+    layout8 = prof[-3]
     resid_keys = prof[8]
     arr = {e[0]: _unpack_entry(packed, e) for e in layout}
     arr8 = {e[0]: _unpack_entry(packed8, e) for e in layout8}
