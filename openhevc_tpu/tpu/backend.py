@@ -84,11 +84,6 @@ class TpuBackend:
         #   tuple -> per-plane (esc8_cap, esc16_cap) sticky capacities
         self._dwire = None
         self.wire_fmt = None            # format of the LAST prepared frame
-        # stacked-ref reuse: consecutive frames mostly share the same RPL,
-        # and re-stacking (n_refs, H, W) on device every frame costs a
-        # dispatch + an HBM copy.  Entries pin the source plane objects so
-        # identity (`is`) checks can't hit recycled ids.
-        self._ref_cache = []                    # [(plane objs, refs)]
         self._ipal_chunks = {"I": {}, "PB": {}}
 
     def observe_output(self, hplanes, counts=None, overflow=False):
@@ -291,20 +286,12 @@ class TpuBackend:
                     p = jax.device_put(p, self._cur_device)
                 return jnp.asarray(p, jnp.int32)
 
-            srcs = [f.planes[0] for f in rframes]
-            refs = None
-            if self._cur_device is None:
-                for planes_list, crefs in self._ref_cache:
-                    if len(planes_list) == len(srcs) and all(
-                            a is b for a, b in zip(planes_list, srcs)):
-                        refs = crefs
-                        break
-            if refs is None:
-                refs = [jnp.stack([_ref_plane(f, c) for f in rframes])
-                        for c in range(3)]
-                if self._cur_device is None:
-                    self._ref_cache = (self._ref_cache +
-                                       [(srcs, refs)])[-3:]
+            # refs ship as per-plane tuples; frame_step stacks them INSIDE
+            # the fused program (an HBM copy XLA schedules, ~15 us at
+            # 1080p) instead of eager jnp.stack dispatches here — on the
+            # remote TPU each eager op is a round trip per frame
+            refs = tuple(tuple(_ref_plane(f, c) for f in rframes)
+                         for c in range(3))
             built = []
             has_w = False
             ident = np.array([1, 0, 1, 0, 1, 0], np.int32)
@@ -353,8 +340,12 @@ class TpuBackend:
                     add8(("inter", w, h, f), b[f])
                 inter_sizes.append((w, h))
         else:
-            # dummy refs keep the pytree structure stable
-            refs = [jnp.zeros((1, 8, 8), jnp.int32) for _ in range(3)]
+            # dummy refs keep the pytree structure stable (cached: avoid
+            # three eager zeros dispatches per intra frame)
+            if not hasattr(self, "_dummy_refs"):
+                self._dummy_refs = tuple(
+                    (jnp.zeros((8, 8), jnp.int32),) for _ in range(3))
+            refs = self._dummy_refs
             has_w = False
 
         # ---- intra reconstruction path ----
@@ -732,6 +723,7 @@ class TpuBackend:
                 dwire)
         if self.shard is not None and refs is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            ns3 = NamedSharding(self.shard.mesh, P(None, "sp", None))
-            refs = [jax.device_put(r, ns3) for r in refs]
+            ns2 = NamedSharding(self.shard.mesh, P("sp", None))
+            refs = tuple(tuple(jax.device_put(p, ns2) for p in r)
+                         for r in refs)
         return (refs, blob, prof)

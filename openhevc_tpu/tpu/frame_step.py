@@ -140,6 +140,10 @@ def frame_step(refs, blob, prof):
         return lax.with_sharding_constraint(
             x, NamedSharding(shard.mesh, spec))
 
+    # refs arrive as per-plane tuples; stack here so the copy fuses into
+    # the program (prepare would otherwise pay an eager dispatch per frame)
+    refs = [jnp.stack(r) for r in refs]
+
     arrays = _unpack(packed, layout)
     arrays.update(_unpack(packed8, layout8))
     hs = 1 if cfmt in (1, 2) else 0
