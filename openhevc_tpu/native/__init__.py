@@ -510,6 +510,37 @@ def pack_levels_native(resid_rows, raw_levels, bucket_base, lv8,
         esc8_cap = max(esc8_cap, int(n8.value))
 
 
+def unpack_d5_native(wire, shapes, caps):
+    """C inverse of the "d5" delta output wire (frontend.cc unpack_d5):
+    -> list of uint8 planes, or None on escape-cap overflow (the caller
+    falls back to a raw plane fetch).  One fused pass per row replaces
+    the numpy unpack+scatter+cumsum chain (~6x on this 1-core image)."""
+    lib = get_lib()
+    if not hasattr(lib, "_d5_ready"):
+        lib.unpack_d5.restype = ctypes.c_int
+        lib._d5_ready = True
+    wire = np.ascontiguousarray(wire, np.uint8)
+    hw = np.asarray([d for s in shapes for d in s], np.int64)
+    cp2 = np.asarray([d for c in caps for d in c], np.int64)
+    total = int(sum(h * w for h, w in shapes))
+    out = np.empty(total, np.uint8)
+    scratch = np.empty(max(h * w for h, w in shapes), np.int16)
+    r = lib.unpack_d5(wire.ctypes.data_as(ctypes.c_void_p),
+                      hw.ctypes.data_as(ctypes.c_void_p),
+                      cp2.ctypes.data_as(ctypes.c_void_p),
+                      ctypes.c_int(len(shapes)),
+                      out.ctypes.data_as(ctypes.c_void_p),
+                      scratch.ctypes.data_as(ctypes.c_void_p))
+    if r:
+        return None
+    planes = []
+    off = 0
+    for h, w in shapes:
+        planes.append(out[off:off + h * w].reshape(h, w))
+        off += h * w
+    return planes
+
+
 def split_ops(raw_ops, has_wp=False):
     """One C pass over the tagged op stream -> per-type SoA row arrays.
 

@@ -2597,3 +2597,70 @@ extern "C" int64_t pack_levels(
     *n8_out = nesc8;
     return nesc;
 }
+
+// Invert the "d5" delta output wire (tpu/frame_step.py tail): 24-byte
+// escape-count header, then per plane 5-bit-packed horizontal deltas
+// (8 samples / 5 bytes) plus two (3-byte index, value) escape channels.
+// out receives the planes' uint8 pixels back-to-back.  Returns 0, or 1 on
+// escape-cap overflow (caller falls back to a raw plane fetch).  ~6x the
+// vectorized numpy inverse on this image's single core (the cumsum and
+// nibble unpack fuse into one pass per row).
+extern "C" int unpack_d5(const uint8_t *wire, const int64_t *hw,
+                         const int64_t *caps, int nplanes, uint8_t *out,
+                         int16_t *scratch)
+{
+    const int32_t *cnts = (const int32_t *)wire;
+    for (int c = 0; c < nplanes; c++)
+        if (cnts[2 * c] > caps[2 * c] || cnts[2 * c + 1] > caps[2 * c + 1])
+            return 1;
+    int64_t off = 8LL * nplanes;        // count header (2 int32 per plane)
+    uint8_t *dst = out;
+    for (int c = 0; c < nplanes; c++) {
+        int64_t h = hw[2 * c], w = hw[2 * c + 1], n = h * w;
+        int16_t *y = scratch;
+        const uint8_t *b = wire + off;
+        for (int64_t g = 0; g < n / 8; g++) {
+            const uint8_t *p = b + g * 5;
+            uint32_t lo = (uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+                          ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+            uint32_t hi = p[4];
+            int16_t *q = y + g * 8;
+            for (int k = 0; k < 6; k++) {
+                int v = (lo >> (5 * k)) & 31;
+                q[k] = (int16_t)(v - ((v & 16) << 1));
+            }
+            int v6 = ((lo >> 30) & 3) | ((hi & 7) << 2);
+            q[6] = (int16_t)(v6 - ((v6 & 16) << 1));
+            int v7 = (hi >> 3) & 31;
+            q[7] = (int16_t)(v7 - ((v7 & 16) << 1));
+        }
+        off += n / 8 * 5;
+        // escape channels: int8 values then int16 values
+        for (int wch = 0; wch < 2; wch++) {
+            int64_t cap = caps[2 * c + wch], cnt = cnts[2 * c + wch];
+            const uint8_t *i3 = wire + off;
+            off += cap * 3;
+            const uint8_t *vb = wire + off;
+            off += cap * (wch + 1);
+            for (int64_t e = 0; e < cnt; e++) {
+                int64_t idx = (int64_t)i3[e * 3] |
+                              ((int64_t)i3[e * 3 + 1] << 8) |
+                              ((int64_t)i3[e * 3 + 2] << 16);
+                int16_t v = wch ? (int16_t)(vb[e * 2] | (vb[e * 2 + 1] << 8))
+                                : (int16_t)(int8_t)vb[e];
+                if (idx < n) y[idx] = v;
+            }
+        }
+        for (int64_t r = 0; r < h; r++) {
+            const int16_t *q = y + r * w;
+            uint8_t *o = dst + r * w;
+            int acc = 128;
+            for (int64_t x = 0; x < w; x++) {
+                acc += q[x];
+                o[x] = (uint8_t)acc;
+            }
+        }
+        dst += n;
+    }
+    return 0;
+}
