@@ -647,6 +647,13 @@ class Decoder:
             if getattr(self.backend, "ctb_log2", None) is None and self.fe.sps:
                 self.backend.ctb_log2 = self.fe.sps.log2_ctb_size
             planes, wire = self.backend.decode_frame(plan, self.dpb)
+            # start the device->host wire stream now: by the time the
+            # caller fetches (e.g. the SHVC EL loop), transfers have been
+            # riding behind the async dispatch queue instead of
+            # serializing after the whole decode
+            for w in (wire if isinstance(wire, tuple) else (wire,)):
+                if hasattr(w, "copy_to_host_async"):
+                    w.copy_to_host_async()
         else:
             planes = recon_np.execute_plan(plan, dpb=self.dpb)
             recon_np.deblock_frame(plan, planes)

@@ -99,38 +99,59 @@ def tile_buckets(inter, s0, s1):
                 tis.append(idx_all[m])
     emit((16, 16), txs, tys, tis)
 
+    # strip/corner tiles live at per-PU offsets (a = w16 + da), so loop
+    # over the <=4x4 offset grid on pre-filtered subsets instead of the
+    # full position grid with whole-batch masks (O(16) small passes vs
+    # O(256) full-length ones; same tile cover)
+
     # (4, 16): right strip of full-height rows
-    txs, tys, tis = [], [], []
-    for b in range(0, hmax, 16):
-        for a in range(0, wmax, 4):
-            m = (a >= w16) & (a < w) & (b < h16)
-            if m.any():
-                txs.append(x[m] + a)
-                tys.append(y[m] + b)
-                tis.append(idx_all[m])
-    emit((4, 16), txs, tys, tis)
+    sR = np.flatnonzero(w % 16 > 0)
+    if len(sR):
+        xs_, ys_ = x[sR], y[sR]
+        w16s, h16s, wr = w16[sR], h16[sR], (w % 16)[sR]
+        txs, tys, tis = [], [], []
+        for b in range(0, int(h16s.max(initial=0)), 16):
+            mb = b < h16s
+            for da in range(0, 16, 4):
+                m = mb & (da < wr)
+                if m.any():
+                    txs.append(xs_[m] + w16s[m] + da)
+                    tys.append(ys_[m] + b)
+                    tis.append(sR[m])
+        emit((4, 16), txs, tys, tis)
 
     # (16, 4): bottom strip, full-width columns
-    txs, tys, tis = [], [], []
-    for b in range(0, hmax, 4):
-        for a in range(0, wmax, 16):
-            m = (b >= h16) & (b < h) & (a < w16)
-            if m.any():
-                txs.append(x[m] + a)
-                tys.append(y[m] + b)
-                tis.append(idx_all[m])
-    emit((16, 4), txs, tys, tis)
+    sB = np.flatnonzero(h % 16 > 0)
+    if len(sB):
+        xs_, ys_ = x[sB], y[sB]
+        w16s, h16s, hr = w16[sB], h16[sB], (h % 16)[sB]
+        txs, tys, tis = [], [], []
+        for a in range(0, int(w16s.max(initial=0)), 16):
+            ma = a < w16s
+            for db in range(0, 16, 4):
+                m = ma & (db < hr)
+                if m.any():
+                    txs.append(xs_[m] + a)
+                    tys.append(ys_[m] + h16s[m] + db)
+                    tis.append(sB[m])
+        emit((16, 4), txs, tys, tis)
 
     # (4, 4): bottom-right corner
-    txs, tys, tis = [], [], []
-    for b in range(0, hmax, 4):
-        for a in range(0, wmax, 4):
-            m = (b >= h16) & (b < h) & (a >= w16) & (a < w)
-            if m.any():
-                txs.append(x[m] + a)
-                tys.append(y[m] + b)
-                tis.append(idx_all[m])
-    emit((4, 4), txs, tys, tis)
+    sC = np.flatnonzero((w % 16 > 0) & (h % 16 > 0))
+    if len(sC):
+        xs_, ys_ = x[sC], y[sC]
+        w16s, h16s = w16[sC], h16[sC]
+        wr, hr = (w % 16)[sC], (h % 16)[sC]
+        txs, tys, tis = [], [], []
+        for db in range(0, 16, 4):
+            mb = db < hr
+            for da in range(0, 16, 4):
+                m = mb & (da < wr)
+                if m.any():
+                    txs.append(xs_[m] + w16s[m] + da)
+                    tys.append(ys_[m] + h16s[m] + db)
+                    tis.append(sC[m])
+        emit((4, 4), txs, tys, tis)
     return out
 
 
