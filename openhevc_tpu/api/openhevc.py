@@ -216,7 +216,10 @@ class OpenHevcDecoder:
             # Frame.host_planes), then keep host copies (refs included —
             # the API decoder is host-centric, unlike the pipeline)
             tmp = Frame(poc=plan.poc, planes=list(planes), wire=wire,
-                        bit_depth=plan.bit_depth)
+                        bit_depth=plan.bit_depth,
+                        wire_fmt=getattr(self._backend, "wire_fmt", None),
+                        fetch_cb=getattr(self._backend, "observe_output",
+                                         None))
             planes = [p.astype(np.int32) for p in tmp.host_planes()]
         else:
             planes = recon_np.execute_plan(plan, dpb=self.dpb)

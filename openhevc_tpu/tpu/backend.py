@@ -83,7 +83,8 @@ class TpuBackend:
         #   False -> off (content doesn't fit 5-bit deltas, e.g. noise)
         #   tuple -> per-plane (esc8_cap, esc16_cap) sticky capacities
         self._dwire = None
-        self.wire_fmt = None            # format of the LAST prepared frame
+        self.wire_fmt = None            # format of the LAST finished frame
+        self._blob_cap = {}             # sticky whole-blob upload length
         self._ipal_chunks = {"I": {}, "PB": {}}
 
     def observe_output(self, hplanes, counts=None, overflow=False):
@@ -137,9 +138,88 @@ class TpuBackend:
         *planes, wire = frame_step(*args)
         return list(planes), wire
 
+    def decode_prepared(self, prep, blob_dev, dpb):
+        """Like decode_frame, but from a prepare_host() product and an
+        optionally pre-uploaded blob slice (upload_group)."""
+        args = self.finish_frame(prep, blob_dev, dpb)
+        *planes, wire = frame_step(*args)
+        return list(planes), wire
+
     def prepare(self, plan: FramePlan, dpb):
         """Host-side plan compilation; returns the frame_step argument tuple
         (refs on device, one packed plan buffer, static profile)."""
+        return self.finish_frame(self.prepare_host(plan), None, dpb)
+
+    def upload_group(self, preps):
+        """ONE host->device transfer for several prepared frames' blobs.
+
+        The tunnel's H2D rate roughly doubles from ~2 MB transfers to
+        ~8-16 MB ones, so the pipeline batches a few frames' plan blobs
+        into a single device_put and dispatches from device-side slices."""
+        if len(preps) == 1:
+            return [None]
+        blobs = [p[1] for p in preps]
+        group = jnp.asarray(np.concatenate(blobs))
+        out = []
+        off = 0
+        for b in blobs:
+            out.append(group[off:off + len(b)])
+            off += len(b)
+        return out
+
+    def finish_frame(self, prep, blob_dev, dpb):
+        """DPB-dependent half of prepare(): resolve reference planes and
+        (unless pre-uploaded) ship the blob; returns frame_step args."""
+        plan, blob_np, prof, ref_pocs = prep
+        # wire_fmt must reflect THIS frame (group mode runs several
+        # prepare_host calls before any dispatch)
+        self.wire_fmt = ("d5", prof[-1]) if prof[-1] is not None else None
+        if blob_dev is None:
+            blob_dev = jnp.asarray(blob_np)
+        if ref_pocs:
+            refs = self._build_refs(plan, ref_pocs, dpb)
+            if self.shard is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                ns2 = NamedSharding(self.shard.mesh, P("sp", None))
+                refs = tuple(tuple(jax.device_put(p, ns2) for p in r)
+                             for r in refs)
+        else:
+            # dummy refs keep the pytree structure stable (cached: avoid
+            # three eager zeros dispatches per intra frame)
+            if not hasattr(self, "_dummy_refs"):
+                self._dummy_refs = tuple(
+                    (jnp.zeros((8, 8), jnp.int32),) for _ in range(3))
+            refs = self._dummy_refs
+        return (refs, blob_dev, prof)
+
+    def _build_refs(self, plan, ref_pocs, dpb):
+        from ..decoder.refs import get_or_synth
+        bd = plan.bit_depth
+        cfmt = plan.chroma_format_idc
+        rframes = [get_or_synth(dpb, p, plan.width, plan.height, bd, cfmt)
+                   for p in ref_pocs]
+
+        def _ref_plane(f, c):
+            p = f.planes[c]
+            if self._cur_device is not None:
+                # explicit producer->consumer ref transfer (ICI on real
+                # multi-chip; pthread_frame's progress-guarded cross-thread
+                # read becomes a data edge)
+                p = jax.device_put(p, self._cur_device)
+            return jnp.asarray(p, jnp.int32)
+
+        # refs ship as per-plane tuples; frame_step stacks them INSIDE the
+        # fused program (an HBM copy XLA schedules, ~15 us at 1080p)
+        # instead of eager jnp.stack dispatches here — on the remote TPU
+        # each eager op is a round trip per frame
+        return tuple(tuple(_ref_plane(f, c) for f in rframes)
+                     for c in range(3))
+
+    def prepare_host(self, plan: FramePlan):
+        """Plan-only half of prepare(): builds the packed wire blob and the
+        static profile with NO DPB access, so the pipeline can batch
+        several frames' blobs into one upload before dispatching any of
+        them.  -> (plan, blob_np, prof, ref_pocs)."""
         bd = plan.bit_depth
         cfmt = plan.chroma_format_idc
         hs = 1 if cfmt in (1, 2) else 0
@@ -270,28 +350,9 @@ class TpuBackend:
             return wf
 
         inter_sizes = []
-        refs = None
         refs_padded = False
+        ref_pocs = list(cp.ref_pocs) if cp.inter else []
         if cp.inter:
-            from ..decoder.refs import get_or_synth
-            rframes = [get_or_synth(dpb, p, plan.width, plan.height, bd, cfmt)
-                       for p in cp.ref_pocs]
-
-            def _ref_plane(f, c):
-                p = f.planes[c]
-                if self._cur_device is not None:
-                    # explicit producer->consumer ref transfer (ICI on
-                    # real multi-chip; pthread_frame's progress-guarded
-                    # cross-thread read becomes a data edge)
-                    p = jax.device_put(p, self._cur_device)
-                return jnp.asarray(p, jnp.int32)
-
-            # refs ship as per-plane tuples; frame_step stacks them INSIDE
-            # the fused program (an HBM copy XLA schedules, ~15 us at
-            # 1080p) instead of eager jnp.stack dispatches here — on the
-            # remote TPU each eager op is a round trip per frame
-            refs = tuple(tuple(_ref_plane(f, c) for f in rframes)
-                         for c in range(3))
             built = []
             has_w = False
             ident = np.array([1, 0, 1, 0, 1, 0], np.int32)
@@ -340,12 +401,6 @@ class TpuBackend:
                     add8(("inter", w, h, f), b[f])
                 inter_sizes.append((w, h))
         else:
-            # dummy refs keep the pytree structure stable (cached: avoid
-            # three eager zeros dispatches per intra frame)
-            if not hasattr(self, "_dummy_refs"):
-                self._dummy_refs = tuple(
-                    (jnp.zeros((8, 8), jnp.int32),) for _ in range(3))
-            refs = self._dummy_refs
             has_w = False
 
         # ---- intra reconstruction path ----
@@ -697,7 +752,12 @@ class TpuBackend:
                 layout8.append((path, o8, arr.shape))
                 flats8.append(arr.reshape(-1))
                 o8 += arr.size
-        blob_np = np.empty(2 * n16 + max(o8, 1), np.int8)
+        # sticky whole-blob capacity: a stable upload length per frame
+        # family (fewer jit signatures, and group uploads slice evenly)
+        total = 2 * n16 + max(o8, 1)
+        bcap = max(_quant(total), self._blob_cap.get(fam, 0))
+        self._blob_cap[fam] = bcap
+        blob_np = np.zeros(bcap, np.int8)
         packed_np = blob_np[:2 * n16].view(np.int16)
         if off < n16:
             packed_np[off:] = 0
@@ -709,7 +769,6 @@ class TpuBackend:
         for (entry, flat) in zip(layout8[len(lv_specs):], flats8):
             o = entry[1]
             full8[o:o + flat.size] = flat
-        blob = jnp.asarray(blob_np)
 
         prof = (bd, bool(plan.strong_intra_smoothing), cfmt, plan.height,
                 plan.width, tuple(inter_sizes), slot_keys, slot_caps,
@@ -721,9 +780,4 @@ class TpuBackend:
                 ipal, has_cc, bool(plan.intra_smoothing_disabled),
                 refs_padded, has_w, ffilt, self.shard, tuple(layout8), n16,
                 dwire)
-        if self.shard is not None and refs is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            ns2 = NamedSharding(self.shard.mesh, P("sp", None))
-            refs = tuple(tuple(jax.device_put(p, ns2) for p in r)
-                         for r in refs)
-        return (refs, blob, prof)
+        return (plan, blob_np, prof, ref_pocs)

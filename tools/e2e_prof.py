@@ -48,7 +48,7 @@ def main():
 
     orig_decode_nal = Frontend.decode_nal
     orig_end_picture = Frontend.end_picture
-    orig_prepare = TpuBackend.prepare
+    orig_prepare = TpuBackend.prepare_host
 
     def timed_decode_nal(self, nal):
         t0 = time.monotonic()
@@ -62,18 +62,17 @@ def main():
         stats["parse"] = stats.get("parse", 0.0) + time.monotonic() - t0
         return r
 
-    def timed_prepare(self, plan, dpb):
+    def timed_prepare(self, plan):
         t0 = time.monotonic()
-        r = orig_prepare(self, plan, dpb)
+        r = orig_prepare(self, plan)
         dt = time.monotonic() - t0
         stats["prepare"] = stats.get("prepare", 0.0) + dt
-        _, blob, _ = r
-        stats["up_bytes"] = stats.get("up_bytes", 0) + blob.size
+        stats["up_bytes"] = stats.get("up_bytes", 0) + r[1].size
         return r
 
     Frontend.decode_nal = timed_decode_nal
     Frontend.end_picture = timed_end_picture
-    TpuBackend.prepare = timed_prepare
+    TpuBackend.prepare_host = timed_prepare
 
     for rep in range(reps):
         stats.clear()
