@@ -114,8 +114,13 @@ class OpenHevcDecoder:
             self._el.start()
 
     def copy_extradata(self, extradata: bytes):
-        """hvcC or annex-B parameter sets (libOpenHevcCopyExtraData)."""
+        """hvcC or annex-B parameter sets (libOpenHevcCopyExtraData).
+
+        hvcC extradata also switches the decoder into NALFF mode: later
+        samples carry ISO length-prefixed NALUs, as a GPAC/MP4 demuxer
+        delivers them (the reference's is_nalff path, hevc.c:2860)."""
         if extradata[:1] in (b"\x01",):
+            self._nalff = (extradata[21] & 3) + 1
             for nal_bytes in _parse_hvcc(extradata):
                 for nal in split_annexb(b"\x00\x00\x01" + nal_bytes):
                     self.fe.decode_nal(nal)
@@ -129,6 +134,18 @@ class OpenHevcDecoder:
         assert self._started, "call start() first"
         if not data:
             return self._flush_one()
+        if getattr(self, "_nalff", 0) and not (
+                data[:3] == b"\x00\x00\x01" or data[:4] == b"\x00\x00\x00\x01"):
+            # ISO length-prefixed sample (GPAC/MP4 path) -> annex-B
+            ls = self._nalff
+            pos = 0
+            parts = []
+            while pos + ls <= len(data):
+                n = int.from_bytes(data[pos:pos + ls], "big")
+                pos += ls
+                parts.append(b"\x00\x00\x01" + data[pos:pos + n])
+                pos += n
+            data = b"".join(parts)
         self.stats.aus += 1
         self.stats.bytes_in += len(data)
         got = 0

@@ -35,10 +35,13 @@ class PipelinedDecoder:
 
     def __init__(self, backend=None, check_md5=True, use_native=True,
                  depth=4, resilient=False, dispatch_ahead=2,
-                 parse_threads=1):
+                 parse_threads=1, prefetch_wire=True):
         self.backend = backend
         self.check_md5 = check_md5
         self.use_native = use_native
+        # False = HBM-resident serving: downstream consumers read the
+        # decoded planes on device, so don't start host wire transfers
+        self.prefetch_wire = prefetch_wire
         self.parse_threads = parse_threads
         self.depth = depth
         self.resilient = resilient          # drop broken pictures, continue
@@ -268,7 +271,9 @@ class PipelinedDecoder:
                     prep, blob_dev, self.dpb)
             else:
                 planes, wire = self.backend.decode_frame(plan, self.dpb)
-            if isinstance(wire, tuple):
+            if not self.prefetch_wire:
+                pass
+            elif isinstance(wire, tuple):
                 # chunked big-frame wire (frame_step splits >6 MB fetches)
                 for w in wire:
                     if hasattr(w, "copy_to_host_async"):

@@ -73,3 +73,78 @@ def test_abi_player_loop():
         got = np.fromfile(outf, np.uint8)
         want = np.concatenate([p.ravel() for fr in recons for p in fr])
         assert np.array_equal(got, want)
+
+
+def _build_gpac_driver(tmp):
+    from openhevc_tpu.native import build_abi
+    so = build_abi()
+    drv = os.path.join(tmp, "gpac_driver")
+    libdir = os.path.dirname(so)
+    subprocess.run(
+        ["gcc", "-O1", os.path.join(REPO, "tools", "gpac_driver.c"),
+         "-o", drv, f"-L{libdir}", "-lLibOpenHevcWrapper",
+         f"-Wl,-rpath,{libdir}"], check=True)
+    return drv
+
+
+@pytest.mark.slow
+def test_gpac_module_lifecycle():
+    """The exact call sequence of GPAC's openhevc_dec plugin against the
+    shim: hvcC extradata via CopyExtraData (switching the decoder into
+    ISO length-prefixed NALFF mode), SetActiveDecoders/SetViewLayers,
+    per-sample Decode + GetPictureInfo(SetCpy) + GetOutputCpy, EOS drain
+    + Flush + Close — every symbol the plugin links."""
+    from openhevc_tpu.formats.mp4 import build_hvcc
+
+    cfg = EncoderConfig(width=96, height=64, qp=30, rng_seed=6)
+    enc = Encoder(cfg)
+    ps = enc.parameter_set_nals()              # [vps, sps, pps] annex-B
+
+    def raw(nal):
+        return nal[4:] if nal[:4] == b"\x00\x00\x00\x01" else nal[3:]
+
+    hvcc = build_hvcc(raw(ps[0]), raw(ps[1]), raw(ps[2]), enc.sps)
+
+    rng = np.random.default_rng(2)
+    base = [rng.integers(0, 256, (64, 96)).astype(np.int32),
+            rng.integers(0, 256, (32, 48)).astype(np.int32),
+            rng.integers(0, 256, (32, 48)).astype(np.int32)]
+    recons, samples = [], []
+    for i, t in enumerate("IPP"):
+        src = [np.roll(p, i, 0) for p in base]
+        au, recon, _ = enc.encode_frame(src, t)
+        recons.append([np.asarray(p).astype(np.uint8) for p in recon])
+        # MP4 sample form: 4-byte length-prefixed NALUs, no start codes
+        starts = []
+        k = au.find(b"\x00\x00\x01")
+        while k != -1:
+            starts.append(k)
+            k = au.find(b"\x00\x00\x01", k + 3)
+        nals = []
+        for si, k in enumerate(starts):
+            end = starts[si + 1] if si + 1 < len(starts) else len(au)
+            if si + 1 < len(starts) and au[end - 1] == 0:
+                end -= 1                # 4-byte start code's leading zero
+            nals.append(au[k + 3:end])
+        sample = b"".join(struct.pack(">I", len(n)) + n for n in nals)
+        samples.append(sample)
+
+    with tempfile.TemporaryDirectory() as td:
+        drv = _build_gpac_driver(td)
+        inf = os.path.join(td, "in.smp")
+        with open(inf, "wb") as f:
+            f.write(struct.pack("<I", len(hvcc)))
+            f.write(hvcc)
+            for s in samples:
+                f.write(struct.pack("<I", len(s)))
+                f.write(s)
+        outf = os.path.join(td, "out.yuv")
+        env = cpu_subprocess_env()
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        r = subprocess.run([drv, inf, outf], env=env,
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, f"driver failed:\n{r.stdout}\n{r.stderr}"
+        assert "frames=3" in r.stdout
+        got = np.fromfile(outf, np.uint8)
+        want = np.concatenate([p.ravel() for fr in recons for p in fr])
+        assert np.array_equal(got, want)
