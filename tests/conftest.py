@@ -24,6 +24,27 @@ jax.config.update("jax_platforms", "cpu")
 # compiles here are small; correctness beats warm-cache speed.
 jax.config.update("jax_enable_compilation_cache", False)
 
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jit_memory():
+    """Drop compiled executables between test modules.
+
+    The suite compiles hundreds of large fused CPU programs in one
+    process; XLA:CPU's in-process JIT eventually segfaults inside
+    backend_compile_and_load once enough executable code accumulates
+    (deterministic at the same test with the same prefix, passes in
+    isolation — observed twice at tests/test_shvc.py in this image).
+    Clearing jax's jit caches at module boundaries releases the loaded
+    executables and keeps the whole tier comfortably under the limit,
+    at the cost of some intra-suite recompiles."""
+    yield
+    jax.clear_caches()
+    gc.collect()
+
 
 def cpu_subprocess_env():
     """Environment for CLI subprocess tests: CPU jax, no TPU tunnel."""
