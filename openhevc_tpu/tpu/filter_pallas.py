@@ -197,7 +197,9 @@ def _erep_rows(g, k):
 
 def _erep_lanes(g, lg2, Wp):
     """Element-wise lane repeat x(1<<lg2): out[:, x] = g[:, x >> lg2], via
-    128-lane chunks (Mosaic dynamic_gather is single-vreg along lanes)."""
+    128-lane chunks (Mosaic dynamic_gather is single-vreg along lanes).
+    The sublane dim must be >= 8: Mosaic's gather lowering rejects a
+    size-1 sublane dim (SAO grids pre-expand in XLA instead)."""
     R = g.shape[0]
     sw = 128 >> lg2
     idx = lax.broadcasted_iota(jnp.int32, (R, 128), 1) >> lg2
@@ -288,7 +290,7 @@ _CHROMA_ROLES = ((-1, 7), (0, 0))
 def _kernel(plane_h, vg0_h, vg1_h, vg2_h, vg3_h, hg0_h, hg1_h, hg2_h, hg3_h,
             tm_h, bm_h, em_h, om_h, rs_h, out_h,
             band, vg, hg, sg, om_s, rsb, sems,
-            *, S, Wp, luma, bd, deblock_on, sao_on, lgx, log2_csy,
+            *, S, Wp, luma, bd, deblock_on, sao_on,
             has_restore, H, W):
     i = pl.program_id(0)
     R = S + 2 * HALO
@@ -296,23 +298,26 @@ def _kernel(plane_h, vg0_h, vg1_h, vg2_h, vg3_h, hg0_h, hg1_h, hg2_h, hg3_h,
     ng = 4 if luma else 3
     vsrcs = (vg0_h, vg1_h, vg2_h, vg3_h)[:ng]
     hsrcs = (hg0_h, hg1_h, hg2_h, hg3_h)[:ng]
+    # per-band grid windows arrive pre-banded from XLA in 8-row-aligned
+    # strides (Mosaic HBM slices must align to the (8, 128) tiling)
+    Rv8 = -(-(R // 4) // 8) * 8
+    Rh8 = -(-(S // 8 + 1) // 8) * 8
 
     cps = [pltpu.make_async_copy(plane_h.at[pl.ds(i * S, R)], band,
                                  sems.at[0])]
     if deblock_on:
         for gi in range(ng):
             cps.append(pltpu.make_async_copy(
-                vsrcs[gi].at[pl.ds(i * (S // 4), R // 4)], vg.at[gi],
+                vsrcs[gi].at[pl.ds(i * Rv8, Rv8)], vg.at[gi],
                 sems.at[1 + gi]))
             cps.append(pltpu.make_async_copy(
-                hsrcs[gi].at[pl.ds(i * (S // 8), S // 8 + 1)], hg.at[gi],
+                hsrcs[gi].at[pl.ds(i * Rh8, Rh8)], hg.at[gi],
                 sems.at[5 + gi]))
     if sao_on:
-        gr = (i * S) >> log2_csy
         for k, src in enumerate((tm_h, bm_h, em_h)):
-            cps.append(pltpu.make_async_copy(src.at[pl.ds(gr, 1)], sg.at[k],
-                                             sems.at[9 + k]))
-        cps.append(pltpu.make_async_copy(om_h.at[pl.ds(gr, 1)], om_s,
+            cps.append(pltpu.make_async_copy(src.at[pl.ds(i * 8, 8)],
+                                             sg.at[k], sems.at[9 + k]))
+        cps.append(pltpu.make_async_copy(om_h.at[pl.ds(i * 8, 8)], om_s,
                                          sems.at[12]))
         if has_restore:
             cps.append(pltpu.make_async_copy(rs_h.at[pl.ds(i * S, S)], rsb,
@@ -334,7 +339,7 @@ def _kernel(plane_h, vg0_h, vg1_h, vg2_h, vg3_h, hg0_h, hg1_h, hg2_h, hg3_h,
         grp3 = lambda v: _grp(v, 3, ri4, lambda a, k: _sshift(a, k, ri))
 
         def vexp(g):
-            return _erep_lanes(_erep_rows(g[...], 4), 3, Wp)
+            return _erep_lanes(_erep_rows(g[0:R // 4], 4), 3, Wp)
         if luma:
             taps = tuple(_lroll(B, k) for k in range(-4, 4))
             outs = _luma_edge(taps, vexp(vg[0]), vexp(vg[1]), vexp(vg[2]),
@@ -355,7 +360,8 @@ def _kernel(plane_h, vg0_h, vg1_h, vg2_h, vg3_h, hg0_h, hg1_h, hg2_h, hg3_h,
 
         def hexp(g):
             rows = jnp.concatenate(
-                [jnp.zeros((1, Wp // 4), jnp.int32), g[...]], axis=0)
+                [jnp.zeros((1, g.shape[1]), jnp.int32), g[0:S // 8 + 1]],
+                axis=0)
             return _erep_lanes(_erep_rows(rows, 8), 2, Wp)
         if luma:
             taps = tuple(_sshift(Bv, k, ri) for k in range(-4, 4))
@@ -375,14 +381,15 @@ def _kernel(plane_h, vg0_h, vg1_h, vg2_h, vg3_h, hg0_h, hg1_h, hg2_h, hg3_h,
 
     if sao_on:
         src = Bd
-        gcp = om_s.shape[1] // 5
-
+        # SAO rows arrive lane-expanded and 8-row-banded from XLA; only
+        # the sublane broadcast happens here (Mosaic rejects both gathers
+        # and lane broadcasts with a size-1 sublane dim)
         def sexp(row):
-            return jnp.broadcast_to(_erep_lanes(row, lgx, Wp), (R, Wp))
+            return jnp.broadcast_to(row[0:1], (R, Wp))
         tm = sexp(sg[0][...])
         bm = sexp(sg[1][...])
         em = sexp(sg[2][...])
-        offk = [sexp(om_s[:, k * gcp:(k + 1) * gcp]) for k in range(5)]
+        offk = [sexp(om_s[:, k * Wp:(k + 1) * Wp]) for k in range(5)]
         band_idx = ((src >> (bd - 5)) - bm) & 31
         boff = jnp.zeros_like(src)
         for k in range(4):
@@ -469,35 +476,64 @@ def fused_filter_plane(plane, vgrids, hgrids, sao_grids, restore, *,
     ng = 4 if luma else 3
     if deblock_on:
         # grids were built at (H-padded-to-8, W) geometry; pad to the band
-        # geometry (extra rows/cols are zero -> no filtering there)
+        # geometry (extra rows/cols are zero -> no filtering there), then
+        # pre-band into 8-row-aligned per-band windows: Mosaic HBM slices
+        # must align to the (8, 128) tiling, and the natural band windows
+        # (R/4 and S/8+1 rows) don't
+        Rv8 = -(-((S + 2 * HALO) // 4) // 8) * 8
+        rv = jnp.clip(jnp.arange(nb)[:, None] * (S // 4)
+                      + jnp.arange(Rv8)[None, :],
+                      0, (Hp + 2 * HALO) // 4 - 1)
+        Rh8 = -(-(S // 8 + 1) // 8) * 8
+        rh = jnp.clip(jnp.arange(nb)[:, None] * (S // 8)
+                      + jnp.arange(Rh8)[None, :], 0, Hp // 8)
+        # column counts pad to 128 too: sliced HBM memrefs must align to
+        # the (8, 128) tiling in BOTH dims
+        Wv = -(-(Wp // 8) // 128) * 128
+        Wh = -(-(Wp // 4) // 128) * 128
         vgs = [jnp.pad(g, ((0, (Hp + 2 * HALO) // 4 - g.shape[0]),
-                           (0, Wp // 8 - g.shape[1]))) for g in vgrids]
+                           (0, Wv - g.shape[1])))[rv]
+               .reshape(nb * Rv8, Wv) for g in vgrids]
         hgs = [jnp.pad(g, ((0, Hp // 8 + 1 - g.shape[0]),
-                           (0, Wp // 4 - g.shape[1]))) for g in hgrids]
+                           (0, Wh - g.shape[1])))[rh]
+               .reshape(nb * Rh8, Wh) for g in hgrids]
     else:
         vgs, hgs = [], []
+        Rv8 = Rh8 = 8
+        Wv = Wh = 128
     vgs = vgs + [zg] * (4 - len(vgs))
     hgs = hgs + [zg] * (4 - len(hgs))
 
-    lgx = csx.bit_length() - 1
     if sao_on:
         tm, bm, em, om5 = sao_grids
         grp = Hp // csy + 1
         gcp = Wp // csx
-        def sp(g, k=1):
-            return jnp.pad(g.astype(jnp.int32),
-                           ((0, grp - g.shape[0]),
-                            (0, k * gcp - g.shape[1])))
-        tm, bm, em = sp(tm), sp(bm), sp(em)
-        # om5 is (rows, 5, cols) -> (rows, 5*gcp) with per-k contiguity
-        om5 = jnp.concatenate(
-            [jnp.pad(om5[:, k, :], ((0, grp - om5.shape[0]),
-                                    (0, gcp - om5.shape[2])))
-             for k in range(5)], axis=1)
+
+        def sp(g):
+            g = jnp.pad(g.astype(jnp.int32),
+                        ((0, grp - g.shape[0]), (0, gcp - g.shape[1])))
+            # lane-expand in XLA (out[:, x] = g[:, x >> log2(csx)]): the
+            # per-CTB grids are tiny, and Mosaic rejects in-kernel gathers
+            # and lane broadcasts on their size-1 per-band sublane dim
+            return jnp.broadcast_to(g[:, :, None],
+                                    (grp, gcp, csx)).reshape(grp, Wp)
+        # band the per-CTB rows too (one row per band, 8-replicated for
+        # the aligned DMA; bands never cross a SAO CTB row by _band_rows)
+        gr = jnp.arange(nb) * S // csy
+
+        def band8(g):
+            return jnp.broadcast_to(g[gr][:, None, :],
+                                    (nb, 8, g.shape[1])) \
+                .reshape(nb * 8, g.shape[1])
+        tm, bm, em = band8(sp(tm)), band8(sp(bm)), band8(sp(em))
+        # om5 is (rows, 5, cols) -> (nb*8, 5*Wp) with per-k contiguity
+        om5 = band8(jnp.concatenate(
+            [sp(om5[:, k, :]) for k in range(5)], axis=1))
+        wexp = Wp
     else:
         tm = bm = em = zg
         om5 = jnp.zeros((1, 5), jnp.int32)
-        gcp = 1
+        wexp = 1
     has_restore = restore is not None
     if has_restore:
         rs = jnp.pad(restore.astype(jnp.int32),
@@ -507,14 +543,13 @@ def fused_filter_plane(plane, vgrids, hgrids, sao_grids, restore, *,
 
     kern = functools.partial(
         _kernel, S=S, Wp=Wp, luma=luma, bd=bd, deblock_on=deblock_on,
-        sao_on=sao_on, lgx=lgx, log2_csy=csy.bit_length() - 1,
-        has_restore=has_restore, H=H, W=W)
+        sao_on=sao_on, has_restore=has_restore, H=H, W=W)
     scratch = [
         pltpu.VMEM((R, Wp), jnp.int32),
-        pltpu.VMEM((ng, R // 4, Wp // 8), jnp.int32),
-        pltpu.VMEM((ng, S // 8 + 1, Wp // 4), jnp.int32),
-        pltpu.VMEM((3, 1, gcp), jnp.int32),
-        pltpu.VMEM((1, 5 * gcp), jnp.int32),
+        pltpu.VMEM((ng, Rv8, Wv), jnp.int32),
+        pltpu.VMEM((ng, Rh8, Wh), jnp.int32),
+        pltpu.VMEM((3, 8, wexp), jnp.int32),
+        pltpu.VMEM((8, 5 * wexp), jnp.int32),
         pltpu.VMEM((S, Wp), jnp.int32),
         pltpu.SemaphoreType.DMA((15,)),
     ]
@@ -526,5 +561,10 @@ def fused_filter_plane(plane, vgrids, hgrids, sao_grids, restore, *,
         out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
         scratch_shapes=scratch,
         interpret=interpret,
+        # the filter dataflow keeps ~30 live (R, Wp) vectors at the SAO
+        # stage; the 16M default scoped-vmem limit rejects 64-row bands
+        # at 1080p+ (measured 21.4M) — v5e has 128M physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(plane_p, *vgs, *hgs, tm, bm, em, om5, rs)
     return out[:H, :W]
