@@ -48,6 +48,10 @@ class PipelinedDecoder:
         # frames are held back until `dispatch_ahead` newer frames have been
         # dispatched: the consumer's blocking host fetch (wire transfer) then
         # overlaps with device execution of the frames behind it
+        import os as _os
+        _da = _os.environ.get("OPENHEVC_DISPATCH_AHEAD", "")
+        if _da.isdigit():
+            dispatch_ahead = int(_da)
         self.dispatch_ahead = dispatch_ahead if backend is not None else 0
         self.dpb = DPB()                    # pixel DPB (reconstruction)
         self.md5_ok = 0
