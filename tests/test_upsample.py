@@ -126,3 +126,23 @@ def test_tpu_upsampler_matches_model():
         got = TpuUpsampler().upsample_frame(bl, w_el, h_el)
         for c in range(3):
             np.testing.assert_array_equal(np.asarray(got[c]), want[c])
+
+
+@pytest.mark.parametrize("bd", [8, 10])
+def test_tpu_upsampler_mxu_matches_model(bd):
+    """The MXU band-matmul formulation (hi/lo bf16 split) must reproduce
+    the scalar model bit-exactly, including the int16 intermediate wrap
+    that 10-bit inputs trigger."""
+    from openhevc_tpu.tpu.upsample import TpuUpsampler
+    rng = np.random.default_rng(11)
+    for (w_bl, h_bl), (w_el, h_el) in RATIOS:
+        bl = [rng.integers(0, 1 << bd, (h_bl, w_bl)).astype(np.int32),
+              rng.integers(0, 1 << bd,
+                           (h_bl // 2, w_bl // 2)).astype(np.int32),
+              rng.integers(0, 1 << bd,
+                           (h_bl // 2, w_bl // 2)).astype(np.int32)]
+        want = upsample_frame(bl, w_el, h_el, bit_depth=bd)
+        got = TpuUpsampler(path="mxu").upsample_frame(bl, w_el, h_el,
+                                                      bit_depth=bd)
+        for c in range(3):
+            np.testing.assert_array_equal(np.asarray(got[c]), want[c])
