@@ -565,7 +565,12 @@ class Decoder:
     """
 
     def __init__(self, backend=None, check_md5=True, use_native=False,
-                 encrypt_params=0):
+                 encrypt_params=0, prefetch_wire=True):
+        # False = this decoder's pictures are not host-output (e.g. the
+        # SHVC base layer, consumed on device by the IL upsample): don't
+        # start D2H wire transfers that nobody reads — they compete with
+        # the output layer's fetch for the same host link
+        self.prefetch_wire = prefetch_wire
         self.dpb = DPB()
         # the C front-end has no keystream support; encrypted streams use
         # the python walker (the reference gates crypto behind a build flag)
@@ -651,9 +656,10 @@ class Decoder:
             # caller fetches (e.g. the SHVC EL loop), transfers have been
             # riding behind the async dispatch queue instead of
             # serializing after the whole decode
-            for w in (wire if isinstance(wire, tuple) else (wire,)):
-                if hasattr(w, "copy_to_host_async"):
-                    w.copy_to_host_async()
+            if self.prefetch_wire:
+                for w in (wire if isinstance(wire, tuple) else (wire,)):
+                    if hasattr(w, "copy_to_host_async"):
+                        w.copy_to_host_async()
         else:
             planes = recon_np.execute_plan(plan, dpb=self.dpb)
             recon_np.deblock_frame(plan, planes)

@@ -59,28 +59,12 @@ class Frame:
         out, off = [], 0
         for p in self.planes:
             n = int(p.shape[0]) * int(p.shape[1])
-            if w.dtype == np.uint8 and bd == 10 and n % 4 == 0:
-                g = n // 4
-                b = w[off:off + 5 * g].reshape(g, 5).astype(np.uint32)
-                lo = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | \
-                    (b[:, 3] << 24)
-                s = np.empty((g, 4), np.uint16)
-                s[:, 0] = lo & 1023
-                s[:, 1] = (lo >> 10) & 1023
-                s[:, 2] = (lo >> 20) & 1023
-                s[:, 3] = ((lo >> 30) & 3).astype(np.uint16) | \
-                    (b[:, 4].astype(np.uint16) << 2)
+            if w.dtype == np.uint8 and bd in (10, 12) and \
+                    n % (4 if bd == 10 else 2) == 0:
+                nb = 5 * (n // 4) if bd == 10 else 3 * (n // 2)
+                s = self._unpack_px(w[off:off + nb], n, bd)
                 out.append(s.reshape(p.shape))
-                off += 5 * g
-            elif w.dtype == np.uint8 and bd == 12 and n % 2 == 0:
-                g = n // 2
-                b = w[off:off + 3 * g].reshape(g, 3).astype(np.uint32)
-                lo = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-                s = np.empty((g, 2), np.uint16)
-                s[:, 0] = lo & 4095
-                s[:, 1] = (lo >> 12) & 4095
-                out.append(s.reshape(p.shape))
-                off += 3 * g
+                off += nb
             else:
                 out.append(w[off:off + n].reshape(p.shape))
                 off += n
@@ -88,6 +72,33 @@ class Frame:
             self.fetch_cb(out)          # d5 probe (no-op once decided)
         self._hp_cache = out
         return out
+
+    @staticmethod
+    def _unpack_px(wb, n, bd):
+        """Invert the bit-packed 10/12-bit output wire for one plane ->
+        flat uint16 samples.  C single-pass when the native lib is up
+        (frontend.cc unpack_px), vectorized numpy shifts otherwise."""
+        try:
+            from ..native import unpack_px_native
+            return unpack_px_native(wb, n, bd)
+        except Exception:
+            pass
+        if bd == 10:
+            b = wb.reshape(-1, 5).astype(np.uint32)
+            lo = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+            s = np.empty((n // 4, 4), np.uint16)
+            s[:, 0] = lo & 1023
+            s[:, 1] = (lo >> 10) & 1023
+            s[:, 2] = (lo >> 20) & 1023
+            s[:, 3] = ((lo >> 30) & 3).astype(np.uint16) | \
+                (b[:, 4].astype(np.uint16) << 2)
+        else:
+            b = wb.reshape(-1, 3).astype(np.uint32)
+            lo = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            s = np.empty((n // 2, 2), np.uint16)
+            s[:, 0] = lo & 4095
+            s[:, 1] = (lo >> 12) & 4095
+        return s.reshape(-1)
 
     def _unpack_d5(self, w, caps):
         """Invert the "d5" delta output wire (frame_step tail): 24-byte

@@ -109,8 +109,13 @@ class ShvcDecoder:
                 be = backend()
             else:
                 be = backend if lid else None
+            # only the top layer's pictures leave the device by default
+            # (GetOutput targets the highest active layer); lower layers
+            # feed the IL upsample in HBM, so their D2H wire prefetch is
+            # pure waste on the host link
             d = Decoder(backend=be, check_md5=check_md5,
-                        use_native=use_native)
+                        use_native=use_native,
+                        prefetch_wire=(lid == nb_layers - 1))
             d.fe.layer_id = lid
             self.decoders.append(d)
         for d in self.decoders[1:]:

@@ -541,6 +541,21 @@ def unpack_d5_native(wire, shapes, caps):
     return planes
 
 
+def unpack_px_native(wire, n, bits):
+    """C inverse of the bit-packed 10/12-bit output wire for one plane
+    (frontend.cc unpack_px) -> flat uint16 array of n samples."""
+    lib = get_lib()
+    if not hasattr(lib, "_px_ready"):
+        lib.unpack_px.restype = None
+        lib._px_ready = True
+    wire = np.ascontiguousarray(wire, np.uint8)
+    out = np.empty(int(n), np.uint16)
+    lib.unpack_px(wire.ctypes.data_as(ctypes.c_void_p),
+                  ctypes.c_int64(int(n)), ctypes.c_int(int(bits)),
+                  out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
 def split_ops(raw_ops, has_wp=False):
     """One C pass over the tagged op stream -> per-type SoA row arrays.
 

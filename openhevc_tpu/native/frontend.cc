@@ -2664,3 +2664,34 @@ extern "C" int unpack_d5(const uint8_t *wire, const int64_t *hw,
     }
     return 0;
 }
+
+// Invert the bit-packed 10/12-bit output wire (tpu/frame_step.py pack10 /
+// pack12) for one plane: 10-bit packs 4 samples into 5 bytes, 12-bit packs
+// 2 into 3.  Replaces the vectorized numpy shift chain in
+// refs.host_planes (~10 ms -> ~1.5 ms per 1080p Main-10 frame on this
+// image's single core — CPU the parse thread gets back).
+extern "C" void unpack_px(const uint8_t *wire, int64_t n, int bits,
+                          uint16_t *out)
+{
+    if (bits == 10) {
+        for (int64_t g = 0; g < n / 4; g++) {
+            const uint8_t *p = wire + g * 5;
+            uint32_t lo = (uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+                          ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+            uint16_t *q = out + g * 4;
+            q[0] = (uint16_t)(lo & 1023);
+            q[1] = (uint16_t)((lo >> 10) & 1023);
+            q[2] = (uint16_t)((lo >> 20) & 1023);
+            q[3] = (uint16_t)(((lo >> 30) & 3) | ((uint32_t)p[4] << 2));
+        }
+    } else {                            // 12
+        for (int64_t g = 0; g < n / 2; g++) {
+            const uint8_t *p = wire + g * 3;
+            uint32_t lo = (uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+                          ((uint32_t)p[2] << 16);
+            uint16_t *q = out + g * 2;
+            q[0] = (uint16_t)(lo & 4095);
+            q[1] = (uint16_t)((lo >> 12) & 4095);
+        }
+    }
+}
