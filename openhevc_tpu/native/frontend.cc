@@ -495,6 +495,32 @@ static ScanSet get_scans(int scan_idx, int log2n) {
 
 static inline int decode_remaining(Cabac &cc, int rice) {
     FE_CNT(fe_nrem++);
+    // fast path: when the unary prefix is 0-2 (the common case once the
+    // rice parameter has adapted), the prefix AND the whole rice suffix
+    // fit one bypass division — read 3+rice bins as a single quotient,
+    // locate the terminating 0 in the top 3, roll back the unconsumed
+    // tail (same remainder algebra as bypass_unary)
+    if (rice <= 12) {
+        int n = 3 + rice;
+        if (cc.cache_n < n) cc.refill32();
+        uint32_t bits = (uint32_t)(cc.cache >> (64 - n));
+        uint64_t off2 = ((uint64_t)cc.offset << n) | bits;
+        uint32_t q = (uint32_t)((off2 * RECIP[cc.range]) >> 34);
+        uint32_t top3 = q >> rice;
+        if (top3 != 7) {
+            static const int8_t ONES3[8] = {0, 0, 0, 0, 1, 1, 2, -1};
+            int ones = ONES3[top3];
+            int drop = 2 - ones;          // unconsumed trailing bins
+            uint32_t qc = q >> drop;
+            uint64_t off2c = ((uint64_t)cc.offset << (n - drop)) |
+                             (bits >> drop);
+            cc.offset = (uint32_t)(off2c - (uint64_t)qc * cc.range);
+            cc.cache <<= (n - drop);
+            cc.cache_n -= (n - drop);
+            FE_CNT((fe_nbyp++, fe_nbypbits += n - drop));
+            return (ones << rice) | (qc & ((1u << rice) - 1));
+        }
+    }
     int prefix = 0;
     bool stopped = false;
     while (prefix < 31 && !stopped) {
@@ -709,15 +735,23 @@ static int decode_residual(Ctx &c, int c_idx, int log2n, int scan_idx,
                     rice_done = 1;
                 }
             }
-            if (hide) {
-                sum_abs += level;
-                if (sn == first_nz && (sum_abs & 1)) level = -level;
+            sum_abs += level;
+            if (m == n_sig - 1 && hide) {
+                // hidden sign: the scan-first nonzero (decoded last) takes
+                // its sign from the subset's level-sum parity; its explicit
+                // sign bit was never coded (nb_signs = n_sig - 1)
+                if (sum_abs & 1) level = -level;
+            } else {
+                // branchless sign apply: the sign bit carries a full bit of
+                // entropy, so `if (neg) level = -level` mispredicted ~50%
+                // of the time on dense residuals
+                int64_t sgn = -(int64_t)(signs >> 15);
+                signs = (signs << 1) & 0xFFFF;
+                level = (level ^ sgn) - sgn;
             }
-            if (signs >> 15) level = -level;
-            signs = (signs << 1) & 0xFFFF;
             if (level > 32767) level = 32767;
             if (level < -32768) level = -32768;
-            lv[yc * n + xc] = (int32_t)level;
+            lv[(yc << log2n) + xc] = (int32_t)level;
             FE_CNT(fe_ncoeff++);
         }
         FE_CNT((fe_tsc_lvl += fe_rdtsc() - _t0, _t0 = fe_rdtsc()));
