@@ -8,7 +8,6 @@ Usage: python tools/wire_entropy.py [config] [nframes]
 """
 import os
 import sys
-import glob
 
 import numpy as np
 
@@ -26,10 +25,9 @@ def main():
     from openhevc_tpu.runtime import PipelinedDecoder
     from openhevc_tpu.tpu import TpuBackend
 
-    cands = sorted(glob.glob(os.path.join(REPO, "streams",
-                                          f"bench_v4_{name}*.265")))
-    assert cands, f"no stream for {name}"
-    spath = max(cands, key=os.path.getsize)
+    import bench
+    spath = bench.stream_path(name, bench.CONFIGS[name])
+    assert os.path.exists(spath), f"no stream for {name} ({spath})"
     stream = open(spath, "rb").read()
 
     be = TpuBackend()
@@ -42,7 +40,10 @@ def main():
     for frame in dec.frames(stream):
         for p in frame.host_planes():
             p = np.asarray(p).astype(np.int64)
-            d = np.concatenate([p[:, :1], np.diff(p, axis=1)], axis=1).ravel()
+            bd = 8 if p.max() < 256 else (10 if p.max() < 1024 else 12)
+            # first column biased by -mid, matching observe_output's model
+            d = np.concatenate([p[:, :1] - (1 << (bd - 1)),
+                                np.diff(p, axis=1)], axis=1).ravel()
             hist = np.bincount(d - d.min())
             pr = hist[hist > 0] / d.size
             tot_bits += float(-(pr * np.log2(pr)).sum()) * d.size
