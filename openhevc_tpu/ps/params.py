@@ -33,11 +33,13 @@ class PTL:
     non_packed_constraint_flag: int = 0
     frame_only_constraint_flag: int = 1
     level_idc: int = 120                    # level 4.0
+    # per sub-layer (max_sub_layers-1 entries): (profile PTL-or-None,
+    # level_idc-or-None) — temporal-scalability metadata (spec 7.3.3;
+    # reference parses the same block in its PTL loop, hevc_ps.c)
+    sub_layers: List[tuple] = field(default_factory=list)
 
 
-def parse_ptl(r: BitReader, max_sub_layers: int) -> PTL:
-    """Parse profile_tier_level (spec 7.3.3)."""
-    p = PTL()
+def _parse_ptl_common(r, p):
     p.profile_space = r.u(2)
     p.tier_flag = r.u1()
     p.profile_idc = r.u(5)
@@ -46,21 +48,30 @@ def parse_ptl(r: BitReader, max_sub_layers: int) -> PTL:
     p.interlaced_source_flag = r.u1()
     p.non_packed_constraint_flag = r.u1()
     p.frame_only_constraint_flag = r.u1()
-    r.u(32); r.u(12)
+    r.u(32); r.u(12)                        # general_reserved_zero_44bits
+
+
+def parse_ptl(r: BitReader, max_sub_layers: int) -> PTL:
+    """Parse profile_tier_level (spec 7.3.3)."""
+    p = PTL()
+    _parse_ptl_common(r, p)
     p.level_idc = r.u(8)
     flags = [(r.u1(), r.u1()) for _ in range(max_sub_layers - 1)]
     if max_sub_layers - 1 > 0:
         for _ in range(max_sub_layers - 1, 8):
-            r.u(2)
+            r.u(2)                          # reserved_zero_2bits alignment
+    p.sub_layers = []
     for pf, lf in flags:
+        sp = None
         if pf:
-            raise NotImplementedError("sub-layer PTL")
-        if lf:
-            r.u(8)
+            sp = PTL()
+            _parse_ptl_common(r, sp)        # 88-bit sub-layer profile block
+        lv = r.u(8) if lf else None
+        p.sub_layers.append((sp, lv))
     return p
 
 
-def write_ptl(w: BitWriter, p: PTL, max_sub_layers: int = 1):
+def _write_ptl_common(w: BitWriter, p: PTL):
     w.u(p.profile_space, 2)
     w.u1(p.tier_flag)
     w.u(p.profile_idc, 5)
@@ -71,8 +82,24 @@ def write_ptl(w: BitWriter, p: PTL, max_sub_layers: int = 1):
     w.u1(p.non_packed_constraint_flag)
     w.u1(p.frame_only_constraint_flag)
     w.u(0, 32); w.u(0, 12)                  # general_reserved_zero_44bits
+
+
+def write_ptl(w: BitWriter, p: PTL, max_sub_layers: int = 1):
+    _write_ptl_common(w, p)
     w.u(p.level_idc, 8)
-    assert max_sub_layers == 1, "sub-layer PTL writing not supported"
+    subs = list(p.sub_layers)[:max_sub_layers - 1]
+    subs += [(None, None)] * (max_sub_layers - 1 - len(subs))
+    for sp, lv in subs:
+        w.u1(1 if sp is not None else 0)
+        w.u1(1 if lv is not None else 0)
+    if max_sub_layers - 1 > 0:
+        for _ in range(max_sub_layers - 1, 8):
+            w.u(0, 2)
+    for sp, lv in subs:
+        if sp is not None:
+            _write_ptl_common(w, sp)
+        if lv is not None:
+            w.u(lv, 8)
 
 
 # ---------------------------------------------------------------------------
@@ -208,6 +235,10 @@ class VPS:
     # layer_id_included_flag[set-1][layer] for sets >= 1 (hevc_ps.c:1178)
     layer_id_included: List[List[int]] = field(default_factory=list)
     ext: Optional[object] = None            # layers.VPSExt (SHVC)
+    # optional (num_units_in_tick, time_scale, nhrd): write side emits
+    # vps_timing_info with nhrd HRD parameter blocks (test streams for
+    # the HRD parse path; decode ignores timing metadata)
+    timing: Optional[tuple] = None
 
 
 def parse_vps(rbsp: bytes) -> VPS:
@@ -238,12 +269,17 @@ def parse_vps(rbsp: bytes) -> VPS:
             [r.u1() for _ in range(v.max_layer_id + 1)])
     timing = r.u1()
     if timing:
-        r.u(32); r.u(32)
-        if r.u1():
-            r.ue()
+        r.u(32); r.u(32)                    # num_units_in_tick, time_scale
+        if r.u1():                          # poc_proportional_to_timing
+            r.ue()                          # num_ticks_poc_diff_one_minus1
+        # vps_num_hrd_parameters (spec 7.3.2.1; reference parses each with
+        # decode_hrd, hevc_ps.c:287) — timing metadata only, field-exact
+        # parse keeps the extension flag that follows aligned
         nhrd = r.ue()
-        if nhrd:
-            raise NotImplementedError("HRD parameters")
+        for i in range(nhrd):
+            r.ue()                          # hrd_layer_set_idx[i]
+            cprms = r.u1() if i > 0 else 1  # cprms_present_flag
+            parse_hrd(r, cprms, v.max_sub_layers)
     if r.u1():                              # vps_extension_flag
         from .layers import parse_vps_extension
         r.align()                           # align_get_bits (hevc_ps.c:1215)
@@ -275,7 +311,20 @@ def write_vps(v: VPS) -> bytes:
             v.layer_id_included) else [1] * (v.max_layer_id + 1)
         for j in range(v.max_layer_id + 1):
             w.u1(inc[j] if j < len(inc) else 0)
-    w.u1(0)                                 # vps_timing_info_present_flag
+    if v.timing is not None:
+        nuit, tsc, nhrd = v.timing
+        w.u1(1)                             # vps_timing_info_present_flag
+        w.u(nuit, 32)
+        w.u(tsc, 32)
+        w.u1(0)                             # poc_proportional_to_timing
+        w.ue(nhrd)
+        for i in range(nhrd):
+            w.ue(0)                         # hrd_layer_set_idx[i]
+            if i > 0:
+                w.u1(1)                     # cprms_present_flag
+            write_hrd(w, 1, v.max_sub_layers)
+    else:
+        w.u1(0)                             # vps_timing_info_present_flag
     if v.ext is not None:
         from .layers import write_vps_extension
         w.u1(1)                             # vps_extension_flag
@@ -367,6 +416,26 @@ def parse_hrd(r, common_inf_present, max_sublayers):
             _parse_sublayer_hrd(r, nb_cpb, subpic)
         if vcl_present:
             _parse_sublayer_hrd(r, nb_cpb, subpic)
+
+
+def write_hrd(w: BitWriter, common_inf_present, max_sublayers,
+              bitrate_m1=9999, cpb_m1=9999):
+    """Write a minimal NAL-HRD parameter block (spec E.2.2), the inverse
+    of parse_hrd's field walk: no sub-pic params, one CPB per sub-layer,
+    fixed picture rate."""
+    if common_inf_present:
+        w.u1(1)                             # nal_hrd_parameters_present
+        w.u1(0)                             # vcl_hrd_parameters_present
+        w.u1(0)                             # sub_pic_hrd_params_present
+        w.u(0, 8)                           # bit_rate_scale + cpb_size_scale
+        w.u(0, 15)                          # cpb removal / dpb output lens
+    for _ in range(max_sublayers):
+        w.u1(1)                             # fixed_pic_rate_general_flag
+        w.ue(0)                             # elemental_duration_in_tc_minus1
+        w.ue(0)                             # cpb_cnt_minus1
+        w.ue(bitrate_m1)                    # bit_rate_value_minus1
+        w.ue(cpb_m1)                        # cpb_size_value_minus1
+        w.u1(0)                             # cbr_flag
 
 
 def parse_vui(r, max_sub_layers) -> VUI:

@@ -203,3 +203,59 @@ def test_sei_active_ps_retargets_pic_timing_mid_nal():
     assert out[0] == ("active_parameter_sets",
                       {"active_seq_parameter_set_id": 1})
     assert out[1] == ("pic_timing", {"picture_struct": 2})
+
+
+def test_vps_timing_hrd_sublayer_ptl_roundtrip():
+    """VPS with vps_timing_info + HRD blocks and a 2-sub-layer PTL
+    round-trips through write_vps/parse_vps (reference decode_hrd,
+    hevc_ps.c:287, and the sub-layer loop of decode_profile_tier_level).
+    These are timing/capability metadata: parsing must stay field-exact
+    so the vps_extension_flag that follows them lands on the right bit."""
+    from openhevc_tpu.ps.params import (VPS, PTL, parse_vps, write_vps)
+    v = VPS()
+    v.max_sub_layers = 2
+    v.max_dec_pic_buffering = [4, 5]
+    v.num_reorder_pics = [0, 1]
+    v.max_latency_increase = [-1, -1]
+    v.ptl.sub_layers = [(PTL(profile_idc=1, level_idc=63), 63)]
+    v.timing = (1001, 60000, 2)             # two HRD blocks
+    out = parse_vps(write_vps(v))
+    assert out.max_sub_layers == 2
+    assert out.ptl.sub_layers[0][1] == 63
+    sp = out.ptl.sub_layers[0][0]
+    assert sp is not None and sp.profile_idc == 1
+    assert out.num_reorder_pics == [0, 1]
+
+
+def test_decode_stream_with_vps_hrd_and_sublayer_ptl():
+    """A real coded stream whose VPS carries timing+HRD and sub-layer PTL
+    decodes identically to the plain-VPS stream (an x265/HM-style VPS
+    must not abort the parse)."""
+    import numpy as np
+    from openhevc_tpu.encoder import Encoder, EncoderConfig
+    from openhevc_tpu.ps.params import PTL, write_vps
+    from openhevc_tpu.bitstream import nal as nalmod
+    from openhevc_tpu.bitstream.nal import write_nal
+    from util_e2e import make_source, my_decode
+
+    rng = np.random.default_rng(11)
+    enc = Encoder(EncoderConfig(width=64, height=64, qp=30, rng_seed=3))
+    src = make_source(rng, 64, 64)
+    ps = enc.parameter_set_nals()
+    au, _, _ = enc.encode_frame(src, "I")
+    plain = b"".join(ps) + au
+
+    enc.vps.max_sub_layers = 2
+    enc.vps.max_dec_pic_buffering = enc.vps.max_dec_pic_buffering * 2
+    enc.vps.num_reorder_pics = enc.vps.num_reorder_pics * 2
+    enc.vps.max_latency_increase = enc.vps.max_latency_increase * 2
+    enc.vps.ptl.sub_layers = [(PTL(), 63)]
+    enc.vps.timing = (1001, 30000, 1)
+    rich_vps = write_nal(nalmod.NAL_VPS, write_vps(enc.vps))
+    rich = rich_vps + b"".join(ps[1:]) + au
+
+    a = my_decode(plain)
+    b = my_decode(rich)
+    assert len(a) == len(b) == 1
+    for pa, pb in zip(a[0], b[0]):
+        assert np.array_equal(pa, pb)
