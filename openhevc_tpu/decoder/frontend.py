@@ -22,6 +22,53 @@ from .refs import DPB, Frame, construct_rpl, resolve_lt_pocs, get_or_synth
 from . import recon_np
 
 
+class LazySaoDict:
+    """Dict-like view over the native per-CTB SAO grid: materializes the
+    per-CTB CtbFilterParams objects only when a scalar consumer actually
+    iterates/indexes them (the TPU path reads plan.sao_raw instead)."""
+
+    def __init__(self, raw, ctb_width, nctb):
+        self._raw = raw
+        self._cw = ctb_width
+        self._n = nctb
+        self._d = None
+
+    def _mat(self):
+        if self._d is None:
+            from .plan import CtbFilterParams
+            d = {}
+            for rs in range(self._n):
+                row = self._raw[rs]
+                d[(rs % self._cw, rs // self._cw)] = CtbFilterParams(
+                    sao_type=row[0:3].copy(),
+                    sao_band_position=row[3:6].copy(),
+                    sao_eo_class=row[6:9].copy(),
+                    sao_offsets=row[9:24].reshape(3, 5).copy())
+            self._d = d
+        return self._d
+
+    def items(self):
+        return self._mat().items()
+
+    def __getitem__(self, k):
+        return self._mat()[k]
+
+    def get(self, k, default=None):
+        return self._mat().get(k, default)
+
+    def __contains__(self, k):
+        return k in self._mat()
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def __len__(self):
+        return self._n
+
+    def __bool__(self):
+        return True
+
+
 class Frontend:
     """Stateful bitstream front-end; call decode_au() per access unit."""
 
@@ -512,17 +559,13 @@ class Frontend:
         plan.mvf_ref_idx = out["mvf_ref_idx"]
         if any(sh.sao_luma or sh.sao_chroma
                for _, sh in (cur.get("segments") or [(0, sh0)])):
-            sao = {}
-            for rs in range(sps.pic_size_in_ctbs):
-                row = out["sao"][rs]
-                sao[(rs % sps.ctb_width, rs // sps.ctb_width)] = \
-                    CtbFilterParams(
-                        sao_type=row[0:3].copy(),
-                        sao_band_position=row[3:6].copy(),
-                        sao_eo_class=row[6:9].copy(),
-                        sao_offsets=row[9:24].reshape(3, 5).copy())
-            plan.sao = sao
+            # the TPU path consumes the raw per-CTB grid (tpu/sao.py reads
+            # sao_raw); the per-CTB CtbFilterParams dict — ~2000 small
+            # numpy copies per 1080p frame — materializes only if a scalar
+            # consumer (recon_np / slicefilters) actually iterates it
             plan.sao_raw = np.ascontiguousarray(out["sao"])
+            plan.sao = LazySaoDict(plan.sao_raw, sps.ctb_width,
+                                   sps.pic_size_in_ctbs)
         else:
             plan.sao = None
 

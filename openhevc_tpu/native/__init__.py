@@ -424,6 +424,51 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
         pcm_map, sao_out = pic["pcm_map"], pic["sao_out"]
         cbf_luma, scratch = pic["cbf_luma"], pic["scratch"]
         ctx_io = pic["ctx_io"]
+    save_ctx_end = 1 if (pps.dependent_slice_segments_enabled and
+                         not pps.entropy_coding_sync_enabled) else 0
+    if not os.environ.get("OPENHEVC_DUMP_SLICE"):
+        # fused serial decode: all of this slice's substreams in ONE C
+        # call (ctypes marshals the ~28 pointer args once per slice, not
+        # once per WPP row/tile — ~5 ms/frame at 1080p WPP, and a third
+        # of the whole parse cost at 480p)
+        lib = get_lib()
+        if not hasattr(lib, "_serial_ready"):
+            lib.decode_substreams_serial.restype = ctypes.c_int64
+            lib._serial_ready = True
+        p.lv_base = lv_total
+        p.init_state = 1 if first_slice else 0
+        p.slice_start = 1
+        p.save_ctx_end = save_ctx_end
+        flags = np.zeros(2 * len(bounds), np.uint8)
+        for si in range(len(bounds)):
+            flags[2 * si] = 1 if (loads[si] or (
+                si == 0 and sh.dependent_slice_segment)) else 0
+            flags[2 * si + 1] = 1 if saves[si] else 0
+        sub_off = np.asarray(offsets, np.int64)
+        sub_ts = np.asarray(bounds, np.int32).reshape(-1)
+        err = lib.decode_substreams_serial(
+            ctypes.byref(p), payload, cp(sub_off), cp(sub_ts), cp(flags),
+            ctypes.c_int32(len(bounds)),
+            cp(rs2ts), cp(ts2rs), cp(tid), cp(zsc), cp(rpl0), cp(rpl1),
+            cp(col_mv), cp(col_poc_a), cp(col_pred), cp(col_ri),
+            cp(col_rpl0), cp(col_rpl1),
+            cp(ops[ops_total:]), ctypes.c_int64(ops_cap - ops_total),
+            cp(levels[lv_total:]), ctypes.c_int64(lv_cap - lv_total),
+            cp(mvf_mv), cp(mvf_poc), cp(mvf_pred), cp(mvf_ref_idx),
+            cp(vbs), cp(hbs), cp(qp_y_tab), cp(pcm_map), cp(sao_out),
+            cp(cbf_luma), cp(scratch), cp(ctx_io), cp(rext_state),
+            cp(out_sizes))
+        if out_sizes[2] != 0 or ops_total + out_sizes[0] > ops_cap or \
+                lv_total + out_sizes[1] > lv_cap:
+            raise RuntimeError(f"native front-end error {out_sizes[2]}")
+        pic["ops_total"] = ops_total + int(out_sizes[0])
+        pic["lv_total"] = lv_total + int(out_sizes[1])
+        pic["last_ts"] = int(out_sizes[3])
+        return dict(ops=ops[:pic["ops_total"]], levels=levels[:pic["lv_total"]],
+                    mvf_mv=mvf_mv, mvf_poc=mvf_poc, mvf_pred=mvf_pred,
+                    mvf_ref_idx=mvf_ref_idx, vbs=vbs, hbs=hbs,
+                    qp_y_tab=qp_y_tab, pcm_map=pcm_map, sao=sao_out,
+                    last_ts=pic["last_ts"])
     for si, (ts0, ts1) in enumerate(bounds):
         p.first_ctb_ts, p.last_ctb_ts = ts0, ts1
         p.lv_base = lv_total        # emitted level offsets come out absolute
@@ -432,8 +477,7 @@ def decode_slice_native(sps, pps, sh, nal_type, payload: bytes, cur_poc,
         p.ctx_load = 1 if (loads[si] or
                            (si == 0 and sh.dependent_slice_segment)) else 0
         p.wpp_save_ctx = 1 if saves[si] else 0
-        p.save_ctx_end = 1 if (pps.dependent_slice_segments_enabled and
-                               not pps.entropy_coding_sync_enabled) else 0
+        p.save_ctx_end = save_ctx_end
         seg = payload[offsets[si]:offsets[si + 1]]
         dump_dir = os.environ.get("OPENHEVC_DUMP_SLICE")
         if dump_dir:

@@ -2395,6 +2395,70 @@ extern "C" int64_t decode_slice_data(
     return c.err;
 }
 
+// Fused serial substream decode: the whole slice's entry-point substreams
+// (WPP rows / tiles) in ONE call.  Semantically identical to calling
+// decode_slice_data once per substream (the per-substream ctx load/save
+// flags arrive precomputed), but the ctypes argument marshalling — ~28
+// pointer conversions per call, which at 1080p WPP means ~17 calls/frame
+// — happens once per slice.  This is the 1-core serial path; the
+// multi-core wavefront path is decode_substreams_wpp below.
+extern "C" int64_t decode_substreams_serial(
+    const SliceParams *pb, const uint8_t *payload,
+    const int64_t *sub_off,           // nsubs+1 byte offsets into payload
+    const int32_t *sub_ts,            // nsubs * 2: (first_ts, last_ts)
+    const uint8_t *sub_flags,         // nsubs * 2: (ctx_load, wpp_save_ctx)
+    int32_t nsubs,
+    const int32_t *rs_to_ts, const int32_t *ts_to_rs, const int32_t *tile_id,
+    const int32_t *min_tb_zs, const int32_t *rpl0, const int32_t *rpl1,
+    const int32_t *col_mv, const int32_t *col_poc_arr,
+    const uint8_t *col_pred, const int8_t *col_refidx,
+    const int32_t *col_rpl0, const int32_t *col_rpl1,
+    int32_t *ops, int64_t ops_cap, int32_t *levels, int64_t lv_cap,
+    int32_t *mvf_mv, int32_t *mvf_poc, uint8_t *mvf_pred, int8_t *mvf_ref_idx,
+    uint8_t *vbs, uint8_t *hbs, int8_t *qp_y_tab, uint8_t *is_pcm_or_bypass,
+    int32_t *sao_out, uint8_t *cbf_luma_buf, uint8_t *scratch,
+    uint8_t *ctx_io, int32_t *rext_state,
+    int64_t *out_sizes /* [ops, levels, err, last_ts] */)
+{
+    SharedBufs b = {rs_to_ts, ts_to_rs, tile_id, min_tb_zs, rpl0, rpl1,
+                    col_mv, col_poc_arr, col_pred, col_refidx, col_rpl0,
+                    col_rpl1, mvf_mv, mvf_poc, mvf_pred, mvf_ref_idx,
+                    vbs, hbs, qp_y_tab, is_pcm_or_bypass, sao_out,
+                    cbf_luma_buf, scratch};
+    int64_t ops_n = 0, lv_n = 0, last_ts = pb->first_ctb_ts - 1;
+    for (int i = 0; i < nsubs; i++) {
+        SliceParams ps = *pb;
+        ps.first_ctb_ts = sub_ts[2 * i];
+        ps.last_ctb_ts = sub_ts[2 * i + 1];
+        ps.lv_base = pb->lv_base + (int32_t)lv_n;
+        ps.init_state = (i == 0) ? pb->init_state : 0;
+        ps.slice_start = (i == 0) ? pb->slice_start : 0;
+        ps.ctx_load = sub_flags[2 * i];
+        ps.wpp_save_ctx = sub_flags[2 * i + 1];
+        Ctx c;
+        setup_ctx(c, &ps, b, ops + ops_n, ops_cap - ops_n,
+                  levels + lv_n, lv_cap - lv_n, rext_state);
+        if (ps.init_state) init_pic_scratch(c);
+        int64_t lts = ps.first_ctb_ts - 1;
+        run_substream(c, payload + sub_off[i], sub_off[i + 1] - sub_off[i],
+                      ctx_io, ctx_io, nullptr, &lts);
+        if (ps.save_ctx_end) memcpy(ctx_io, c.cc.pst, NUM_CONTEXTS);
+        if (c.err) {
+            out_sizes[0] = ops_n; out_sizes[1] = lv_n;
+            out_sizes[2] = c.err; out_sizes[3] = lts;
+            return c.err;
+        }
+        ops_n += c.ops_pos;
+        lv_n += c.lv_pos;
+        last_ts = lts;
+    }
+    out_sizes[0] = ops_n;
+    out_sizes[1] = lv_n;
+    out_sizes[2] = 0;
+    out_sizes[3] = last_ts;
+    return 0;
+}
+
 // Host-parallel WPP decode: one thread pool pass over a slice's CTB-row
 // substreams with the 2-CTB wavefront skew (the reference decodes these
 // rows on its pthread job pool, hevc.c:2751-2832 + pthread_slice.c:44-236).

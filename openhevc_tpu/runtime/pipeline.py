@@ -183,7 +183,16 @@ class PipelinedDecoder:
                     if item is None:
                         break
                     items = [item]
-                    while len(items) < group_n:
+                    # while the d5 output-wire probe is unresolved, prepare
+                    # ONE frame at a time: the probe resolves (below) before
+                    # any later frame's profile is built, so the compiled
+                    # shape sequence is a pure function of the stream — not
+                    # of thread timing (a cold run previously churned
+                    # through unrepeatable escape-cap shape variants, each
+                    # a full fused-step XLA compile)
+                    probing = (be is not None and self.prefetch_wire
+                               and getattr(be, "_dwire", False) is None)
+                    while len(items) < (1 if probing else group_n):
                         try:
                             nxt = plans_q.get_nowait()
                         except queue.Empty:
@@ -215,6 +224,14 @@ class PipelinedDecoder:
                                    plan.poc, plan.slice_type,
                                    (_time.monotonic() - _t0) * 1e3)
                         self.dpb.add(frame)
+                        if probing:
+                            # resolve the probe HERE, synchronously: fetch
+                            # the first frame's planes (cached on the Frame,
+                            # so the consumer's own host_planes() is free)
+                            # and let observe_output decide the d5 wire +
+                            # its sticky caps before frame 1 is prepared
+                            frame.host_planes()
+                            probing = False
                         if plan.ref_keep is not None:
                             self.dpb.retain(set(plan.ref_keep) | {plan.poc})
                         if self.check_md5 and plan.md5 is not None:

@@ -30,11 +30,9 @@ def main():
     from openhevc_tpu.runtime import PipelinedDecoder
     from openhevc_tpu.tpu import TpuBackend
 
-    import glob
-    cands = sorted(glob.glob(os.path.join(REPO, "streams",
-                                          f"bench_v4_{name}*.265")))
-    assert cands, f"no stream for {name}"
-    spath = max(cands, key=os.path.getsize)
+    import bench
+    spath = bench.stream_path(name, bench.CONFIGS[name])
+    assert os.path.exists(spath), f"no stream for {name} ({spath})"
     stream = open(spath, "rb").read()
     print(f"stream {os.path.basename(spath)} {len(stream)/1e6:.2f} MB",
           file=sys.stderr)
@@ -56,11 +54,8 @@ def main():
             return r
         setattr(obj, attr, wrapped)
 
-    dcaps = None
     for rep in range(reps):
         be = TpuBackend()
-        if isinstance(dcaps, tuple):
-            be._dwire = dcaps
         wrap(be, "prepare_host", "prepare_host")
         wrap(be, "finish_frame", "finish_frame")
         wrap(be, "upload_group", "upload_group")
@@ -79,7 +74,6 @@ def main():
             n += 1
         wall = time.monotonic() - t0
         cpu = time.process_time() - c0
-        dcaps = be._dwire if hasattr(be, "_dwire") else None
         print(f"rep {rep}: {n} frames wall {wall:.2f}s "
               f"({1e3*wall/n:.0f} ms/f, {n/wall:.2f} fps) "
               f"cpu {cpu:.2f}s ({1e3*cpu/n:.0f} ms/f, {100*cpu/wall:.0f}%)",
