@@ -8,7 +8,10 @@ cost ~1s each over the tunnel, so the whole plan ships as ONE device_put).
 Bit-exact with the NumPy scalar pipeline (recon_np); the tests enforce it.
 """
 
+import ast
+import json
 import os
+import threading
 
 import numpy as np
 import jax
@@ -20,6 +23,68 @@ from .wavefront import schedule_slots
 from .frame_step import frame_step
 from .sao import build_sao_grids
 from . import intra_pallas
+
+# ---------------------------------------------------------------------------
+# Converged-cap store: the sticky batch capacities a long-running decoder
+# converges to, persisted per (geometry, path) so that every later run —
+# including a cold process — builds its FINAL plan shapes from frame 0
+# and compiles each frame family exactly once (the per-shape programs
+# themselves persist in the XLA compilation cache).  Without this, each
+# cap-growth step during the first frames is a distinct fused-program
+# shape (~10-20 min/compile on a tunneled TPU).
+# Enabled by pointing OPENHEVC_CAP_STORE at a JSON path (bench.py does).
+# ---------------------------------------------------------------------------
+
+_CAP_FIELDS = ("_slot_caps", "_inter_caps", "_work_caps", "_slot_T",
+               "_flat_len", "_resid_len", "_resc_len", "_rese_len",
+               "_blob_cap", "_ipal_chunks")
+_cap_lock = threading.Lock()
+
+
+def _enc_keys(v):
+    if isinstance(v, dict):
+        return {repr(k): _enc_keys(x) for k, x in v.items()}
+    if isinstance(v, tuple):
+        return list(v)
+    return v
+
+
+def _dec_keys(v):
+    if isinstance(v, dict):
+        out = {}
+        for k, x in v.items():
+            try:
+                kk = ast.literal_eval(k)
+            except (ValueError, SyntaxError):
+                kk = k
+            out[kk] = _dec_keys(x)
+        return out
+    return v
+
+
+def _cap_store_path():
+    return os.environ.get("OPENHEVC_CAP_STORE") or None
+
+
+def _load_cap_store(path):
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        if data.get("v") != 1:
+            return {}
+        return data.get("keys", {})
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_cap_store(path, key, entry):
+    with _cap_lock:
+        keys = _load_cap_store(path)
+        keys[key] = entry
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"v": 1, "keys": keys}, f)
+        os.replace(tmp, path)
 
 
 def _canonical_pu_sizes(ctb):
@@ -86,6 +151,47 @@ class TpuBackend:
         self.wire_fmt = None            # format of the LAST finished frame
         self._blob_cap = {}             # sticky whole-blob upload length
         self._ipal_chunks = {"I": {}, "PB": {}}
+        self._caps_key = None           # cap-store key (set at 1st prepare)
+        self._caps_saved = None
+
+    def _caps_sync(self, plan, use_ipal):
+        """Load the converged sticky caps for this (geometry, path) from
+        the cap store, once per backend instance."""
+        path = _cap_store_path()
+        if path is None or self._caps_key is not None:
+            return
+        self._caps_key = (f"{plan.width}x{plan.height}:{plan.bit_depth}:"
+                          f"{plan.chroma_format_idc}:{int(bool(use_ipal))}")
+        entry = _load_cap_store(path).get(self._caps_key)
+        if not entry:
+            return
+
+        def merge_max(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict):
+                    merge_max(dst.setdefault(k, {}), v)
+                elif isinstance(v, (int, float)):
+                    dst[k] = max(dst.get(k, 0), v)
+
+        for f in _CAP_FIELDS:
+            got = _dec_keys(entry.get(f) or {})
+            merge_max(getattr(self, f), got)
+        dw = entry.get("_dwire")
+        if self._dwire is None and isinstance(dw, list):
+            self._dwire = tuple(tuple(int(x) for x in c) for c in dw)
+
+    def _caps_flush(self):
+        """Write the current sticky caps back when they changed."""
+        path = _cap_store_path()
+        if path is None or self._caps_key is None:
+            return
+        entry = {f: _enc_keys(getattr(self, f)) for f in _CAP_FIELDS}
+        if isinstance(self._dwire, tuple):
+            entry["_dwire"] = [list(c) for c in self._dwire]
+        blob = json.dumps(entry, sort_keys=True)
+        if blob != self._caps_saved:
+            self._caps_saved = blob
+            _save_cap_store(path, self._caps_key, entry)
 
     def observe_output(self, hplanes, counts=None, overflow=False):
         """Fetch-time feedback from refs.host_planes.
@@ -232,6 +338,7 @@ class TpuBackend:
         use_ipal = (ipal_env != "off"
                     and (jax.default_backend() not in ("cpu",)
                          or ipal_env == "interp"))
+        self._caps_sync(plan, use_ipal)
         # fused deblock+SAO Pallas kernel (tpu/filter_pallas.py): one VMEM
         # pass per plane instead of a dozen whole-plane HLO stages.  Same
         # env contract as OPENHEVC_IPAL; off under sp-sharding (pallas_call
@@ -780,4 +887,5 @@ class TpuBackend:
                 ipal, has_cc, bool(plan.intra_smoothing_disabled),
                 refs_padded, has_w, ffilt, self.shard, tuple(layout8), n16,
                 dwire)
+        self._caps_flush()
         return (plan, blob_np, prof, ref_pocs)

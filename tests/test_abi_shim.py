@@ -87,13 +87,8 @@ def _build_gpac_driver(tmp):
     return drv
 
 
-@pytest.mark.slow
-def test_gpac_module_lifecycle():
-    """The exact call sequence of GPAC's openhevc_dec plugin against the
-    shim: hvcC extradata via CopyExtraData (switching the decoder into
-    ISO length-prefixed NALFF mode), SetActiveDecoders/SetViewLayers,
-    per-sample Decode + GetPictureInfo(SetCpy) + GetOutputCpy, EOS drain
-    + Flush + Close — every symbol the plugin links."""
+def _gpac_samples():
+    """hvcC + MP4-form samples + expected recons for the GPAC tests."""
     from openhevc_tpu.formats.mp4 import build_hvcc
 
     cfg = EncoderConfig(width=96, height=64, qp=30, rng_seed=6)
@@ -128,6 +123,26 @@ def test_gpac_module_lifecycle():
             nals.append(au[k + 3:end])
         sample = b"".join(struct.pack(">I", len(n)) + n for n in nals)
         samples.append(sample)
+    return hvcc, samples, recons
+
+
+def _write_smp(path, hvcc, samples):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", len(hvcc)))
+        f.write(hvcc)
+        for s in samples:
+            f.write(struct.pack("<I", len(s)))
+            f.write(s)
+
+
+@pytest.mark.slow
+def test_gpac_module_lifecycle():
+    """The exact call sequence of GPAC's openhevc_dec plugin against the
+    shim: hvcC extradata via CopyExtraData (switching the decoder into
+    ISO length-prefixed NALFF mode), SetActiveDecoders/SetViewLayers,
+    per-sample Decode + GetPictureInfo(SetCpy) + GetOutputCpy, EOS drain
+    + Flush + Close — every symbol the plugin links."""
+    hvcc, samples, recons = _gpac_samples()
 
     with tempfile.TemporaryDirectory() as td:
         drv = _build_gpac_driver(td)
@@ -144,6 +159,47 @@ def test_gpac_module_lifecycle():
         r = subprocess.run([drv, inf, outf], env=env,
                            capture_output=True, text=True, timeout=600)
         assert r.returncode == 0, f"driver failed:\n{r.stdout}\n{r.stderr}"
+        assert "frames=3" in r.stdout
+        got = np.fromfile(outf, np.uint8)
+        want = np.concatenate([p.ravel() for fr in recons for p in fr])
+        assert np.array_equal(got, want)
+
+
+def _build_gpac_module(tmp):
+    from openhevc_tpu.native import build_abi
+    so = build_abi()
+    drv = os.path.join(tmp, "gpac_module_host")
+    libdir = os.path.dirname(so)
+    mdir = os.path.join(REPO, "tools", "gpac_module")
+    subprocess.run(
+        ["gcc", "-O1", os.path.join(mdir, "openhevc_dec.c"),
+         os.path.join(mdir, "harness.c"),
+         "-o", drv, f"-L{libdir}", "-lLibOpenHevcWrapper",
+         f"-Wl,-rpath,{libdir}"], check=True)
+    return drv
+
+
+@pytest.mark.slow
+def test_gpac_module_source():
+    """The actual GPAC decoder-module SOURCE (tools/gpac_module/
+    openhevc_dec.c — QueryInterfaces/LoadInterface/ShutdownInterface +
+    GF_MediaDecoder vtable, the reference plugin's surface) decodes a
+    length-prefixed sample stream bit-exactly when driven by a
+    mini-GPAC host through AttachStream / GetCapabilities /
+    ProcessData(+ EOS drain) / DetachStream."""
+    hvcc, samples, recons = _gpac_samples()
+
+    with tempfile.TemporaryDirectory() as td:
+        drv = _build_gpac_module(td)
+        inf = os.path.join(td, "in.smp")
+        _write_smp(inf, hvcc, samples)
+        outf = os.path.join(td, "out.yuv")
+        env = cpu_subprocess_env()
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        r = subprocess.run([drv, inf, outf], env=env,
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, f"module host failed:\n{r.stdout}\n{r.stderr}"
+        assert "module=openhevc_tpu Decoder" in r.stdout
         assert "frames=3" in r.stdout
         got = np.fromfile(outf, np.uint8)
         want = np.concatenate([p.ravel() for fr in recons for p in fr])
