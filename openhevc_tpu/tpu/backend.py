@@ -40,6 +40,12 @@ _CAP_FIELDS = ("_slot_caps", "_inter_caps", "_work_caps", "_slot_T",
                "_blob_cap", "_ipal_chunks")
 _cap_lock = threading.Lock()
 
+# Luma-plane size below which the d5 delta output wire is never engaged:
+# at <=480p the extra device compute for the delta sections (~6 ms) and
+# the host-side unpack outweigh the few ms of wire saved (measured
+# net-negative on bqmall/rext); 1080p and up it wins.
+_DWIRE_MIN_PX = 1 << 20
+
 
 def _enc_keys(v):
     if isinstance(v, dict):
@@ -177,7 +183,10 @@ class TpuBackend:
             got = _dec_keys(entry.get(f) or {})
             merge_max(getattr(self, f), got)
         dw = entry.get("_dwire")
-        if self._dwire is None and isinstance(dw, list):
+        if plan.width * plan.height < _DWIRE_MIN_PX:
+            if self._dwire is None:
+                self._dwire = False     # small frame: raw wire always wins
+        elif self._dwire is None and isinstance(dw, list):
             self._dwire = tuple(tuple(int(x) for x in c) for c in dw)
 
     def _caps_flush(self):
@@ -201,6 +210,14 @@ class TpuBackend:
         size its sticky escape capacities.  Overflow: a later frame's
         escapes outgrew the caps (host fell back to a raw plane fetch);
         grow the caps so subsequent frames recompile once and fit."""
+        if self._dwire is None and hplanes is not None and \
+                np.asarray(hplanes[0]).size < _DWIRE_MIN_PX:
+            # small frames: the d5 sections' device compute (+~6 ms at
+            # 480p) and host unpack outweigh the few ms of wire saved —
+            # measured net-negative; keep the raw wire (and its already
+            # compiled profile)
+            self._dwire = False
+            return
         if overflow and isinstance(self._dwire, tuple) and counts is not None:
             caps = []
             for c in range(3):
