@@ -12,6 +12,15 @@ import pytest
 from openhevc_tpu.encoder import Encoder, EncoderConfig
 from openhevc_tpu.decoder.frontend import Decoder
 from openhevc_tpu.tpu import TpuBackend
+from openhevc_tpu.tpu import backend as backend_mod
+
+
+@pytest.fixture(autouse=True)
+def _lift_size_gate(monkeypatch):
+    """These tests probe the d5 machinery on deliberately tiny frames;
+    disable the production small-frame gate (raw wire always wins below
+    1 MPx) so the probe itself is exercised."""
+    monkeypatch.setattr(backend_mod, "_DWIRE_MIN_PX", 0)
 
 
 def _smooth_source(rng, w, h):
@@ -88,3 +97,15 @@ def test_dwire_overflow_falls_back_and_grows():
     _decode_check(stream, recons, backend)
     assert isinstance(backend._dwire, tuple)
     assert backend._dwire[0][0] > 8, "caps should have grown after overflow"
+
+
+def test_dwire_small_frame_gate(monkeypatch):
+    # below _DWIRE_MIN_PX the probe must never engage d5 (device compute
+    # + host unpack measured net-negative at <=480p): smooth content that
+    # WOULD enable it stays on the raw wire, still bit-exact
+    monkeypatch.setattr(backend_mod, "_DWIRE_MIN_PX", 1 << 20)
+    stream, recons = _encode(_smooth_source)
+    backend = TpuBackend()
+    _decode_check(stream, recons, backend)
+    assert backend._dwire is False, \
+        "small frames must keep the raw output wire"
