@@ -2438,7 +2438,13 @@ extern "C" int64_t decode_substreams_serial(
         Ctx c;
         setup_ctx(c, &ps, b, ops + ops_n, ops_cap - ops_n,
                   levels + lv_n, lv_cap - lv_n, rext_state);
-        if (ps.init_state) init_pic_scratch(c);
+        if (ps.init_state) {
+            // context init clears the persistent-rice stats, matching
+            // decode_slice_data (hevc_cabac.c:602-604); slots 4-5 (stale
+            // pu intra modes) survive by design
+            for (int j = 0; j < 4; j++) c.rext[j] = 0;
+            init_pic_scratch(c);
+        }
         int64_t lts = ps.first_ctb_ts - 1;
         run_substream(c, payload + sub_off[i], sub_off[i + 1] - sub_off[i],
                       ctx_io, ctx_io, nullptr, &lts);
