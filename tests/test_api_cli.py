@@ -78,6 +78,7 @@ def test_cli(stream_and_recon, tmp_path):
     np.testing.assert_array_equal(y0.astype(np.int32), recons[0][0])
 
 
+@pytest.mark.slow   # >60 s on the 1-core image; np-backend sibling stays fast
 def test_multichip_dryrun():
     import __graft_entry__ as g
     fn, args = g.entry()

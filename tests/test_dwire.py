@@ -68,6 +68,7 @@ def _decode_check(stream, recons, backend):
     return dec
 
 
+@pytest.mark.slow   # >60 s on the 1-core image; np-backend sibling stays fast
 def test_dwire_enables_and_bit_exact():
     stream, recons = _encode(_smooth_source)
     backend = TpuBackend()
@@ -78,6 +79,7 @@ def test_dwire_enables_and_bit_exact():
     assert backend.wire_fmt is not None and backend.wire_fmt[0] == "d5"
 
 
+@pytest.mark.slow   # >60 s on the 1-core image; np-backend sibling stays fast
 def test_dwire_probe_disables_on_noise():
     stream, recons = _encode(_noise_source, qp=20)
     backend = TpuBackend()
@@ -86,6 +88,7 @@ def test_dwire_probe_disables_on_noise():
         "noise deltas must not enable the d5 wire"
 
 
+@pytest.mark.slow   # >60 s on the 1-core image; np-backend sibling stays fast
 def test_dwire_overflow_falls_back_and_grows():
     # noise content force-enabled with tiny caps: the first d5 frame
     # overflows both escape channels, host_planes must fall back to the

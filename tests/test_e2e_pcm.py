@@ -61,6 +61,7 @@ def test_pcm_native_frontend():
             np.testing.assert_array_equal(np.asarray(p), q)
 
 
+@pytest.mark.slow   # >60 s on the 1-core image; np-backend sibling stays fast
 def test_pcm_tpu_backend():
     from openhevc_tpu.tpu import TpuBackend
     stream, recons, _ = _encode(False)

@@ -55,6 +55,7 @@ def test_long_term_native():
             np.testing.assert_array_equal(np.asarray(p), q)
 
 
+@pytest.mark.slow   # >60 s on the 1-core image; np-backend sibling stays fast
 def test_long_term_tpu_backend():
     from openhevc_tpu.tpu import TpuBackend
     stream, recons, _ = _encode(pattern="IPPP")

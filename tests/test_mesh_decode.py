@@ -53,6 +53,7 @@ def test_mesh_decode_bit_exact_vs_serial():
             np.testing.assert_array_equal(f.planes[c], want[c])
 
 
+@pytest.mark.slow   # >60 s on the 1-core image; np-backend sibling stays fast
 def test_mesh_decode_tpu_backend_devices():
     """Fused frame_step dispatches pinned per device of the mesh."""
     from openhevc_tpu.tpu import TpuBackend

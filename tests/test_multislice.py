@@ -64,6 +64,7 @@ def test_multislice_native():
             np.testing.assert_array_equal(np.asarray(p), q)
 
 
+@pytest.mark.slow   # >60 s on the 1-core image; np-backend sibling stays fast
 def test_multislice_tpu_backend():
     from openhevc_tpu.tpu import TpuBackend
     stream, recons = _encode(2)
@@ -150,6 +151,7 @@ def test_slice_filter_variants(across, use_native):
                                           err_msg=f"oracle f{i} p{c}")
 
 
+@pytest.mark.slow   # >60 s on the 1-core image; np-backend sibling stays fast
 def test_slice_filter_variants_tpu_backend():
     """The fused TPU frame_step applies per-CTB deblock offset maps and the
     SAO boundary-restore mask bit-exactly."""

@@ -62,6 +62,7 @@ def test_chroma_format_native_frontend(cfmt):
     _check(stream, recons, cfmt, dec=Decoder(check_md5=True, use_native=True))
 
 
+@pytest.mark.slow   # >60 s on the 1-core image; np-backend sibling stays fast
 @pytest.mark.parametrize("cfmt", [2, 3])
 def test_chroma_format_tpu_backend(cfmt):
     from openhevc_tpu.tpu import TpuBackend

@@ -170,6 +170,7 @@ def _au_split(buf):
     return aus
 
 
+@pytest.mark.slow   # >60 s on the 1-core image; np-backend sibling stays fast
 def test_api_layered_decode():
     """SetActiveDecoders/SetViewLayers chain an EL decoder behind the same
     libOpenHevc* handle (openHevcWrapper.c:106-133 parity)."""
