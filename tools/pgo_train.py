@@ -35,10 +35,14 @@ def main():
                     "-std=c++17", "-pthread", f"-fprofile-generate={pgo}",
                     _CC, "-o", so], check=True)
 
-    streams = sys.argv[1:] or [
-        os.path.join(REPO, "streams", "bench_v4_1080p_main.265"),
-        os.path.join(REPO, "streams", "bench_v4_1080p_main10.265"),
-    ]
+    streams = sys.argv[1:]
+    if not streams:
+        # default to the committed bench clips, resolved through bench's
+        # content-hash cache keys (never hardcode stream filenames)
+        sys.path.insert(0, REPO)
+        import bench
+        streams = [bench.stream_path(n, bench.CONFIGS[n])
+                   for n in ("1080p_main", "1080p_main10")]
     streams = [s for s in streams if os.path.exists(s)]
     if not streams:
         print("no training streams found", file=sys.stderr)
